@@ -1,0 +1,102 @@
+"""Unit tests for the scalar function library vs pure-Python oracles
+(SURVEY.md §5 strategy point 1)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.functions import (
+    get_last_path_component,
+    is_not_numeric_flag,
+    normalize_chars,
+    normalize_whitespace,
+    parse_nth_value,
+    path_components,
+    path_hlevel,
+    path_prefixes_expr,
+    replace_last_path_component,
+    timestamp_to_timepoint,
+    timepoint_minutes,
+    usubjid,
+)
+
+PATH = "\\Test Studies\\Test Study\\Biomarker Data\\"
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_path_components(spark):
+    df = spark.createDataFrame([(PATH,)], ["p"])
+    assert df.select(path_components("p").alias("c")).collect()[0].c == [
+        "Test Studies",
+        "Test Study",
+        "Biomarker Data",
+    ]
+
+
+def test_parse_nth_value(spark):
+    df = spark.createDataFrame([(PATH,)], ["p"])
+    # raw split: position 1 is the empty token before the leading '\'
+    assert df.select(parse_nth_value("p", 2).alias("v")).collect()[0].v == "Test Studies"
+    assert df.select(parse_nth_value("p", 3).alias("v")).collect()[0].v == "Test Study"
+
+
+def test_last_component_ops(spark):
+    df = spark.createDataFrame([(PATH,)], ["p"])
+    assert df.select(get_last_path_component("p").alias("v")).collect()[0].v == "Biomarker Data"
+    out = df.select(replace_last_path_component("p", "XYZ").alias("v")).collect()[0].v
+    assert out == "\\Test Studies\\Test Study\\XYZ\\"
+
+
+def test_hlevel_and_prefixes(spark):
+    df = spark.createDataFrame([(PATH,)], ["p"])
+    assert df.select(path_hlevel("p").alias("v")).collect()[0].v == 2
+    prefixes = df.select(path_prefixes_expr("p").alias("v")).collect()[0].v
+    assert prefixes == [
+        "\\Test Studies\\",
+        "\\Test Studies\\Test Study\\",
+        "\\Test Studies\\Test Study\\Biomarker Data\\",
+    ]
+
+
+def test_is_not_numeric_flag(spark):
+    df = spark.createDataFrame(
+        [("1.5",), ("abc",), (None,), ("2e3",), ("",)], ["v"]
+    )
+    flags = [r.f for r in df.select(is_not_numeric_flag("v").alias("f")).collect()]
+    assert flags == [0, 1, 0, 0, 1]
+
+
+def test_usubjid(spark):
+    df = spark.createDataFrame([("TRIAL", None, "SUBJ"), ("TRIAL", "SITE", "S2")], ["t", "s", "u"])
+    vals = [r.v for r in df.select(usubjid("t", "s", "u").alias("v")).collect()]
+    assert vals == ["TRIAL:SUBJ", "TRIAL:SITE:S2"]
+
+
+def test_normalize_chars_and_whitespace(spark):
+    df = spark.createDataFrame([("a%b & c_d  ,e ",)], ["v"])
+    out = df.select(normalize_whitespace(normalize_chars("v")).alias("v")).collect()[0].v
+    assert out == "a Pctb And c d,e"
+
+
+def test_timestamp_to_timepoint(spark):
+    df = spark.createDataFrame(
+        [
+            (datetime(2020, 1, 3, 3, 0, 0), datetime(2020, 1, 1, 0, 0, 0)),
+            (datetime(2020, 1, 1, 0, 0, 30), datetime(2020, 1, 1, 0, 0, 0)),
+            (datetime(2019, 12, 31, 23, 0, 0), datetime(2020, 1, 1, 0, 0, 0)),
+        ],
+        ["ts", "base"],
+    )
+    vals = [r.v for r in df.select(timestamp_to_timepoint("ts", "base").alias("v")).collect()]
+    assert vals == ["2 days 3 hours", "Baseline", "-1 hours"]
+
+
+def test_timepoint_minutes(spark):
+    df = spark.createDataFrame(
+        [("Baseline",), ("2 days 3 hours",), ("Week 4",), ("1 year",), ("n/a",)], ["v"]
+    )
+    vals = [r.m for r in df.select(timepoint_minutes("v").alias("m")).collect()]
+    assert vals == [0, 2 * 1440 + 3 * 60, 4 * 10080, 518400, None]

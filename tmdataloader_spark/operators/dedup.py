@@ -1,0 +1,71 @@
+"""Duplicate detection / dedup / consistency guards (SURVEY.md §2.5
+A7–A10, §2.6 W2/W5).
+
+The reference's guards ABORT the load (I2B2_LOAD_CLINICAL_DATA.sql:
+656-716); here they raise before any write, after a cheap distributed
+check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+class LoadValidationError(RuntimeError):
+    """Raised when a reference abort-condition fires (duplicate numeric
+    rows, inconsistent visit names, non-unique study id)."""
+
+
+def find_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A7: key groups with >1 row
+    (I2B2_LOAD_CLINICAL_DATA.sql:656-693)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("dup_count")).filter(F.col("dup_count") > 1)
+
+
+def assert_no_duplicates(df: DataFrame, keys: list[str]) -> None:
+    dups = find_duplicates(df, keys).limit(1).collect()
+    if dups:
+        raise LoadValidationError(f"duplicate rows for keys {keys}: {dups[0].asDict()}")
+
+
+def dedup_keep_one(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """A8/W2: keep one row per key — DISTINCT ON equivalent
+    (I2B2_LOAD_CLINICAL_DATA.sql:634-645). With ``order_col`` the kept
+    row is deterministic (min order_col, like W5's MIN(RECORD_ID),
+    I2B2_CREATE_FULL_TREE.sql:21-28); without, arbitrary like the
+    reference."""
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def assert_visit_name_consistency(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    visit_col: str = "visit_name",
+) -> None:
+    """A9: per (category,label,value) group, visit_name must be all-null
+    or all-non-null (I2B2_LOAD_CLINICAL_DATA.sql:697-716)."""
+    group_cols = group_cols or ["category_cd", "data_label", "data_value"]
+    bad = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(F.col(visit_col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(F.col(visit_col).isNotNull(), 1).otherwise(0)).alias("n_set"),
+        )
+        .filter((F.col("n_null") > 0) & (F.col("n_set") > 0))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise LoadValidationError(f"inconsistent visit names in group {bad[0].asDict()}")
+
+
+def assert_single_study_id(df: DataFrame, study_col: str = "study_id") -> str:
+    """A10: exactly one distinct STUDY_ID per load
+    (etl/ClinicalDataProcessor.groovy:253-277)."""
+    ids = [r[0] for r in df.select(study_col).distinct().limit(2).collect()]
+    if len(ids) != 1 or ids[0] in (None, ""):
+        raise LoadValidationError(f"expected exactly one study id, got {ids}")
+    return ids[0]

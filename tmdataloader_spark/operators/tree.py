@@ -1,0 +1,140 @@
+r"""Tree / ontology operators (SURVEY.md §2.9 — the reference's
+signature domain logic).
+
+- T1 fill-in-tree       — sql/postgres/procedures/I2B2_FILL_IN_TREE.sql:52-99
+- T2 transitive closure — I2B2_CREATE_FULL_TREE.sql:18-89
+- T3 concept counts     — I2B2_CREATE_CONCEPT_COUNTS.sql:60-170 (J7/A5)
+- A6 visual attributes  — I2B2_LOAD_CLINICAL_DATA.sql:1432-1481
+- T8 move study subtree — I2B2_MOVE_STUDY_BY_PATH.sql
+- T9 delete study       — I2B2_DELETE_ALL_DATA.sql
+
+Scale design: the reference's closure is a 5-bucket path-length LIKE
+self-join ("VERY SLOW IN POSTGRESQL", I2B2_CREATE_FULL_TREE.sql:54-95).
+Here every tree op derives ancestors by exploding each node's OWN
+prefix array (`path_prefixes_expr`) and equi-joining on the prefix
+string: O(n·depth) rows, hash-partitionable, no theta join — this is
+the plan that survives 100 TB (depth ≤ ~20 while n is unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tmdataloader_spark.functions.paths import (
+    get_last_path_component,
+    path_hlevel,
+    path_prefixes_expr,
+)
+
+
+def fill_in_tree(leaves: DataFrame, path_col: str = "path") -> DataFrame:
+    """T1: every distinct prefix of every leaf path becomes a node —
+    the reference inserts the missing intermediate folders
+    (I2B2_FILL_IN_TREE.sql:52-99). Returns the complete node set
+    ``(path, hlevel, name)``, leaves included."""
+    return (
+        leaves.select(F.explode(path_prefixes_expr(path_col)).alias(path_col))
+        .distinct()
+        .withColumn("hlevel", path_hlevel(path_col))
+        .withColumn("name", get_last_path_component(path_col))
+    )
+
+
+def tree_closure(nodes: DataFrame, path_col: str = "path") -> DataFrame:
+    """T2: (ancestor_path, descendant_path) pairs, ancestor-or-self —
+    replaces I2B2_CREATE_FULL_TREE's bucketed LIKE self-join with a
+    prefix explode (each node emits its own ancestor list)."""
+    return nodes.select(
+        F.explode(path_prefixes_expr(path_col)).alias("ancestor_path"),
+        F.col(path_col).alias("descendant_path"),
+    )
+
+
+def concept_counts(
+    facts: DataFrame,
+    leaf_path_col: str = "path",
+    patient_col: str = "patient_num",
+) -> DataFrame:
+    """T3/A5/J7: distinct-patient count per ancestor-or-self node
+    (I2B2_CREATE_CONCEPT_COUNTS.sql:79-102).
+
+    Shape: explode each fact's leaf path into its ancestors, then
+    ``groupBy(ancestor).agg(countDistinct(patient))``. Spark plans
+    countDistinct as a two-phase partial aggregate (map-side distinct
+    first), so the shuffle carries (node, patient) pairs — already the
+    minimal data. For extreme fan-out skew (root node sees every
+    patient) AQE skew handling applies; a salted two-level rewrite is
+    `concept_counts_salted`.
+    """
+    exploded = facts.select(
+        F.explode(path_prefixes_expr(leaf_path_col)).alias("concept_path"),
+        F.col(patient_col).alias(patient_col),
+    )
+    return exploded.groupBy("concept_path").agg(
+        F.countDistinct(patient_col).alias("patient_count")
+    )
+
+
+def concept_counts_salted(
+    facts: DataFrame,
+    leaf_path_col: str = "path",
+    patient_col: str = "patient_num",
+) -> DataFrame:
+    """T3 at extreme scale: two-phase distinct — first dedupe
+    (node, patient) pairs (hash-partitioned over both columns so the
+    hot root key spreads across the cluster), then count per node.
+    Same result as `concept_counts`; use when one node dominates."""
+    pairs = facts.select(
+        F.explode(path_prefixes_expr(leaf_path_col)).alias("concept_path"),
+        F.col(patient_col).alias(patient_col),
+    ).distinct()  # shuffle keyed on (path, patient) — no hot single key
+    return pairs.groupBy("concept_path").agg(F.count(patient_col).alias("patient_count"))
+
+
+def visual_attributes(nodes: DataFrame, path_col: str = "path", study_root_hlevel: int | None = None) -> DataFrame:
+    """A6: per-node descendant count → c_visualattributes: exactly
+    itself ⇒ leaf 'LA', else folder 'FA'; study-root nodes get 'FAS'
+    (I2B2_LOAD_CLINICAL_DATA.sql:1432-1481)."""
+    closure = tree_closure(nodes, path_col)
+    desc_counts = closure.groupBy("ancestor_path").agg(
+        F.count("*").alias("n_descendants")
+    )
+    out = nodes.join(
+        desc_counts, nodes[path_col] == desc_counts["ancestor_path"], "left"
+    ).drop("ancestor_path")
+    attr = F.when(F.col("n_descendants") <= 1, F.lit("LA")).otherwise(F.lit("FA"))
+    if study_root_hlevel is not None:
+        attr = F.when(
+            path_hlevel(path_col) == study_root_hlevel, F.lit("FAS")
+        ).otherwise(attr)
+    return out.withColumn("c_visualattributes", attr).drop("n_descendants")
+
+
+def move_subtree(df: DataFrame, old_path: str, new_path: str, path_col: str = "path") -> DataFrame:
+    r"""T8: rewrite the path prefix across a table
+    (I2B2_MOVE_STUDY_BY_PATH.sql:408-482). Literal prefix replace —
+    implemented with startswith + concat (no regex escaping worries
+    with backslash-heavy paths)."""
+    c = F.col(path_col)
+    moved = F.concat(F.lit(new_path), F.substring(c, len(old_path) + 1, 2_000_000))
+    return df.withColumn(path_col, F.when(c.startswith(old_path), moved).otherwise(c))
+
+
+def delete_subtree(df: DataFrame, root_path: str, path_col: str = "path") -> DataFrame:
+    """T6/T9 building block: drop every node at-or-under a path."""
+    return df.filter(~F.col(path_col).startswith(root_path))
+
+
+def first_existing_path_per_study(
+    i2b2: DataFrame, study_col: str = "sourcesystem_cd", path_col: str = "c_fullname"
+) -> DataFrame:
+    """W1: canonical (first-by-name) path of an existing study —
+    ``first_value(...) over (partition by sourcesystem_cd order by
+    c_fullname)`` (etl/AbstractDataProcessor.groovy:108-113)."""
+    w = Window.partitionBy(study_col).orderBy(path_col)
+    return (
+        i2b2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(study_col, F.col(path_col).alias("first_path"))
+    )
