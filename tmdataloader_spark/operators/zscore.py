@@ -32,7 +32,10 @@ def log_transform(df: DataFrame, data_type: str, value_col: str = "intensity", l
     v = F.col(value_col).try_cast("double")
     if data_type == "R":
         df = df.filter(v > 0)
-        log_col = F.log(float(log_base), v)
+        # log2 (the overwhelmingly common base, ExpressionDataProcessor
+        # passes 2) uses the dedicated intrinsic for bit-exact parity
+        # with other engines; other bases fall back to ln(x)/ln(b).
+        log_col = F.log2(v) if float(log_base) == 2.0 else F.log(float(log_base), v)
         raw_col = v
     elif data_type == "L":
         log_col = v
