@@ -1,0 +1,81 @@
+"""Expression (HDD) pipeline e2e on the reference fixture, with a
+pure-pandas z-score oracle (SURVEY.md §5 strategy points 1–2)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.plans.hdd import load_expression, write_partitioned
+
+DATA_DIR = (
+    "/root/reference/fixtures/Test Studies/Test Study_GSE0/ExpressionDataToUpload"
+)
+TOP = "\\Test Studies\\Test Study\\"
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return load_expression(spark, DATA_DIR, "GSE0", TOP)
+
+
+def _oracle_zscores():
+    """Pandas twin of the kernel: log2 → per-probe median/stddev →
+    clamp ±2.5 (I2B2_PROCESS_MRNA_DATA.sql:318-326)."""
+    wide = pd.read_csv(
+        DATA_DIR + "/Test Study_GSE0_Gene_Expression_Data_R.txt", sep="\t"
+    )
+    long = wide.melt(id_vars=wide.columns[0], var_name="sample", value_name="x")
+    long = long[pd.to_numeric(long.x, errors="coerce").notna()]
+    long["x"] = long.x.astype(float)
+    long = long[long.x > 0]
+    long["log2"] = long.x.map(math.log2)
+    probe_col = wide.columns[0]
+    stats = long.groupby(probe_col).log2.agg(["median", "std"])
+    out = long.join(stats, on=probe_col)
+    out["z"] = ((out.log2 - out["median"]) / out["std"]).clip(-2.5, 2.5)
+    out.loc[out["std"] == 0, "z"] = 0.0
+    return out, probe_col
+
+
+def test_sample_mapping(result):
+    sm = result.sample_mapping.toPandas()
+    assert sm.trial_name.unique().tolist() == ["GSE0"]
+    assert sm.sample_cd.is_unique
+    assert (sm.tissue_type == "Blood").all()  # defaulting
+    assert sm.gpl_id.unique().tolist() == ["GEX_TST"]
+    assert sm.concept_path.str.startswith(TOP + "Biomarker Data\\").all()
+
+
+def test_nodes(result):
+    nodes = {r.c_fullname: r for r in result.i2b2.collect()}
+    leaf = TOP + "Biomarker Data\\Test GEX Platform\\Blood\\"
+    assert leaf in nodes
+    assert nodes[leaf].c_visualattributes == "LAH"
+    assert nodes[TOP + "Biomarker Data\\"].c_visualattributes == "FA"
+
+
+def test_zscore_values_match_oracle(result):
+    oracle, probe_col = _oracle_zscores()
+    got = result.data.toPandas()
+    assert len(got) == len(oracle)
+    sm = result.sample_mapping.toPandas().set_index("sample_cd").assay_id
+    oracle = oracle.assign(assay_id=oracle["sample"].map(sm))
+    merged = got.merge(
+        oracle.rename(columns={probe_col: "probeset_id"}),
+        on=["probeset_id", "assay_id"],
+        how="inner",
+    )
+    assert len(merged) == len(got)
+    assert (merged.zscore - merged.z).abs().max() < 1e-9
+    assert merged.zscore.between(-2.5, 2.5).all()
+    assert (merged.log_intensity - merged.log2).abs().max() < 1e-9
+
+
+def test_partitioned_write_roundtrip(result, spark, tmp_path):
+    out = str(tmp_path / "de_subject_microarray_data")
+    write_partitioned(result.data, out)
+    back = spark.read.parquet(out)
+    assert back.count() == result.data.count()
+    assert back.filter(F.col("trial_name") == "GSE0").count() == back.count()

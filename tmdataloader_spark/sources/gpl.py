@@ -1,0 +1,78 @@
+"""GPL platform annotation reader (SURVEY.md §2.1 S3).
+
+Reference: files/GplFile.groovy + etl/platforms/GexPlatform.groovy:47-81
+— head comments ``#PLATFORM_ID/#PLATFORM_TITLE/#SPECIES``; columns
+found by fuzzy regex match: probe id is column 0, ENTREZ/SYMBOL/SPECIES
+columns matched case-insensitively.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmdataloader_spark.sources.tsv import read_head_meta, read_tsv
+
+ENTREZ_RE = re.compile(r"^(ENTREZ[\s_]*)*GENE([\s_]*ID)*$", re.I)
+SYMBOL_RE = re.compile(r"^(GENE[\s_]*)*SYMBOL$", re.I)
+SPECIES_RE = re.compile(r"^SPECIES([\s_]*SCIENTIFIC)([\s_]*NAME)$", re.I)
+
+
+@dataclass
+class GplPlatform:
+    platform: str
+    title: str
+    organism: str
+    marker_type: str
+    annotation: DataFrame  # (gpl_id, probeset_id, gene_symbol, entrez_gene_id, organism)
+
+
+def read_gpl(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    platform_id: str | None = None,
+    marker_type: str = "Gene Expression",
+) -> GplPlatform:
+    meta = read_head_meta(path)
+    platform = platform_id or meta.get("PLATFORM_ID") or os.path.basename(str(path)).rsplit(".", 1)[0]
+    title = meta.get("PLATFORM_TITLE", platform)
+    organism = meta.get("SPECIES", meta.get("ORGANISM", "Homo sapiens"))
+
+    df = read_tsv(spark, path, header=True, comment="#")
+    cols = df.columns
+    entrez = symbol = species = None
+    for c in cols:
+        if entrez is None and ENTREZ_RE.match(c):
+            entrez = c
+        elif symbol is None and SYMBOL_RE.match(c):
+            symbol = c
+        elif species is None and SPECIES_RE.match(c):
+            species = c
+    if entrez is None or symbol is None:
+        raise ValueError(f"Incorrect platform file header: {cols[:6]}...")
+
+    # numeric-or-empty entrez ids only (GexPlatform.eachEntry skips
+    # non-numeric ids unless useFirstGeneId)
+    ann = df.select(
+        F.lit(platform).alias("gpl_id"),
+        F.col(f"`{cols[0]}`").cast("string").alias("probeset_id"),
+        F.col(f"`{symbol}`").cast("string").alias("gene_symbol"),
+        F.col(f"`{entrez}`").cast("string").alias("entrez_gene_id"),
+        (
+            F.coalesce(F.col(f"`{species}`").cast("string"), F.lit(organism))
+            if species
+            else F.lit(organism)
+        ).alias("organism"),
+    ).filter(
+        F.coalesce(F.col("entrez_gene_id"), F.lit("")).rlike(r"^\d*$")
+    )
+    return GplPlatform(
+        platform=platform,
+        title=title,
+        organism=organism,
+        marker_type=marker_type,
+        annotation=ann,
+    )
