@@ -525,6 +525,61 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
 
 
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16 md5-permutations → 4 bands →
+    bucket-join candidates → exact-Jaccard verify. Portable md5 hashes
+    make every stage oracle-checkable."""
+    from tmdataloader_spark.llmdata.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (md5 token hashes, sign-of-sum bits)."""
+    from tmdataloader_spark.llmdata.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming ≤ 3 via lossless pigeonhole
+    banding (4 bands ⇒ no cross join, exact results)."""
+    from tmdataloader_spark.llmdata.dedup import simhash, simhash_pairs
+
+    sig = simhash(_t(spark, sf_dir, "documents"))
+    return simhash_pairs(sig, max_hamming=3)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.95) via NumPy block matmul
+    in mapInPandas against a broadcast corpus matrix."""
+    from tmdataloader_spark.llmdata.dedup import embedding_dup_pairs
+
+    # synthetic vectors are near-orthogonal (max pairwise cos ≈ 0.51);
+    # 0.4 keeps the check non-vacuous
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column → Arrow-batched
+    decode (deterministic fake codec) → typed metadata."""
+    from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (approximate — rows-only check):
+    queries score only bucket-sharing candidates."""
+    from tmdataloader_spark.llmdata.similarity import lsh_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_ann(q, e, k=5)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (baseline ANN): query rows × corpus,
     dot/norms via zip_with+aggregate, deterministic tie-break."""
@@ -618,7 +673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_meta": q_multimodal_meta,
         "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
         "event_rollup": q_event_rollup,
     }
 
@@ -651,6 +712,77 @@ closure AS (
   FROM nodes a JOIN nodes d ON d.path LIKE a.path || '%'
 )
 """
+
+
+def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = num_perms // bands
+    mh_cols = ",\n".join(
+        f"min(('0x'||left(md5('{i}:'||shingle),8))::bigint) AS mh_{i}"
+        for i in range(num_perms)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, n_shingles, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key="||','||".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents
+        ), sh0 AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS shingles
+          FROM t
+        ), sh AS (
+          SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh0
+        ), sig AS (
+          SELECT doc_id, any_value(n_shingles) AS n_shingles, {mh_cols}
+          FROM sh GROUP BY doc_id
+        ), bands AS (
+          {band_selects}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_shingles AS n_a, b.n_shingles AS n_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+        FROM inter
+        WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= {threshold}
+    """
+
+
+def _simhash_cte(bits: int = 32) -> str:
+    s_cols = ",\n".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x'||left(md5('0:'||tok),8))::bigint AS h FROM ex
+        ), s AS (
+          SELECT doc_id, {s_cols} FROM h GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {sig_expr} AS simhash FROM s
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -917,6 +1049,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
             FROM inter
             WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
+        """,
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": _simhash_cte() + "SELECT doc_id, simhash FROM sig",
+        "simhash_pairs": _simhash_cte() + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "embedding_dedup": """
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))) AS nv
+              FROM embeddings
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.nv, b.nv) >= 0.4
+        """,
+        "multimodal_meta": """
+            -- texts are ASCII: sha256(varchar) == sha256 of utf-8 bytes
+            WITH d AS (
+              SELECT doc_id AS media_id, 'image' AS media_type,
+                     octet_length(encode(text)) AS n_bytes,
+                     sha256(text) AS sha256
+              FROM documents
+            )
+            SELECT media_id, media_type, n_bytes, sha256,
+                   64 + ('0x'||substr(sha256, 1, 2))::INT % 192 AS width,
+                   64 + ('0x'||substr(sha256, 3, 2))::INT % 192 AS height,
+                   0::BIGINT AS duration_ms
+            FROM d
         """,
         "ann_cosine": """
             WITH q AS (

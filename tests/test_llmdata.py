@@ -1,0 +1,88 @@
+"""Unit tests for the training-data operators: internal consistency
+between exact and accelerated paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_simhash_banding_is_lossless(spark, docs):
+    """Pigeonhole banding must find exactly the brute-force pairs."""
+    from tmdataloader_spark.llmdata.dedup import simhash, simhash_pairs
+
+    sig = simhash(docs).cache()
+    banded = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(sig, max_hamming=3).collect()}
+    a = sig.alias("a")
+    b = sig.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, docs):
+    """LSH with 4 bands of 4 rows must catch the truly-identical pairs
+    (jaccard = 1 collides in every band)."""
+    from tmdataloader_spark.llmdata.dedup import exact_dedup, minhash_lsh_pairs
+
+    dup_groups = exact_dedup(docs).filter(F.col("n_copies") > 1).count()
+    pairs = minhash_lsh_pairs(docs, threshold=0.999).count()
+    assert (dup_groups == 0) == (pairs == 0) or pairs >= dup_groups
+
+
+def test_cosine_topk_numpy_matches_expr(spark, embeddings):
+    from tmdataloader_spark.llmdata.similarity import cosine_topk, cosine_topk_expr
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    fast = {(r.query_id, r.rank): r.cand_id for r in cosine_topk(q, embeddings, k=3).collect()}
+    slow = {(r.query_id, r.rank): r.cand_id for r in cosine_topk_expr(q, embeddings, k=3).collect()}
+    assert fast == slow
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    """LSH ANN is approximate but should recover a decent fraction of
+    true top-5 neighbors on this small corpus."""
+    from tmdataloader_spark.llmdata.similarity import cosine_topk_expr, lsh_ann
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.cand_id) for r in cosine_topk_expr(q, embeddings, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in lsh_ann(q, embeddings, k=5).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
+
+    media = documents_as_media(docs)
+    out = decode_media(media, fake=True).collect()
+    assert len(out) == docs.count()
+    assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in out)
+    again = {r.media_id: (r.sha256, r.width) for r in decode_media(media, fake=True).collect()}
+    assert all(again[r.media_id] == (r.sha256, r.width) for r in out)
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(documents_as_media(docs), fake=False)

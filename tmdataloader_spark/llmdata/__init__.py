@@ -1,0 +1,14 @@
+"""Large-scale training-data pipeline operators (BASELINE.json
+north-star: dedup families, similarity search, multimodal columns,
+text analysis) — extensions beyond the reference's surface, designed
+for 100 TB first:
+
+- ``dedup``      : exact hash-dedup, MinHash+LSH banding, SimHash with
+                   lossless pigeonhole blocking, embedding-cosine pairs
+- ``similarity`` : brute-force cosine top-k (expression and NumPy
+                   paths), random-hyperplane LSH ANN
+- ``text``       : language-ID heuristic, quality scoring, token
+                   counting, fingerprinting — all JVM-side expressions
+- ``multimodal`` : opaque binary columns + typed metadata, Arrow-
+                   batched decode plumbing (real codecs stubbed)
+"""

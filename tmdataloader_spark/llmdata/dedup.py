@@ -1,0 +1,246 @@
+"""Deduplication families for corpus curation at 100 TB.
+
+Every operator avoids the O(n²) cross join:
+- exact: hash-groupBy (map-side partial agg; shuffle carries one row
+  per distinct hash)
+- MinHash+LSH: shingles → k hash permutations → min per perm → band
+  keys → candidates share a band (equi-join on band key) → exact
+  Jaccard verification of candidates only
+- SimHash: 32-bit signature; pairs within Hamming ≤ h found by
+  pigeonhole blocking (h+1 bands ⇒ a qualifying pair must agree on at
+  least one band — lossless, no cross join)
+- embedding cosine: NumPy block matmul inside ``mapInPandas`` against
+  a broadcast corpus matrix (the vectorized-Pandas-UDF scale path)
+
+Hashes are md5-derived (portable across engines) so every stage is
+oracle-checkable; xxhash64 would be faster but engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups with canonical (min-id) representative."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (Scala-side NGram)."""
+    from pyspark.ml.feature import NGram
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    dt = df.select(id_col, toks.alias("_toks"))
+    return (
+        NGram(n=n, inputCol="_toks", outputCol="_sh")
+        .transform(dt)
+        .select(id_col, F.array_distinct("_sh").alias("shingle_set"))
+        .select(
+            id_col,
+            F.size("shingle_set").alias("n_shingles"),
+            F.explode("shingle_set").alias("shingle"),
+        )
+    )
+
+
+def _hash32(col: Column, seed: int) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5(seed:value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_perms: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature: min over shingles of each of
+    ``num_perms`` hash permutations — one groupBy, signature as
+    ``num_perms`` columns."""
+    aggs = [
+        F.min(_hash32(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_perms)
+    ]
+    return sh.groupBy(id_col, "n_shingles").agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame, id_col: str = "doc_id", num_perms: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band keys: md5 over each band's signature slice → (doc, band,
+    band_key) long frame. Docs sharing any (band, band_key) are
+    candidates."""
+    rows = num_perms // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("band_key")
+            )
+        )
+    return sigs.select(
+        id_col, "n_shingles", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "n_shingles", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: returns (doc_a, doc_b,
+    jaccard) for candidate pairs (band collision) whose EXACT shingle
+    Jaccard ≥ threshold. Deterministic: md5 permutations, rounded
+    jaccard."""
+    sh = shingles(df, text_col, id_col, n=ngram).cache()
+    sigs = minhash_signatures(sh, id_col, num_perms)
+    bandkeys = lsh_band_keys(sigs, id_col, num_perms, bands)
+    a = bandkeys.alias("a")
+    b = bandkeys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("_doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, on="doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (md5-derived token
+    hashes): bit b of the signature is the sign of the sum of
+    (±1 per token occurrence)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    ex = df.select(id_col, F.explode(toks).alias("tok")).withColumn(
+        "h", _hash32(F.col("tok"), 0)
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pairs within Hamming ≤ max_hamming via pigeonhole blocking:
+    split the signature into (max_hamming+1) bands; any qualifying
+    pair agrees on ≥1 band, so an equi-join on (band, band_bits)
+    finds every pair — no cross join, exact results."""
+    nb = max_hamming + 1
+    width = bits // nb
+    bands = []
+    for b in range(nb):
+        mask = ((1 << width) - 1) << (b * width)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("band_bits"),
+            )
+        )
+    keyed = sig.select(
+        id_col, "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.band_bits")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via NumPy block matmul: the
+    corpus matrix is broadcast once; each Arrow batch of rows computes
+    a (batch × corpus) similarity block. O(n²) compares but at BLAS
+    speed, no shuffle; for corpora beyond ~1M rows switch to the LSH
+    bucketing in ``similarity.lsh_ann``."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(it):
+        import pandas as pd
+
+        for pdf in it:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.value.T
+            qa, ca = np.nonzero(sims >= threshold)
+            out = pd.DataFrame(
+                {
+                    "doc_a": pdf[id_col].to_numpy()[qa],
+                    "doc_b": b_ids.value[ca],
+                    "cosine_sim": np.round(sims[qa, ca], 6),
+                }
+            )
+            yield out[out.doc_a < out.doc_b]
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, schema="doc_a long, doc_b long, cosine_sim double"
+    )
