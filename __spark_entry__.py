@@ -45,8 +45,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            # double + round(2), not DECIMAL: Spark's sum(decimal(18,2))
+            # widens to decimal(28,2) vs DuckDB's DECIMAL(38,2) and the
+            # driver's exact value-hash sees different representations
+            # (round-1 red row); the hash-proven pattern is fact_assembly's
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("double")), 2).alias("sum_base_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -388,16 +392,23 @@ def q_delete_study(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F5/F6: pipe fix + char/whitespace normalization as one
-    projection (I2B2_LOAD_CLINICAL_DATA.sql:259-461)."""
-    from tmdataloader_spark.functions.values import normalize_chars, normalize_whitespace
-    from tmdataloader_spark.operators.cleansing import fix_pipes
+    """F2/F3/F5/F6: the data_value cleansing chain with the reference's
+    per-column replace set — pipe fix, two-pass paren fix, value char
+    set (lowercase ' and ', no _→space), single-pass whitespace
+    (I2B2_LOAD_CLINICAL_DATA.sql:259-461)."""
+    from tmdataloader_spark.functions.values import (
+        normalize_chars_value,
+        normalize_whitespace,
+    )
+    from tmdataloader_spark.operators.cleansing import fix_parens, fix_pipes
 
     p = _t(spark, sf_dir, "part")
-    dirty = F.concat(F.lit("|"), "p_type", F.lit("|"), "p_brand", F.lit("%|"))
+    dirty = F.concat(F.lit("|"), "p_type", F.lit("(|"), "p_brand", F.lit("%&|"))
     return p.select(
         "p_partkey",
-        normalize_whitespace(normalize_chars(fix_pipes(dirty))).alias("clean_value"),
+        normalize_whitespace(normalize_chars_value(fix_parens(fix_pipes(dirty)))).alias(
+            "clean_value"
+        ),
     )
 
 
@@ -486,43 +497,15 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: 3-word-shingle Jaccard ≥ 0.8 pairs via
-    shingle-explode + equi-join (the scale shape: no cross join — the
-    join keys are shingles, candidate pairs only)."""
-    from pyspark.ml.feature import NGram
+    shingle-explode + equi-join with a document-frequency skew guard
+    (shingles in > 50 docs dropped from the sets on both engines — a
+    hot stop-shingle in k docs emits k² join rows, the classic
+    skewed-key shuffle bomb at corpus scale)."""
+    from tmdataloader_spark.llmdata.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
-    # NGram runs Scala-side; ~3x faster than an equivalent
-    # higher-order-function expression (measured at sf0.1)
-    dt = d.select("doc_id", toks.alias("toks"))
-    ds = (
-        NGram(n=3, inputCol="toks", outputCol="sh_raw")
-        .transform(dt)
-        .select("doc_id", F.array_distinct("sh_raw").alias("sh"))
-        .select("doc_id", F.size("sh").alias("n_sh"), F.col("sh"))
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df=50
     )
-    ex = ds.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = inter.withColumn(
-        "jaccard",
-        F.round(
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            6,
-        ),
-    )
-    return jac.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,8 +535,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥0.95) via NumPy block matmul
-    in mapInPandas against a broadcast corpus matrix."""
+    """Embedding-cosine near-dup pairs — exact all-pairs semantics via
+    a distributed block-pair NumPy matmul (cogrouped applyInPandas; no
+    driver-side collect or corpus broadcast)."""
     from tmdataloader_spark.llmdata.dedup import embedding_dup_pairs
 
     # synthetic vectors are near-orthogonal (max pairwise cos ≈ 0.51);
@@ -571,8 +555,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (approximate — rows-only check):
-    queries score only bucket-sharing candidates."""
+    """Random-hyperplane LSH ANN: queries score only bucket-sharing
+    candidates. Bucket keys are exact integer arithmetic (md5-derived
+    integer planes × floor-quantized vectors), so the DuckDB oracle
+    reproduces the buckets bit-for-bit."""
     from tmdataloader_spark.llmdata.similarity import lsh_ann
 
     e = _t(spark, sf_dir, "embeddings")
@@ -785,12 +771,64 @@ def _simhash_cte(bits: int = 32) -> str:
     """
 
 
+def _ann_lsh_oracle(
+    dim: int = 64, nbits: int = 4, ntables: int = 16, k: int = 5, quant: int = 1000
+) -> str:
+    """DuckDB twin of llmdata.similarity.lsh_ann: the SAME md5-derived
+    integer hyperplanes are emitted as SQL array literals; embeddings
+    are quantized with floor(x*quant) so every bucket key is exact
+    integer arithmetic — bit-identical to the Spark plan."""
+    from tmdataloader_spark.llmdata.similarity import int_hyperplanes
+
+    planes = int_hyperplanes(dim, nbits * ntables)
+    table_selects = []
+    for t in range(ntables):
+        terms = []
+        for b in range(nbits):
+            lit = "[" + ",".join(str(v) for v in planes[t * nbits + b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(qv, {lit}::DOUBLE[]) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(terms)})::BIGINT AS bucket FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * {quant})) AS qv,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), b AS (
+          {buckets}
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                           AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10
+        ), scored AS (
+          SELECT cand.query_id, cand.cand_id,
+                 round(list_dot_product(eq.v, ec.v) /
+                       (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cosine_sim
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.cand_id
+        )
+        SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_base_price,
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -961,32 +999,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT path FROM paths WHERE NOT starts_with(path, '\AFRICA\')
         """,
         "cleansing": r"""
-            SELECT p_partkey,
-                   trim(regexp_replace(regexp_replace(regexp_replace(
-                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                       regexp_replace(regexp_replace(
-                         '|' || p_type || '|' || p_brand || '%|',
-                         '^\|+', '', 'g'), '\|+$', '', 'g'), '\|', '-', 'g'),
-                       '%', ' Pct', 'g'), '&', ' And ', 'g'), '\+', ' And ', 'g'),
-                     '_', ' ', 'g'), '\(plus\)', '+', 'g'), '  +', ' ', 'g'))
-                   AS clean_value
-            FROM part
+            WITH s0 AS (
+              SELECT p_partkey, '|' || p_type || '(|' || p_brand || '%&|' AS v FROM part
+            ), s1 AS (  -- F2: trim edge pipes, inner | -> -
+              SELECT p_partkey, regexp_replace(regexp_replace(regexp_replace(
+                       v, '^\|+', ''), '\|+$', ''), '\|', '-', 'g') AS v
+              FROM s0
+            ), s2 AS (  -- F3 pass 1: strip '(' on the reference triggers
+              SELECT p_partkey, CASE WHEN contains(v, '()') OR contains(v, '( )')
+                          OR (contains(v, '(') AND NOT contains(v, ')'))
+                     THEN replace(v, '(', '') ELSE v END AS v
+              FROM s1
+            ), s3 AS (  -- F3 pass 2: strip ')' on the post-pass-1 value
+              SELECT p_partkey, CASE WHEN contains(v, '()') OR contains(v, '( )')
+                          OR (contains(v, ')') AND NOT contains(v, '('))
+                     THEN replace(v, ')', '') ELSE v END AS v
+              FROM s2
+            ), s4 AS (  -- F5 data_value set: % & + (plus); no _ -> space
+              SELECT p_partkey, replace(replace(replace(replace(
+                       v, '%', ' Pct'), '&', ' and '), '+', ' and '), '(plus)', '+') AS v
+              FROM s3
+            )
+            SELECT p_partkey,  -- F6: single-pass '  '->' ', ' ,'->',', trim, rtrim ','
+                   rtrim(trim(replace(replace(v, '  ', ' '), ' ,', ',')), ',') AS clean_value
+            FROM s4
         """,
         "timepoints": """
             WITH d AS (
               SELECT event_id,
                      CAST(floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS secs
               FROM events
+            ), u AS (
+              SELECT event_id, secs,
+                     abs(secs) // 86400 AS dd,
+                     (abs(secs) % 86400) // 3600 AS hh,
+                     (abs(secs) % 3600) // 60 AS mm,
+                     abs(secs) % 60 AS ss
+              FROM d
             )
             SELECT event_id,
-                   CASE WHEN abs(secs) < 60 THEN 'Baseline'
+                   CASE WHEN secs = 0 THEN 'Baseline'
                         ELSE (CASE WHEN secs < 0 THEN '-' ELSE '' END) ||
                   concat_ws(' ',
-                    CASE WHEN abs(secs) // 86400 > 0 THEN (abs(secs) // 86400) || ' days' END,
-                    CASE WHEN (abs(secs) % 86400) // 3600 > 0 THEN ((abs(secs) % 86400) // 3600) || ' hours' END,
-                    CASE WHEN (abs(secs) % 3600) // 60 > 0 THEN ((abs(secs) % 3600) // 60) || ' minutes' END)
+                    CASE WHEN dd > 0 THEN dd || ' day' || (CASE WHEN dd > 1 THEN 's' ELSE '' END) END,
+                    CASE WHEN hh > 0 THEN hh || ' hour' || (CASE WHEN hh > 1 THEN 's' ELSE '' END) END,
+                    CASE WHEN mm > 0 THEN mm || ' minute' || (CASE WHEN mm > 1 THEN 's' ELSE '' END) END,
+                    CASE WHEN ss > 0 THEN ss || ' second' || (CASE WHEN ss > 1 THEN 's' ELSE '' END) END)
                    END AS timepoint
-            FROM d
+            FROM u
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -1037,12 +1097,21 @@ def oracle_sql() -> dict[str, str]:
                 range(1, greatest(len(toks) - 1, 1)),
                 i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS shingles
               FROM t
+            ), ex0 AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), dfc AS (  -- document frequency per shingle (skew guard)
+              SELECT shingle, count(*) AS df FROM ex0 GROUP BY shingle
             ), ex AS (
-              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+              SELECT ex0.doc_id, ex0.shingle FROM ex0
+              JOIN dfc USING (shingle) WHERE dfc.df <= 50
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+            ), exn AS (
+              SELECT ex.doc_id, sizes.n_sh, ex.shingle FROM ex JOIN sizes USING (doc_id)
             ), inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
-              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM exn a JOIN exn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2, 3, 4
             )
             SELECT doc_a, doc_b,
@@ -1104,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "ann_lsh": _ann_lsh_oracle(),
         "event_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -76,22 +76,60 @@ def test_usubjid(spark):
 
 
 def test_normalize_chars_and_whitespace(spark):
+    # lowercase ' and ' per I2B2_LOAD_CLINICAL_DATA.sql:438
     df = spark.createDataFrame([("a%b & c_d  ,e ",)], ["v"])
     out = df.select(normalize_whitespace(normalize_chars("v")).alias("v")).collect()[0].v
-    assert out == "a Pctb And c d,e"
+    assert out == "a Pctb and c d,e"
+
+
+def test_normalize_chars_per_column(spark):
+    from tmdataloader_spark.functions.values import (
+        normalize_chars_category,
+        normalize_chars_value,
+    )
+
+    df = spark.createDataFrame([("a_b+c&d",)], ["v"])
+    # value set: no _ -> space
+    out = df.select(normalize_chars_value("v").alias("v")).collect()[0].v
+    assert out == "a_b and c and d"
+    # category set: only % and &
+    out = df.select(normalize_chars_category("v").alias("v")).collect()[0].v
+    assert out == "a_b+c and d"
 
 
 def test_timestamp_to_timepoint(spark):
+    # TIMESTAMP_TO_TIMEPOINT.sql: singular/plural per unit, seconds
+    # included, 'Baseline' only at exactly zero
     df = spark.createDataFrame(
         [
             (datetime(2020, 1, 3, 3, 0, 0), datetime(2020, 1, 1, 0, 0, 0)),
             (datetime(2020, 1, 1, 0, 0, 30), datetime(2020, 1, 1, 0, 0, 0)),
             (datetime(2019, 12, 31, 23, 0, 0), datetime(2020, 1, 1, 0, 0, 0)),
+            (datetime(2020, 1, 1, 0, 0, 0), datetime(2020, 1, 1, 0, 0, 0)),
+            (datetime(2020, 1, 2, 0, 1, 1), datetime(2020, 1, 1, 0, 0, 0)),
         ],
         ["ts", "base"],
     )
     vals = [r.v for r in df.select(timestamp_to_timepoint("ts", "base").alias("v")).collect()]
-    assert vals == ["2 days 3 hours", "Baseline", "-1 hours"]
+    assert vals == [
+        "2 days 3 hours",
+        "30 seconds",
+        "-1 hour",
+        "Baseline",
+        "1 day 1 minute 1 second",
+    ]
+
+
+def test_fix_parens_reference_semantics(spark):
+    from tmdataloader_spark.operators.cleansing import fix_parens
+
+    df = spark.createDataFrame(
+        [("a()b",), ("a( )b",), ("a (b",), ("a )b",), ("(a)",), ("a() (b)",)], ["v"]
+    )
+    vals = [r.v for r in df.select(fix_parens(F.col("v")).alias("v")).collect()]
+    # two sequential passes with empty-string replacement; balanced
+    # non-empty parens survive (I2B2_LOAD_CLINICAL_DATA.sql:280-305)
+    assert vals == ["ab", "a b", "a b", "a b", "(a)", "a b"]
 
 
 def test_timepoint_minutes(spark):

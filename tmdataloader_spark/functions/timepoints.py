@@ -22,24 +22,37 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _unit(n: Column, name: str) -> Column:
+    """``'N unit'`` with singular/plural exactly as the reference
+    (``1 day`` vs ``2 days``); null (skipped by concat_ws) when 0."""
+    return F.when(
+        n > 0,
+        F.concat(
+            n.cast("string"),
+            F.lit(f" {name}"),
+            F.when(n > 1, F.lit("s")).otherwise(F.lit("")),
+        ),
+    )
+
+
 def timestamp_to_timepoint(ts: Column | str, baseline: Column | str) -> Column:
-    """Render ``ts - baseline`` as the reference's interval string:
-    ``'N days N hours N minutes'`` (zero units omitted), ``'Baseline'``
-    when equal, leading ``-`` when before baseline
-    (TIMESTAMP_TO_TIMEPOINT.sql)."""
+    """Render ``ts - baseline`` exactly as the reference
+    (TIMESTAMP_TO_TIMEPOINT.sql): ``'N days N hours N minutes N
+    seconds'`` with zero units omitted and singular/plural per unit,
+    ``'Baseline'`` ONLY at exactly zero, leading ``-`` when before
+    baseline. The reference parses second-precision strings; sub-second
+    inputs here are floored to seconds first."""
     secs = _c(ts).cast("long") - _c(baseline).cast("long")
     a = F.abs(secs)
-    days = (a / 86400).cast("long")
-    hours = ((a % 86400) / 3600).cast("long")
-    minutes = ((a % 3600) / 60).cast("long")
     body = F.concat_ws(
         " ",
-        F.when(days > 0, F.concat(days.cast("string"), F.lit(" days"))),
-        F.when(hours > 0, F.concat(hours.cast("string"), F.lit(" hours"))),
-        F.when(minutes > 0, F.concat(minutes.cast("string"), F.lit(" minutes"))),
+        _unit((a / 86400).cast("long"), "day"),
+        _unit(((a % 86400) / 3600).cast("long"), "hour"),
+        _unit(((a % 3600) / 60).cast("long"), "minute"),
+        _unit(a % 60, "second"),
     )
     signed = F.when(secs < 0, F.concat(F.lit("-"), body)).otherwise(body)
-    return F.when(a < 60, F.lit("Baseline")).otherwise(signed)
+    return F.when(secs == 0, F.lit("Baseline")).otherwise(signed)
 
 
 _UNIT_MINUTES = {

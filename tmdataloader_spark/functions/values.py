@@ -40,24 +40,61 @@ def usubjid(trial: Column | str, site: Column | str, subject: Column | str) -> C
     return F.regexp_replace(joined, "::", ":")
 
 
-def normalize_chars(col: Column | str) -> Column:
-    """F5: ``%``→`` Pct``, ``&``→`` And ``, ``+``→`` And ``, ``_``→`` ``,
-    and the escaped ``(plus)`` marker back to ``+``
-    (I2B2_LOAD_CLINICAL_DATA.sql:437-442)."""
-    c = _c(col)
-    c = F.regexp_replace(c, "%", " Pct")
-    c = F.regexp_replace(c, "&", " And ")
-    c = F.regexp_replace(c, r"\+", " And ")
-    c = F.regexp_replace(c, "_", " ")
-    c = F.regexp_replace(c, r"\(plus\)", "+")
+def _replace_chain(col: Column, pairs: list[tuple[str, str]]) -> Column:
+    c = col
+    for old, new in pairs:
+        c = F.replace(c, F.lit(old), F.lit(new))
     return c
+
+
+def normalize_chars_label(col: Column | str) -> Column:
+    """F5 for data_label: ``%``→`` Pct``, ``&``/``+``→`` and ``
+    (lowercase, as the reference), ``_``→`` ``, and the escaped
+    ``(plus)`` marker back to ``+``
+    (I2B2_LOAD_CLINICAL_DATA.sql:438 — sequential plain replaces)."""
+    return _replace_chain(
+        _c(col),
+        [("%", " Pct"), ("&", " and "), ("+", " and "), ("_", " "), ("(plus)", "+")],
+    )
+
+
+def normalize_chars_value(col: Column | str) -> Column:
+    """F5 for data_value: like the label chain but WITHOUT ``_``→space
+    (I2B2_LOAD_CLINICAL_DATA.sql:439)."""
+    return _replace_chain(
+        _c(col), [("%", " Pct"), ("&", " and "), ("+", " and "), ("(plus)", "+")]
+    )
+
+
+def normalize_chars_category(col: Column | str) -> Column:
+    """F5 for category_cd: only ``%``→`` Pct`` and ``&``→`` and ``
+    (``+`` is the path separator there — I2B2_LOAD_CLINICAL_DATA.sql:440)."""
+    return _replace_chain(_c(col), [("%", " Pct"), ("&", " and ")])
+
+
+def normalize_chars_path(col: Column | str) -> Column:
+    """F5 for category_path: ``%``→`` Pct``, ``&``→`` and ``,
+    ``(plus)``→``+`` (I2B2_LOAD_CLINICAL_DATA.sql:441)."""
+    return _replace_chain(
+        _c(col), [("%", " Pct"), ("&", " and "), ("(plus)", "+")]
+    )
+
+
+def normalize_chars(col: Column | str) -> Column:
+    """F5 full chain (= the data_label replace set). Kept as the
+    generic entry point; use the per-column variants for reference
+    parity (I2B2_LOAD_CLINICAL_DATA.sql:437-442)."""
+    return normalize_chars_label(col)
 
 
 def normalize_whitespace(col: Column | str) -> Column:
-    """F6: trim, collapse runs of spaces, `` ,``→``,``, strip trailing
-    comma (I2B2_LOAD_CLINICAL_DATA.sql:456-461)."""
-    c = F.trim(_c(col))
-    c = F.regexp_replace(c, "  +", " ")
-    c = F.regexp_replace(c, " ,", ",")
-    c = F.regexp_replace(c, ",$", "")
-    return c
+    """F6 exactly as the reference
+    (I2B2_LOAD_CLINICAL_DATA.sql:456-461):
+    ``trim(trailing ',' from trim(replace(replace(x,'  ',' '),' ,',',')))``
+    — note the SINGLE-PASS double-space replace (a run of 4 spaces
+    becomes 2, not 1), then space-comma fix, trim, strip ALL trailing
+    commas."""
+    c = F.replace(_c(col), F.lit("  "), F.lit(" "))
+    c = F.replace(c, F.lit(" ,"), F.lit(","))
+    c = F.trim(c)
+    return F.regexp_replace(c, ",+$", "")

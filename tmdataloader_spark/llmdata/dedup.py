@@ -137,6 +137,58 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard ≥ threshold pairs via
+    shingle-explode + equi-join (candidate pairs only, no cross join).
+
+    ``max_df`` is the skew guard: shingles appearing in more than
+    ``max_df`` documents are dropped from BOTH the candidate join and
+    the per-document shingle sets (standard stop-shingle practice — a
+    shingle in k docs emits k² join rows, so one hot stop-phrase is a
+    shuffle bomb at corpus scale). Jaccard is then computed over the
+    DF-filtered sets on both sides, which keeps the result exactly
+    reproducible by an oracle applying the same filter."""
+    sh = shingles(df, text_col, id_col, n=n)
+    ex = sh.select(id_col, "shingle")
+    if max_df is not None:
+        dfc = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ex = ex.join(dfc.filter(F.col("_df") > max_df), on="shingle", how="left_anti")
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ex = ex.join(sizes, on=id_col)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over whitespace tokens (md5-derived token
     hashes): bit b of the signature is the sign of the sum of
@@ -208,39 +260,75 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via NumPy block matmul: the
-    corpus matrix is broadcast once; each Arrow batch of rows computes
-    a (batch × corpus) similarity block. O(n²) compares but at BLAS
-    speed, no shuffle; for corpora beyond ~1M rows switch to the LSH
-    bucketing in ``similarity.lsh_ann``."""
+    """Embedding-cosine near-dup pairs ≥ threshold — EXACT all-pairs
+    semantics via a distributed block-pair matmul.
+
+    100 TB shape: rows are hash-split into ``num_blocks`` blocks; every
+    unordered block pair (i ≤ j) becomes one cogroup whose two sides
+    are the two blocks; each task runs one NumPy matmul over its
+    (n/B × n/B) tile. Replication is ×(B+1) per row — bounded and
+    chosen by ``num_blocks`` — with NO driver-side collect or
+    broadcast of the corpus; size B so a tile fits executor memory
+    (B ≈ n·d·8 / tile_budget). Exact all-pairs is inherently O(n²)
+    compares; for approximate-but-linear near-dup at extreme scale use
+    the LSH bucketing in ``similarity.lsh_ann`` instead."""
     import numpy as np
+    import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "ba int, bb int",
+    )
+    tagged = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int").alias("blk"),
+    )
+    left = (
+        tagged.alias("tl")
+        .join(F.broadcast(pairs.alias("pl")), F.col("tl.blk") == F.col("pl.ba"))
+        .select("pl.ba", "pl.bb", "tl.vid", "tl.vec")
+    )
+    # distinct column names on the right side keep the cogroup's two
+    # children free of shared attribute ids (self-join ambiguity)
+    right = (
+        tagged.alias("tr")
+        .join(F.broadcast(pairs.alias("pr")), F.col("tr.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("tr.vid").alias("rvid"),
+            F.col("tr.vec").alias("rvec"),
+        )
+    )
 
-    def block(it):
-        import pandas as pd
+    def tile(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "cosine_sim"])
+        lm = np.array(list(lpdf["vec"]), dtype=np.float64)
+        rm = np.array(list(rpdf["rvec"]), dtype=np.float64)
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        li, ri = np.nonzero(sims >= threshold)
+        lids = lpdf["vid"].to_numpy()[li]
+        rids = rpdf["rvid"].to_numpy()[ri]
+        keep = lids != rids
+        if key[0] == key[1]:
+            # same block on both sides: each unordered pair appears
+            # twice — keep the (a < b) orientation only
+            keep &= lids < rids
+        a = np.minimum(lids[keep], rids[keep])
+        b = np.maximum(lids[keep], rids[keep])
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "cosine_sim": np.round(sims[li, ri][keep], 6)}
+        )
 
-        for pdf in it:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.value.T
-            qa, ca = np.nonzero(sims >= threshold)
-            out = pd.DataFrame(
-                {
-                    "doc_a": pdf[id_col].to_numpy()[qa],
-                    "doc_b": b_ids.value[ca],
-                    "cosine_sim": np.round(sims[qa, ca], 6),
-                }
-            )
-            yield out[out.doc_a < out.doc_b]
-
-    return df.select(id_col, vec_col).mapInPandas(
-        block, schema="doc_a long, doc_b long, cosine_sim double"
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("rba", "rbb"))
+        .applyInPandas(tile, schema="doc_a long, doc_b long, cosine_sim double")
     )

@@ -49,7 +49,16 @@ def tag_value_types(
     tval_char='E' + nval_num; text rows store tval_char)."""
     group_cols = group_cols or GROUP_COLS
     types = infer_group_types(df, value_col, group_cols)
-    joined = df.join(F.broadcast(types), on=group_cols, how="left")
+    # null-safe keys: visit_name is commonly NULL (especially after
+    # suppress_visit_names) and plain equality would silently drop the
+    # type for those groups — same fix as plans/clinical.py infer_types
+    cond = None
+    for c in group_cols:
+        clause = df[c].eqNullSafe(types[c])
+        cond = clause if cond is None else (cond & clause)
+    joined = df.join(F.broadcast(types), on=cond, how="left")
+    for c in group_cols:
+        joined = joined.drop(types[c])
     is_num = F.col("valtype_cd") == "N"
     return joined.withColumn(
         "tval_char", F.when(is_num, F.lit("E")).otherwise(F.col(value_col))

@@ -85,13 +85,30 @@ def derive_work_columns(df: DataFrame, trial_id: str) -> DataFrame:
 
 
 def cleanse(df: DataFrame, always_set_visit_name: bool = False) -> DataFrame:
-    """Stage 2 (:238-541): F1–F9 in one projection + visit-name
-    suppression + label-vs-tail chop (on both category_cd and
-    category_path, :381-393)."""
-    df = cleansing.cleanse_clinical(df)
-    df = cleansing.suppress_visit_names(
-        df, always_set_visit_name=always_set_visit_name
+    """Stage 2 (:238-541) in the reference's exact statement order:
+    F2 pipes + F3 parens on data_value (:259-305), F4 label pipes
+    (:322-324), single-visit suppression on the tag-NORMALIZED category
+    while tag values are still embedded (:344-351), tag strip
+    (:373-375), F8 label-vs-tail chop (:381-393), F5 per-column char
+    sets (:437-442), F6 whitespace (:456-461), terminator-path nulling
+    (:478-490), visit=label / visit=value (:495-541)."""
+    from tmdataloader_spark.functions.values import (
+        normalize_chars_category,
+        normalize_chars_label,
+        normalize_chars_path,
+        normalize_chars_value,
+        normalize_whitespace,
     )
+
+    df = df.withColumn(
+        "data_value", cleansing.fix_parens(cleansing.fix_pipes(F.col("data_value")))
+    ).withColumn("data_label", cleansing.label_pipe_to_comma(F.col("data_label")))
+    if not always_set_visit_name:
+        df = cleansing.suppress_single_visit(df)
+    # tag-marker strip on category_cd (:373-375)
+    cat = F.regexp_replace(F.col("category_cd"), TAG_BRACED, "$1")
+    cat = F.regexp_replace(cat, TAG_BARE, "")
+    df = df.withColumn("category_cd", cat)
     # F8: chop the doubled label off BOTH path and category_cd
     last_path = F.upper(F.element_at(F.split(F.col("category_path"), "\\\\"), -1))
     dup = (F.col("data_label").isNotNull()) & (last_path == F.upper(F.col("data_label")))
@@ -106,10 +123,20 @@ def cleanse(df: DataFrame, always_set_visit_name: bool = False) -> DataFrame:
             F.col("category_cd")
         ),
     )
-    # tag-marker strip on category_cd (:373-375)
-    cat = F.regexp_replace(F.col("category_cd"), TAG_BRACED, "$1")
-    cat = F.regexp_replace(cat, TAG_BARE, "")
-    return df.withColumn("category_cd", cat)
+    # F5 per-column char sets + F6 whitespace (label/value/visit only)
+    df = (
+        df.withColumn(
+            "data_label", normalize_whitespace(normalize_chars_label(F.col("data_label")))
+        )
+        .withColumn(
+            "data_value", normalize_whitespace(normalize_chars_value(F.col("data_value")))
+        )
+        .withColumn("category_cd", normalize_chars_category(F.col("category_cd")))
+        .withColumn("category_path", normalize_chars_path(F.col("category_path")))
+        .withColumn("visit_name", normalize_whitespace(F.col("visit_name")))
+    )
+    df = cleansing.suppress_terminated_path(df)
+    return cleansing.suppress_visit_names(df, always_set_visit_name=True)
 
 
 def infer_types(df: DataFrame) -> DataFrame:
