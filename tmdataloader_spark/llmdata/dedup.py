@@ -28,12 +28,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row work: a small corpus
+    parquet arrives as ONE input split, which would serialize the
+    string/NumPy stages onto a single core. The shuffle moves only the
+    raw rows (cheap) and buys full-cluster parallelism."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (Scala-side NGram)."""
     from pyspark.ml.feature import NGram
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
-    dt = df.select(id_col, toks.alias("_toks"))
+    dt = _spread(df, id_col).select(id_col, toks.alias("_toks"))
     return (
         NGram(n=n, inputCol="_toks", outputCol="_sh")
         .transform(dt)
@@ -155,13 +163,40 @@ def ngram_jaccard_pairs(
     shuffle bomb at corpus scale). Jaccard is then computed over the
     DF-filtered sets on both sides, which keeps the result exactly
     reproducible by an oracle applying the same filter."""
-    sh = shingles(df, text_col, id_col, n=n)
-    ex = sh.select(id_col, "shingle")
+    from pyspark.ml.feature import NGram
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    sets = (
+        NGram(n=n, inputCol="_toks", outputCol="_sh")
+        .transform(_spread(df, id_col).select(id_col, toks.alias("_toks")))
+        .select(id_col, F.array_distinct("_sh").alias("shingle_set"))
+    )
     if max_df is not None:
-        dfc = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
-        ex = ex.join(dfc.filter(F.col("_df") > max_df), on="shingle", how="left_anti")
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    ex = ex.join(sizes, on=id_col)
+        sets = sets.cache()
+        # Hot shingles are the Zipf tail above the DF cap — a bounded
+        # vocabulary of stop-phrases, safe to collect (the per-shingle
+        # DF agg is one map-side-combined shuffle of (shingle, count)).
+        hot = [
+            r[0]
+            for r in sets.select(F.explode("shingle_set").alias("s"))
+            .groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .collect()
+        ]
+        if hot:
+            sets = sets.select(
+                id_col,
+                F.array_except(
+                    F.col("shingle_set"), F.array(*[F.lit(s) for s in hot])
+                ).alias("shingle_set"),
+            )
+    # n_sh comes free from the array size — no extra shuffle
+    ex = sets.select(
+        id_col,
+        F.size("shingle_set").alias("n_sh"),
+        F.explode("shingle_set").alias("shingle"),
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -194,7 +229,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hashes): bit b of the signature is the sign of the sum of
     (±1 per token occurrence)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
-    ex = df.select(id_col, F.explode(toks).alias("tok")).withColumn(
+    ex = _spread(df, id_col).select(id_col, F.explode(toks).alias("tok")).withColumn(
         "h", _hash32(F.col("tok"), 0)
     )
     bit_sums = [

@@ -144,34 +144,6 @@ def int_hyperplanes(dim: int, nplanes: int) -> list[list[int]]:
 QUANT = 1000  # embedding quantization: floor(x * QUANT) — exact in IEEE double
 
 
-def lsh_bucket_exprs(vec_col, dim: int, nbits: int, ntables: int) -> list:
-    """One bucket expression per table: bit b of table t is the sign
-    of the integer dot product of the quantized vector with plane
-    t·nbits+b. All-integer arithmetic (< 2^53), so bucket keys are
-    engine-portable. Planes are embedded as array literals — Catalyst
-    constant-folds them; everything stays in whole-stage codegen."""
-    planes = int_hyperplanes(dim, nbits * ntables)
-    qv = F.transform(
-        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-        lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
-    )
-    buckets = []
-    for t in range(ntables):
-        bucket = F.lit(0).cast("long")
-        for b in range(nbits):
-            plane = F.array(*[F.lit(v).cast("long") for v in planes[t * nbits + b]])
-            dot = F.aggregate(
-                F.zip_with(qv, plane, lambda a, p: a * p),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        buckets.append(bucket)
-    return buckets
-
-
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -183,19 +155,49 @@ def lsh_buckets(
     """(id, tbl, bucket) — one narrow row per table per vector. The
     vector itself is NOT carried (no ×ntables duplication of the wide
     column); candidates are discovered on this narrow frame and
-    vectors re-joined by id afterwards."""
+    vectors re-joined by id afterwards.
+
+    Bucket math runs as one vectorized int64 matmul per Arrow batch —
+    ``floor(x·QUANT)`` quantization then sign of the integer dot with
+    each plane. Integer arithmetic (|dot| ≪ 2^53) is order-independent
+    and engine-portable, so the SQL oracle reproduces every bucket
+    bit-for-bit. (A pure-expression form with 64 plane literals was
+    measured ~10× slower: the generated code blows past JIT limits.)"""
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    exprs = lsh_bucket_exprs(vec_col, dim, nbits, ntables)
-    tb = F.array(
-        *[
-            F.struct(F.lit(t).cast("int").alias("tbl"), e.alias("bucket"))
-            for t, e in enumerate(exprs)
-        ]
+    planes = np.array(int_hyperplanes(dim, nbits * ntables), dtype=np.int64)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(it):
+        for pdf in it:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = np.floor(m * QUANT).astype(np.int64)
+            signs = (q @ b_planes.value.T) > 0  # (n, nbits*ntables)
+            out = []
+            for t in range(ntables):
+                bits = signs[:, t * nbits : (t + 1) * nbits]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col],
+                            "tbl": t,
+                            "bucket": (bits * weights).sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    # small corpus parquets arrive as one split — spread the matmul
+    # across cores (the shuffle moves only raw rows)
+    spread = df.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism, id_col
     )
-    return df.select(F.col(id_col).alias("vid"), F.explode(tb).alias("tb")).select(
-        "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    return spread.mapInPandas(bucketize, schema="vid long, tbl int, bucket long")
 
 
 def lsh_ann(
