@@ -599,6 +599,43 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vcf_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/S4: the VCF genotype-summary assembly
+    (etl/VCFDataProcessor.groovy:209-250) driven by synthetic GT
+    tokens derived from lineitem keys — variant / variant_format /
+    reference / allele columns exactly as the reference builds them."""
+    from tmdataloader_spark.sources.vcf import gt_summary_cols, variant_type_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    a1s = F.when(F.col("l_partkey") % 7 == 0, F.lit(".")).otherwise(
+        (F.col("l_orderkey") % 2).cast("string")
+    )
+    haploid = F.col("l_suppkey") % 5 == 0
+    sep = F.when(haploid, F.lit("")).otherwise(
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("|")).otherwise(F.lit("/"))
+    )
+    a2s = F.when(haploid, F.lit("")).otherwise(
+        F.when(F.col("l_orderkey") % 11 == 0, F.lit(".")).otherwise(
+            (F.col("l_partkey") % 2).cast("string")
+        )
+    )
+    ref = F.col("l_returnflag")
+    alts = F.when(F.col("l_orderkey") % 2 == 0, F.array(F.lit("C"))).otherwise(
+        F.array(F.lit("C"), F.lit("GG"))
+    )
+    variant, variant_format, reference, a1, a2 = gt_summary_cols(a1s, sep, a2s, ref, alts)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        variant.alias("variant"),
+        variant_format.alias("variant_format"),
+        variant_type_col(ref, alts).alias("variant_type"),
+        reference.alias("reference"),
+        a1.alias("allele1"),
+        a2.alias("allele2"),
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch tumbling-window rollup on the events stream table
     (hourly buckets — the batch twin of a streaming windowed agg)."""
@@ -666,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "vcf_genotypes": q_vcf_genotypes,
         "event_rollup": q_event_rollup,
     }
 
@@ -1174,6 +1212,42 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "vcf_genotypes": """
+            WITH g AS (
+              SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_partkey % 7 = 0 THEN '.'
+                     ELSE CAST(l_orderkey % 2 AS VARCHAR) END AS a1s,
+                CASE WHEN l_suppkey % 5 = 0 THEN ''
+                     WHEN l_linenumber % 2 = 0 THEN '|' ELSE '/' END AS sep,
+                CASE WHEN l_suppkey % 5 = 0 THEN ''
+                     WHEN l_orderkey % 11 = 0 THEN '.'
+                     ELSE CAST(l_partkey % 2 AS VARCHAR) END AS a2s,
+                l_returnflag AS ref,
+                CASE WHEN l_orderkey % 2 = 0 THEN ['C'] ELSE ['C', 'GG'] END AS alts
+              FROM lineitem
+            ), t AS (
+              SELECT *,
+                CASE WHEN regexp_matches(a1s, '^[0-9]+$') THEN CAST(a1s AS INT) END AS a1,
+                CASE WHEN regexp_matches(a2s, '^[0-9]+$') THEN CAST(a2s AS INT) END AS a2
+              FROM g
+            ), s AS (
+              SELECT *,
+                CASE WHEN a1s = '0' THEN ref WHEN a1 IS NOT NULL THEN alts[a1] ELSE '' END AS lv,
+                CASE WHEN a1s = '0' THEN 'R' WHEN a1 IS NOT NULL THEN 'V' ELSE '' END AS lf,
+                CASE WHEN a2s = '0' THEN ref WHEN a2 IS NOT NULL THEN alts[a2] ELSE '' END AS rv,
+                CASE WHEN a2s = '0' THEN 'R' WHEN a2 IS NOT NULL THEN 'V' ELSE '' END AS rf
+              FROM t
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN sep = '' THEN lv ELSE lv || sep || rv END AS variant,
+                   CASE WHEN sep = '' THEN lf ELSE lf || sep || rf END AS variant_format,
+                   CASE WHEN length(ref) = 1 AND len(alts) = 1 AND length(alts[1]) = 1
+                        THEN 'SNV' ELSE 'DIV' END AS variant_type,
+                   CASE WHEN sep = '' THEN a1s = '0'
+                        ELSE (a1 IS NULL OR a1 = 0) AND (a2 IS NULL OR a2 = 0) END AS reference,
+                   a1 AS allele1, a2 AS allele2
+            FROM s
+        """,
         "event_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -172,7 +172,7 @@ def subject_summary(entries: DataFrame, dataset_id: str, samples: list[str]) -> 
     """de_variant_subject_summary: one row per sample × probeset id
     for every line whose FORMAT carries GT
     (VCFDataProcessor.groovy:152-161, 200-250)."""
-    gt_idx = F.array_position(F.split(F.col("format"), ":", -1), "GT")
+    gt_idx = F.array_position(F.split(F.col("format"), ":", -1), "GT").cast("int")
     alts = F.split(F.col("alt"), ",", -1)
     samples_arr = F.array(*[F.lit(s) for s in samples])
     ex = (
