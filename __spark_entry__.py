@@ -599,6 +599,30 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10a/J9: the UPDATE merge-mode fact-deletion scope
+    (I2B2_LOAD_CLINICAL_DATA.sql:1124-1166) — facts of updated
+    patients deleted by key anti-join, biomarker concepts immune."""
+    from tmdataloader_spark.plans.merge import update_scope
+
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        F.lit("T1").alias("modifier_cd"),
+        F.col("o_custkey").alias("patient_num"),
+        F.col("o_orderpriority").alias("concept_cd"),
+        F.col("o_orderstatus").alias("valtype_cd"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("nval_num"),
+        F.col("o_orderkey").alias("fact_id"),
+    )
+    updated = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("patient_num"))
+    )
+    biomarkers = spark.createDataFrame([("1-URGENT",)], "concept_cd string")
+    return update_scope(facts, "T1", updated, biomarkers)
+
+
 def q_vcf_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3/S4: the VCF genotype-summary assembly
     (etl/VCFDataProcessor.groovy:209-250) driven by synthetic GT
@@ -704,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "vcf_genotypes": q_vcf_genotypes,
+        "merge_update": q_merge_update,
         "event_rollup": q_event_rollup,
     }
 
@@ -1212,6 +1237,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "merge_update": """
+            WITH facts AS (
+              SELECT 'T1' AS modifier_cd, o_custkey AS patient_num,
+                     o_orderpriority AS concept_cd, o_orderstatus AS valtype_cd,
+                     round(CAST(o_totalprice AS DOUBLE), 2) AS nval_num,
+                     o_orderkey AS fact_id
+              FROM orders
+            ), upd AS (
+              SELECT DISTINCT c_custkey AS patient_num FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+            ), doomed AS (
+              SELECT DISTINCT f.modifier_cd, f.patient_num, f.concept_cd
+              FROM facts f JOIN upd USING (patient_num)
+              WHERE f.modifier_cd = 'T1' AND f.concept_cd <> '1-URGENT'
+            )
+            SELECT f.modifier_cd, f.patient_num, f.concept_cd, f.valtype_cd,
+                   f.nval_num, f.fact_id
+            FROM facts f
+            ANTI JOIN doomed d
+              ON f.modifier_cd = d.modifier_cd
+             AND f.patient_num = d.patient_num
+             AND f.concept_cd = d.concept_cd
+        """,
         "vcf_genotypes": """
             WITH g AS (
               SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,180 @@
+r"""Merge-mode e2e on the reference's merge fixtures, mirroring
+ClinicalDataProcessorTest.groovy:193-350 ('it should load study with
+REPLACE/UPDATE/UPDATE VARIABLES/APPEND merge mode') — DataFrames only.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.operators.dedup import LoadValidationError
+from tmdataloader_spark.plans.clinical import load_clinical
+from tmdataloader_spark.plans.merge import MergeMode, merge_clinical_load
+from tmdataloader_spark.sources.mapping import melt_clinical_study
+from tmdataloader_spark.sources.tsv import read_head_meta
+
+BASE = (
+    "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload/"
+    "Test Study_GSE0_Mapping_File.txt"
+)
+MERGE_DIR = "/root/reference/fixtures/Test Studies For Merge"
+TOP = "\\Test Studies\\Test Study\\"
+ROOT = TOP
+
+
+def load(spark, mapping_path, trial="GSE0", top=TOP):
+    return load_clinical(spark, melt_clinical_study(spark, mapping_path), trial, top)
+
+
+def merge_with(spark, base_result, subdir, trial="GSE0", top=TOP,
+               study_dir="Test Study_GSE0"):
+    mapping = (
+        f"{MERGE_DIR}/{subdir}/{study_dir}/ClinicalDataToUpload/"
+        f"{study_dir.rsplit('_', 1)[-1] and study_dir}_Mapping_File.txt"
+    )
+    mapping = (
+        f"{MERGE_DIR}/{subdir}/{study_dir}/ClinicalDataToUpload/"
+        f"{study_dir}_Mapping_File.txt"
+    )
+    mode = MergeMode.parse(read_head_meta(mapping).get("MERGE_MODE"))
+    incoming = load(spark, mapping, trial, top)
+    return merge_clinical_load(base_result, incoming, mode, trial, top), mode
+
+
+def patient_count(result, path):
+    rows = result.concept_counts.filter(F.col("concept_path") == path).collect()
+    return rows[0]["patient_count"] if rows else 0
+
+
+def fact_value(result, path, subj):
+    rows = (
+        result.observation_fact.filter(
+            (F.col("concept_path") == path)
+            & F.col("sourcesystem_cd").isNotNull()
+        )
+        .join(
+            result.patient_dimension.filter(
+                F.col("sourcesystem_cd").endswith(":" + subj)
+            ).select("patient_num"),
+            on="patient_num",
+        )
+        .collect()
+    )
+    assert rows, f"no fact at {path} for {subj}"
+    return rows[0]["nval_num"]
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return load(spark, BASE)
+
+
+def test_replace_mode(spark, base):
+    demographic = ROOT + "Subjects\\Demographics\\"
+    assert patient_count(base, demographic) == 9
+    merged, mode = merge_with(spark, base, "Replace")
+    assert mode is MergeMode.REPLACE
+    assert patient_count(merged, demographic) == 1
+
+
+def test_update_mode(spark, base):
+    male = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Male\\"
+    female = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Female\\"
+    language = ROOT + "Subjects\\Demographics\\Language\\"
+    age = ROOT + "Subjects\\Demographics\\Age (AGE)\\"
+    assessment = ROOT + "Subjects\\Demographics\\Assessment Date\\"
+    biomarker = (
+        ROOT + "Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\AA mutation\\"
+        "ELREA746del\\Variant Type\\DEL\\"
+    )
+    assert patient_count(base, male) == 2
+    assert patient_count(base, female) == 5
+    assert patient_count(base, language) == 3
+    assert patient_count(base, assessment + "09/15/2014\\") > 0
+    assert fact_value(base, age, "HCC2935") == 20
+    assert patient_count(base, biomarker) == 3
+
+    merged, mode = merge_with(spark, base, "Update")
+    assert mode is MergeMode.UPDATE
+    assert patient_count(merged, male) == 3
+    assert patient_count(merged, female) == 4
+    assert patient_count(merged, language) == 4
+    assert patient_count(merged, assessment + "09/15/2015\\") > 0
+    assert fact_value(merged, age, "HCC2935") == 21
+    assert patient_count(merged, biomarker) == 2
+
+
+def test_update_variables_mode(spark, base):
+    male = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Male\\"
+    female = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Female\\"
+    language = ROOT + "Subjects\\Demographics\\Language\\"
+    age = ROOT + "Subjects\\Demographics\\Age (AGE)\\"
+    assessment = ROOT + "Subjects\\Demographics\\Assessment Date\\"
+    biomarker = (
+        ROOT + "Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\AA mutation\\"
+        "ELREA746del\\Variant Type\\DEL\\"
+    )
+    merged, mode = merge_with(spark, base, "UpdateVariables")
+    assert mode is MergeMode.UPDATE_VARIABLES
+    assert patient_count(merged, male) == 3
+    assert patient_count(merged, female) == 4
+    assert patient_count(merged, language) == 4
+    # unlike UPDATE, untouched variables keep their old facts
+    assert patient_count(merged, assessment + "09/15/2014\\") > 0
+    assert fact_value(merged, age, "HCC2935") == 21
+    assert patient_count(merged, biomarker) == 3
+
+
+def test_update_variables_single_visit_name(spark):
+    top = "\\Test Studies\\Test Study With Single Visit Name\\"
+    base_mapping = (
+        "/root/reference/fixtures/Test Studies/"
+        "Test Study With Single Visit Name_GSE0SINGLEVN/ClinicalDataToUpload/"
+        "Test Study With Single Visit Name_GSE0SINGLEVN_Mapping_File.txt"
+    )
+    female = top + "Subjects\\Demographics\\Female\\French\\Sex (SEX)\\"
+    male = top + "Subjects\\Demographics\\Male\\French\\Sex (SEX)\\"
+    base = load(spark, base_mapping, "GSE0SINGLEVN", top)
+    assert patient_count(base, female) == 2
+    merged, mode = merge_with(
+        spark, base, "UpdateVariables", "GSE0SINGLEVN", top,
+        study_dir="Test Study With Single Visit Name_GSE0SINGLEVN",
+    )
+    assert mode is MergeMode.UPDATE_VARIABLES
+    assert patient_count(merged, female) == 1
+    assert patient_count(merged, male) == 1
+
+
+def test_update_variables_duplicate_path_aborts(spark):
+    top = "\\Test Studies\\Test Study With Duplicate Category Path\\"
+    study_dir = "Test Study With Duplicate Category Path_GSE0WDCP"
+    first = load(
+        spark,
+        f"{MERGE_DIR}/First Load/{study_dir}/ClinicalDataToUpload/{study_dir}_Mapping_File.txt",
+        "GSE0WDCP",
+        top,
+    )
+    with pytest.raises(LoadValidationError, match="several categorical value"):
+        merge_with(
+            spark, first, "UpdateVariables", "GSE0WDCP", top, study_dir=study_dir
+        )
+
+
+def test_append_mode(spark, base):
+    male = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Male\\"
+    female = ROOT + "Subjects\\Demographics\\Sex (SEX)\\Female\\"
+    language = ROOT + "Subjects\\Demographics\\Language\\"
+    age = ROOT + "Subjects\\Demographics\\Age (AGE)\\"
+    another_age = ROOT + "Ages\\Demographics\\Age (AGE)\\"
+    assessment = ROOT + "Subjects\\Demographics\\Assessment Date\\"
+    assert fact_value(base, another_age, "HCC2935") == 20
+
+    merged, mode = merge_with(spark, base, "Append")
+    assert mode is MergeMode.APPEND
+    assert patient_count(merged, male) == 3
+    assert patient_count(merged, female) == 5
+    assert patient_count(merged, language) == 4
+    assert patient_count(merged, assessment + "09/15/2014\\") > 0
+    assert patient_count(merged, assessment + "09/15/2015\\") > 0
+    assert fact_value(merged, age, "HCC2935") == 21
+    assert fact_value(merged, another_age, "HCC2935") == 20
