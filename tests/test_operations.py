@@ -1,0 +1,170 @@
+r"""Move/delete operations e2e over a loaded fixture study, mirroring
+MoveStudyOperationTest.groovy (408 LoC) and DeleteOperationTestCase
+assertions — on warehouse DataFrames."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.operators.dedup import LoadValidationError
+from tmdataloader_spark.plans.clinical import load_clinical
+from tmdataloader_spark.plans.operations import (
+    StudyWarehouse,
+    delete_all_data,
+    move_study_by_path,
+    normalize_path,
+)
+from tmdataloader_spark.sources.mapping import melt_clinical_study
+
+BASE = (
+    "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload/"
+    "Test Study_GSE0_Mapping_File.txt"
+)
+ROOT = "Test Studies Move Test"
+ORIGINAL = f"\\{ROOT}\\Test Study\\"
+
+
+@pytest.fixture(scope="module")
+def wh(spark):
+    res = load_clinical(
+        spark, melt_clinical_study(spark, BASE), "GSE0", ORIGINAL
+    )
+    table_access = (
+        res.i2b2.filter(F.col("c_hlevel") == 0)
+        .select("c_fullname", "c_name")
+        .distinct()
+    )
+    return StudyWarehouse(
+        i2b2=res.i2b2,
+        concept_dimension=res.concept_dimension,
+        observation_fact=res.observation_fact,
+        patient_dimension=res.patient_dimension,
+        concept_counts=res.concept_counts,
+        table_access=table_access,
+        deapp={"de_subject_sample_mapping": res.observation_fact.sparkSession.createDataFrame(
+            [("OTHER", "S1")], "trial_name string, sample_cd string")},
+        variants={},
+    )
+
+
+def paths(df, col):
+    return {r[0] for r in df.select(col).distinct().collect()}
+
+
+def count_at(wh_, path):
+    rows = wh_.concept_counts.filter(F.col("concept_path") == path).collect()
+    return rows[0]["patient_count"] if rows else 0
+
+
+def test_normalize_path():
+    assert normalize_path("a\\b") == "\\a\\b\\"
+    assert normalize_path("\\a\\b\\") == "\\a\\b\\"
+    assert normalize_path(" \\a\\\\b ") == "\\a\\b\\"
+
+
+def test_move_in_one_root(wh):
+    new = f"\\{ROOT}\\Test Study Update\\"
+    out = move_study_by_path(wh, ORIGINAL, new)
+    i2b2_paths = paths(out.i2b2, "c_fullname")
+    cd_paths = paths(out.concept_dimension, "concept_path")
+    assert new in i2b2_paths and new in cd_paths
+    assert not any(p.startswith(ORIGINAL) for p in i2b2_paths)
+    assert not any(p.startswith(ORIGINAL) for p in cd_paths)
+    # c_name of the moved node renamed to the new leaf name
+    name = out.i2b2.filter(F.col("c_fullname") == new).collect()[0]["c_name"]
+    assert name == "Test Study Update"
+    assert count_at(out, new) == 9
+
+
+def test_move_creates_new_root(wh):
+    new = "\\Test Studies Move Test Update\\Test Study Update\\"
+    out = move_study_by_path(wh, ORIGINAL, new)
+    new_root = "\\Test Studies Move Test Update\\"
+    old_root = f"\\{ROOT}\\"
+    assert new_root in paths(out.i2b2, "c_fullname")
+    assert new_root in paths(out.table_access, "c_fullname")
+    # old root had no other children -> removed everywhere
+    assert old_root not in paths(out.i2b2, "c_fullname")
+    assert old_root not in paths(out.table_access, "c_fullname")
+
+
+def test_move_creates_new_level_and_counts(wh):
+    new = f"\\{ROOT}\\New Level\\Test Study\\"
+    out = move_study_by_path(wh, ORIGINAL, new)
+    level = f"\\{ROOT}\\New Level\\"
+    assert level in paths(out.i2b2, "c_fullname")
+    assert level in paths(out.concept_dimension, "concept_path")
+    assert count_at(out, new) == 9
+    # hlevels recomputed along the deeper path
+    levels = {
+        r["c_fullname"]: r["c_hlevel"]
+        for r in out.i2b2.filter(
+            F.col("c_fullname").isin([f"\\{ROOT}\\", level, new])
+        ).collect()
+    }
+    assert levels == {f"\\{ROOT}\\": 0, level: 1, new: 2}
+
+
+def test_move_deletes_empty_level(wh):
+    mid = f"\\{ROOT}\\New Level\\Test Study\\"
+    short = f"\\{ROOT}\\Test Study\\Sub\\"
+    out1 = move_study_by_path(wh, ORIGINAL, mid)
+    out2 = move_study_by_path(out1, mid, f"\\{ROOT}\\Test Study Back\\")
+    gone = f"\\{ROOT}\\New Level\\"
+    assert gone not in paths(out2.i2b2, "c_fullname")
+    assert gone not in paths(out2.concept_dimension, "concept_path")
+    assert not any(
+        p.startswith(gone) for p in paths(out2.concept_counts, "concept_path")
+    )
+    _ = short
+
+
+def test_move_without_trailing_slash(wh):
+    out = move_study_by_path(
+        wh, ORIGINAL[:-1], f"\\{ROOT}\\Test Study Wo Slash"
+    )
+    assert f"\\{ROOT}\\Test Study Wo Slash\\" in paths(out.i2b2, "c_fullname")
+
+
+def test_move_validations(wh):
+    with pytest.raises(LoadValidationError, match="different old and new"):
+        move_study_by_path(wh, ORIGINAL, ORIGINAL)
+    with pytest.raises(LoadValidationError, match="exists study path"):
+        move_study_by_path(wh, f"\\{ROOT}\\No Such Study\\", f"\\{ROOT}\\X\\")
+    with pytest.raises(LoadValidationError, match="root node"):
+        move_study_by_path(wh, ORIGINAL, f"\\{ROOT}\\")
+    # target exists: the study's own demographics folder
+    with pytest.raises(LoadValidationError, match="already exists"):
+        move_study_by_path(
+            wh, ORIGINAL + "Subjects\\", ORIGINAL + "Biomarker Data\\"
+        )
+
+
+def test_move_subfolder_within_study(wh):
+    # sub-node move must stay inside the study root
+    with pytest.raises(LoadValidationError, match="inside of study root"):
+        move_study_by_path(wh, ORIGINAL + "Subjects\\", f"\\{ROOT}\\Elsewhere\\")
+    out = move_study_by_path(
+        wh, ORIGINAL + "Subjects\\", ORIGINAL + "Participants\\"
+    )
+    assert ORIGINAL + "Participants\\Demographics\\" in paths(out.i2b2, "c_fullname")
+
+
+def test_delete_all_data(wh):
+    out = delete_all_data(wh, trial_id="GSE0", path=ORIGINAL)
+    assert not any(
+        p.startswith(ORIGINAL) for p in paths(out.i2b2, "c_fullname")
+    )
+    assert out.observation_fact.count() == 0
+    assert out.patient_dimension.count() == 0
+    assert not any(
+        p.startswith(ORIGINAL)
+        for p in paths(out.concept_dimension, "concept_path")
+    )
+    # unrelated deapp trials survive
+    assert out.deapp["de_subject_sample_mapping"].count() == 1
+
+
+def test_delete_by_path_resolves_trial(wh):
+    out = delete_all_data(wh, path=ORIGINAL)
+    assert out.observation_fact.count() == 0

@@ -292,7 +292,12 @@ def load_clinical(
     i2b2 = (
         all_nodes.join(leaf_flags, on="path", how="left")
         .withColumn("c_basecode", F.sha2(F.col("path"), 256).substr(1, 16))
-        .withColumn("sourcesystem_cd", F.lit(trial_id))
+        # the shared root node (hlevel 0) belongs to no study — it is
+        # added by I2B2_ADD_ROOT_NODE without a sourcesystem_cd
+        .withColumn(
+            "sourcesystem_cd",
+            F.when(F.col("hlevel") > 0, F.lit(trial_id)),
+        )
         .select(
             F.col("path").alias("c_fullname"),
             F.col("hlevel").alias("c_hlevel"),
