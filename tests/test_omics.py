@@ -1,0 +1,113 @@
+"""Parameterized omics (HDD) loads over the reference fixtures —
+RNASeq / protein / metabolomics / miRNA-qPCR instantiations of the
+shared kernel (SURVEY.md §2.10d), each checked against a pure-pandas
+z-score oracle."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from tmdataloader_spark.plans.hdd import OMICS_TYPES, load_hdd
+
+FIX = "/root/reference/fixtures/Test Studies"
+TOP = "\\Test Studies\\Omics Study\\"
+
+CASES = {
+    "rnaseq": (
+        f"{FIX}/Test RNASeq Study/RNASeqDataToUpload",
+        "GSE_A_37424",
+        "Test Study_GSE_A_37424_RNASeq_Data_R.txt",
+        0,
+        1,
+    ),
+    "protein": (
+        f"{FIX}/Test Protein Study_GSE37425/ProteinDataToUpload",
+        "GSE37425",
+        "Test Study_GSE37425_PROTEIN_Data_R.txt",
+        0,
+        2,
+    ),
+    "metabolomics": (
+        f"{FIX}/Test Metabolomics Study/MetabolomicsDataToUpload",
+        "GSE37427",
+        "Test Study_GSE37427_METABOLOMICS_Data_R.txt",
+        1,
+        12,
+    ),
+    "mirna_qpcr": (
+        f"{FIX}/Test MirnaQpcr Study/MIRNA_QPCRDataToUpload",
+        "TEST005",
+        "Test Study_TEST005_MIRNA_Data_R.txt",
+        0,
+        1,
+    ),
+}
+
+
+def _oracle(data_path, probe_idx, first_sample_idx, platform_probes):
+    wide = pd.read_csv(data_path, sep="\t", dtype=str)
+    probe_col = wide.columns[probe_idx]
+    samples = list(wide.columns[first_sample_idx:])
+    long = wide.melt(
+        id_vars=[probe_col], value_vars=samples, var_name="sample", value_name="x"
+    )
+    long = long[long[probe_col].isin(platform_probes)]
+    long = long[pd.to_numeric(long.x, errors="coerce").notna()]
+    long["x"] = long.x.astype(float)
+    # collapse duplicate probes per sample to their mean (A4), then R:
+    # >0 filter, log2, per-probe median/std, clamp
+    long = (
+        long.groupby([probe_col, "sample"], as_index=False).x.mean()
+    )
+    long = long[long.x > 0]
+    long["log2"] = long.x.map(math.log2)
+    stats = long.groupby(probe_col).log2.agg(["median", "std"])
+    out = long.join(stats, on=probe_col)
+    out["z"] = ((out.log2 - out["median"]) / out["std"].where(out["std"] > 0)).clip(
+        -2.5, 2.5
+    )
+    out.loc[out["std"].isna() | (out["std"] == 0), "z"] = 0.0
+    return out, probe_col
+
+
+@pytest.mark.parametrize("omics", list(CASES))
+def test_omics_load_matches_oracle(spark, omics):
+    data_dir, trial, data_file, probe_idx, first_sample_idx = CASES[omics]
+    res = load_hdd(spark, data_dir, trial, TOP, omics)
+    assert res.platform.marker_type == OMICS_TYPES[omics].marker_type
+
+    got = res.data.toPandas()
+    assert (got.trial_name == trial).all()
+
+    probes = set(
+        r[0] for r in res.platform.annotation.select("probeset_id").distinct().collect()
+    )
+    oracle, probe_col = _oracle(
+        f"{data_dir}/{data_file}", probe_idx, first_sample_idx, probes
+    )
+    sm = res.sample_mapping.toPandas().set_index("sample_cd").assay_id
+    oracle = oracle.assign(assay_id=oracle["sample"].map(sm))
+    oracle = oracle[oracle.assay_id.notna()]
+    merged = got.merge(
+        oracle.rename(columns={probe_col: "probeset_id"}),
+        on=["probeset_id", "assay_id"],
+        how="outer",
+        indicator=True,
+    )
+    assert (merged._merge == "both").all(), merged[merged._merge != "both"].head()
+    assert (merged.zscore - merged.z).abs().max() < 1e-9
+
+
+@pytest.mark.parametrize("omics", ["protein", "metabolomics"])
+def test_omics_nodes_and_samples(spark, omics):
+    data_dir, trial, *_ = CASES[omics]
+    res = load_hdd(spark, data_dir, trial, TOP, omics)
+    sm = res.sample_mapping.toPandas()
+    assert sm.trial_name.unique().tolist() == [trial]
+    assert (sm.platform == OMICS_TYPES[omics].marker_type).all()
+    leaf_paths = {
+        r.c_fullname
+        for r in res.i2b2.filter("c_visualattributes = 'LAH'").collect()
+    }
+    assert all(p.startswith(TOP) for p in leaf_paths) and leaf_paths

@@ -40,10 +40,15 @@ def melt_expression_matrix(
     df: DataFrame,
     probe_col: str = "ID_REF",
     trial: str | None = None,
+    sample_cols: list[str] | None = None,
 ) -> DataFrame:
-    """R2: ``ID_REF × sample`` wide matrix → long
-    ``(trial, probeset_id, expr_id, intensity)``."""
-    sample_cols = [c for c in df.columns if c != probe_col]
+    """R2: ``probe × sample`` wide matrix → long
+    ``(trial, probeset_id, expr_id, intensity)``. ``sample_cols``
+    restricts the melt for formats with leading annotation columns
+    (metabolomics skips 12, protein skips 2 —
+    MetabolomicsDataProcessor.groovy:198-206)."""
+    if sample_cols is None:
+        sample_cols = [c for c in df.columns if c != probe_col]
     out = melt(
         df,
         id_cols=[probe_col],

@@ -53,6 +53,75 @@ class HDDLoadResult:
     i2b2: DataFrame  # ontology nodes incl. filled-in folders
     patient_dimension: DataFrame
     platform: GplPlatform
+    observation_fact: DataFrame | None = None  # per-sample facts
+
+
+def validate_sample_mapping(mapping: DataFrame, gpl_info: DataFrame | None = None,
+                            marker_type: str | None = None) -> None:
+    """The I2B2_LOAD_SAMPLES abort gates (:94-193): a sample mapped to
+    more than one platform aborts (different source_cd required), and
+    every platform must already exist in de_gpl_info with the right
+    marker type."""
+    multi = (
+        mapping.groupBy("sample_cd")
+        .agg(F.countDistinct("platform").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if multi:
+        raise LoadValidationError(
+            f"Multiple platforms for single sample {multi[0]['sample_cd']}"
+        )
+    if gpl_info is not None:
+        cond = F.upper(gpl_info["marker_type"]) == marker_type.upper() if marker_type else F.lit(True)
+        known = gpl_info.filter(cond).select("platform").distinct()
+        missing = (
+            mapping.select("platform")
+            .distinct()
+            .join(known, on="platform", how="left_anti")
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            raise LoadValidationError(
+                f"de_gpl_info entry missing for platform {missing[0]['platform']}"
+            )
+
+
+def upsert_sample_patients(samples: DataFrame, patient_dimension: DataFrame | None) -> DataFrame:
+    """Create patient_dimension records for subjects that only exist in
+    the sample mapping (I2B2_LOAD_SAMPLES.sql:211-260): sex 'Unknown',
+    no age/race, sourcesystem_cd = trial:[site:]subject."""
+    new = samples.select(
+        F.col("patient_id").alias("patient_num"),
+        F.lit("Unknown").alias("sex_cd"),
+        F.lit(None).cast("int").alias("age_in_years_num"),
+        F.lit(None).cast("string").alias("race_cd"),
+        "sourcesystem_cd",
+    ).distinct()
+    if patient_dimension is None:
+        return new
+    new = new.join(
+        patient_dimension.select("sourcesystem_cd"), on="sourcesystem_cd", how="left_anti"
+    )
+    return patient_dimension.unionByName(new.select(patient_dimension.columns))
+
+
+def sample_facts(samples: DataFrame) -> DataFrame:
+    """Per-sample observation_fact rows (I2B2_LOAD_SAMPLES.sql:839-887):
+    text facts 'E' at the sample concept."""
+    return samples.select(
+        F.col("patient_id").alias("patient_num"),
+        F.col("concept_code").alias("concept_cd"),
+        F.col("trial_name").alias("modifier_cd"),
+        F.lit("T").alias("valtype_cd"),
+        F.lit("E").alias("tval_char"),
+        F.lit(None).cast("double").alias("nval_num"),
+        F.col("trial_name").alias("sourcesystem_cd"),
+        F.col("sample_cd"),
+        F.col("concept_path"),
+    ).distinct()
 
 
 def read_subject_sample_mapping(
@@ -62,25 +131,35 @@ def read_subject_sample_mapping(
     .groovy:98-156): mandatory subject/sample/platform/category,
     TISSUETYPE defaulting, study id uppercased."""
     df = read_tsv(spark, path, header=True, comment="#")
-    cols = {c.upper().replace(" ", "_"): c for c in df.columns}
+    cols = {c.strip().upper().replace(" ", "_"): c for c in df.columns}
 
-    def get(name: str) -> F.Column:
-        c = cols.get(name)
-        return F.col(f"`{c}`").cast("string") if c else F.lit(None).cast("string")
+    def get(*names: str) -> F.Column:
+        """First matching header synonym — the fixture files use both
+        STUDY_ID/SAMPLE_ID/TISSUETYPE/ATTR1 and TRIAL_NAME/SAMPLE_CD/
+        TISSUE_TYPE/ATTRIBUTE_1 spellings (with stray spaces)."""
+        for name in names:
+            c = cols.get(name)
+            if c:
+                return F.trim(F.col(f"`{c}`").cast("string"))
+        return F.lit(None).cast("string")
 
     out = df.select(
-        F.upper(get("STUDY_ID")).alias("trial_name"),
+        F.upper(get("STUDY_ID", "TRIAL_NAME")).alias("trial_name"),
         get("SITE_ID").alias("site_id"),
         get("SUBJECT_ID").alias("subject_id"),
-        get("SAMPLE_ID").alias("sample_cd"),
+        get("SAMPLE_ID", "SAMPLE_CD").alias("sample_cd"),
         get("PLATFORM").alias("platform"),
         F.when(
-            F.coalesce(get("TISSUETYPE"), F.lit("")) == "", F.lit(DEFAULT_TISSUE_TYPE)
-        ).otherwise(get("TISSUETYPE")).alias("tissue_type"),
-        get("ATTR1").alias("attribute_1"),
-        get("ATTR2").alias("attribute_2"),
+            F.coalesce(get("TISSUETYPE", "TISSUE_TYPE"), F.lit("")) == "",
+            F.lit(DEFAULT_TISSUE_TYPE),
+        ).otherwise(get("TISSUETYPE", "TISSUE_TYPE")).alias("tissue_type"),
+        get("ATTR1", "ATTRIBUTE_1").alias("attribute_1"),
+        get("ATTR2", "ATTRIBUTE_2").alias("attribute_2"),
         get("CATEGORY_CD").alias("category_cd"),
-        F.lit("STD").alias("source_cd"),
+        F.coalesce(
+            F.when(get("SOURCE_CD") == "", None).otherwise(get("SOURCE_CD")),
+            F.lit("STD"),
+        ).alias("source_cd"),
     )
     bad = out.filter(
         (F.coalesce(F.col("subject_id"), F.lit("")) == "")
@@ -177,7 +256,96 @@ def build_sample_mapping(
     )
 
 
-_DATA_TYPE_RE = re.compile(r"_Gene_Expression_Data_([RLTZ])", re.I)
+@dataclass
+class OmicsType:
+    """One row of the reference's processor registry
+    (DataProcessorFactory.groovy:5-24): the data-file pattern, the
+    de_gpl_info marker type, and the matrix layout (probe column index
+    + first sample column index; None = after the probe column)."""
+
+    name: str
+    data_file_re: re.Pattern
+    marker_type: str
+    probe_idx: int = 0
+    first_sample_idx: int | None = None
+    required_header: tuple[int, str] | None = None
+
+
+#: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
+OMICS_TYPES = {
+    "expression": OmicsType(
+        "expression",
+        re.compile(r".+_Gene_Expression_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "Gene Expression",
+        required_header=(0, "ID_REF"),
+    ),
+    "rnaseq": OmicsType(
+        "rnaseq",
+        re.compile(r".+_RNASeq_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "RNASEQ",
+    ),
+    "protein": OmicsType(
+        "protein",
+        re.compile(r".+_PROTEIN_Data_([RLT])(_GPL\d+)*\.txt$", re.I),
+        "PROTEOMICS",
+        # header[0]=='PEPTIDE' ⇒ samples start at col 2 (skipping the
+        # Majority-protein-IDs column), else col 1
+        first_sample_idx=2,
+    ),
+    "metabolomics": OmicsType(
+        "metabolomics",
+        re.compile(r".+_METABOLOMICS_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "METABOLOMICS",
+        probe_idx=1,
+        first_sample_idx=12,  # MetabolomicsDataProcessor.groovy:201
+        required_header=(1, "BIOCHEMICAL"),
+    ),
+    "mirna_qpcr": OmicsType(
+        "mirna_qpcr",
+        re.compile(r".+_MIRNA_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "MIRNA_QPCR",
+        required_header=(0, "ID_REF"),
+    ),
+    "mirna_seq": OmicsType(
+        "mirna_seq",
+        re.compile(r".+_MIRNA_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "MIRNA_SEQ",
+        required_header=(0, "ID_REF"),
+    ),
+}
+
+_MAPPING_RE = re.compile(r".+_Subject_Sample_Mapping_File(_GPL\d+)*\.txt$", re.I)
+
+
+def read_omics_platform(
+    spark: SparkSession, path: str, platform_id: str, marker_type: str
+) -> GplPlatform:
+    """Non-GEX platform annotation (etl/platforms/*.groovy): the probe
+    id column is type-specific (Transcript ID / ID_REF / BIOCHEMICAL /
+    peptide); fall back to column 0. All other columns ride along as
+    the annotation payload."""
+    from tmdataloader_spark.sources.tsv import read_head_meta
+
+    meta = read_head_meta(path)
+    df = read_tsv(spark, path, header=True, comment="#")
+    probe_candidates = re.compile(
+        r"^(ID_REF|BIOCHEMICAL|PEPTIDE|TRANSCRIPT[\s_]*ID|PROBE[\s_]*ID)$", re.I
+    )
+    probe_col = next(
+        (c for c in df.columns if probe_candidates.match(c.strip())), df.columns[0]
+    )
+    ann = df.select(
+        F.lit(platform_id).alias("gpl_id"),
+        F.col(f"`{probe_col}`").cast("string").alias("probeset_id"),
+        *[F.col(f"`{c}`") for c in df.columns if c != probe_col],
+    )
+    return GplPlatform(
+        platform=platform_id,
+        title=meta.get("PLATFORM_TITLE", platform_id),
+        organism=meta.get("SPECIES", meta.get("ORGANISM", "Homo sapiens")),
+        marker_type=marker_type,
+        annotation=ann,
+    )
 
 
 def load_expression(
@@ -187,40 +355,69 @@ def load_expression(
     top_node: str,
     log_base: float = 2.0,
 ) -> HDDLoadResult:
-    """Full expression load of a study directory
-    (``ExpressionDataToUpload``): §3.3 end-to-end."""
+    """Expression load (``ExpressionDataToUpload``) — §3.3 end-to-end."""
+    return load_hdd(spark, data_dir, trial_id, top_node, "expression", log_base)
+
+
+def load_hdd(
+    spark: SparkSession,
+    data_dir: str | os.PathLike,
+    trial_id: str,
+    top_node: str,
+    omics: str = "expression",
+    log_base: float = 2.0,
+) -> HDDLoadResult:
+    """The parameterized HDD pipeline: one kernel instantiated per
+    omics type (the reference's six ~1100-LoC stored-procedure twins —
+    I2B2_PROCESS_MRNA/RNA/PROTEOMICS/METABOLOMICS/MIRNA/RBM)."""
+    ot = OMICS_TYPES[omics]
     data_dir = str(data_dir)
-    mapping_files = glob.glob(os.path.join(data_dir, "*Subject_Sample_Mapping_File.txt"))
+    entries = sorted(os.listdir(data_dir))
+    mapping_files = [
+        os.path.join(data_dir, f) for f in entries if _MAPPING_RE.match(f)
+    ]
     if not mapping_files:
         raise LoadValidationError(f"no subject-sample mapping file in {data_dir}")
     mapping = read_subject_sample_mapping(spark, mapping_files[0], trial_id)
 
     platforms = [r[0] for r in mapping.select("platform").distinct().collect()]
-    platform = read_gpl(
-        spark, os.path.join(data_dir, f"{platforms[0]}.txt"), platforms[0],
-        marker_type="Gene Expression",
-    )
+    platform_path = os.path.join(data_dir, f"{platforms[0]}.txt")
+    if ot.name == "expression":
+        platform = read_gpl(spark, platform_path, platforms[0], marker_type=ot.marker_type)
+    else:
+        platform = read_omics_platform(spark, platform_path, platforms[0], ot.marker_type)
 
     matrix_files = [
-        p
-        for p in glob.glob(os.path.join(data_dir, "*Gene_Expression_Data*.txt"))
-        if _DATA_TYPE_RE.search(os.path.basename(p))
+        os.path.join(data_dir, f) for f in entries if ot.data_file_re.match(f)
     ]
     if not matrix_files:
-        raise LoadValidationError(f"no expression matrix in {data_dir}")
-    data_type = _DATA_TYPE_RE.search(os.path.basename(matrix_files[0])).group(1).upper()
+        raise LoadValidationError(f"no {ot.name} matrix in {data_dir}")
+    data_type = ot.data_file_re.match(os.path.basename(matrix_files[0])).group(1).upper()
     if data_type == "T":  # Groovy forces T→Z (ExpressionDataProcessor.groovy:72-75)
         data_type = "Z"
 
     wide = read_tsv(spark, matrix_files[0], header=True, comment="#")
-    id_col = wide.columns[0]  # header must start ID_REF
-    melted = melt_expression_matrix(wide, probe_col=id_col, trial=trial_id.upper())
+    if ot.required_header is not None:
+        idx, expected = ot.required_header
+        if wide.columns[idx].strip().upper() != expected:
+            raise LoadValidationError(
+                f"Incorrect {ot.name} data file: expected {expected} at column {idx}"
+            )
+    id_col = wide.columns[ot.probe_idx]
+    first_sample = ot.first_sample_idx
+    if ot.name == "protein" and wide.columns[0].strip().upper() != "PEPTIDE":
+        first_sample = 1  # ProteinDataProcessor.groovy:190-191
+    sample_cols = (
+        wide.columns[first_sample:] if first_sample is not None else None
+    )
+    melted = melt_expression_matrix(
+        wide, probe_col=id_col, trial=trial_id.upper(), sample_cols=sample_cols
+    )
 
+    validate_sample_mapping(mapping)
     samples = build_sample_mapping(mapping, top_node, platform)
     nodes = build_hdd_nodes(mapping, top_node, platform.title)
-    patients = samples.select(
-        F.col("patient_id").alias("patient_num"), "sourcesystem_cd"
-    ).distinct()
+    patients = upsert_sample_patients(samples, None)
 
     # J2: tag with assay ids (broadcast: samples ≪ matrix cells) and
     # keep only probes known to the platform
@@ -254,6 +451,7 @@ def load_expression(
         i2b2=nodes,
         patient_dimension=patients,
         platform=platform,
+        observation_fact=sample_facts(samples),
     )
 
 
