@@ -1,0 +1,117 @@
+r"""Study-directory orchestration + audit + metadata e2e
+(DirectoryProcessor/StudyProcessor/AuditableJobRunner behavior,
+MetaDataProcessor on the fixture's MetaDataToUpload)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.plans.metadata import load_study_metadata, map_headers
+from tmdataloader_spark.plans.study import (
+    discover_studies,
+    is_study_dir,
+    load_study,
+)
+
+STUDY_DIR = "/root/reference/fixtures/Test Studies/Test Study_GSE0"
+GOLDEN_NODE = (
+    "\\Test Studies\\Test Study\\Biomarker Data\\Mutations\\"
+    "TST001 (Entrez ID: 1956)\\AA mutation\\"
+)
+
+
+def test_is_study_dir():
+    assert is_study_dir(STUDY_DIR)
+    assert not is_study_dir(STUDY_DIR + "/ClinicalDataToUpload")
+
+
+def test_discover_studies():
+    found = discover_studies("/root/reference/fixtures/Test Studies")
+    dirs = {d for d, _ in found}
+    assert STUDY_DIR in dirs
+    assert any("Test Protein Study" in d for d in dirs)
+
+
+@pytest.fixture(scope="module")
+def loaded(spark):
+    return load_study(spark, STUDY_DIR, "\\Test Studies")
+
+
+def test_manifest_routing(loaded):
+    status = {m[0]: m[2] for m in loaded.manifest}
+    assert status["Clinical"] == "DONE"
+    assert status["Expression"] == "DONE"
+    assert status["VCF"] == "DONE"
+    assert status["Meta"] == "DONE"
+    # recognized but unimplemented types are SKIPPED, not silently lost
+    assert status["SNP"] == "SKIPPED"
+    assert status["ACGH"] == "SKIPPED"
+    assert loaded.succeeded
+
+
+def test_clinical_result_golden(loaded):
+    counts = loaded.results["Clinical"].concept_counts
+    row = counts.filter(F.col("concept_path") == GOLDEN_NODE).collect()
+    assert row and row[0]["patient_count"] == 9
+
+
+def test_vcf_and_expression_results(loaded):
+    assert loaded.results["VCF"].datasets[0].dataset_id == "GSE0:VCFTEST"
+    assert loaded.results["Expression"].data.count() > 0
+
+
+def test_audit_frames(loaded, spark):
+    audit = loaded.audit
+    master = audit.job_master(spark).collect()
+    assert {r["status"] for r in master} == {"SUCCESS"}
+    steps = audit.job_audit(spark).orderBy("job_id", "seq_id").collect()
+    assert steps[0]["seq_id"] == 1
+    per_job = {}
+    for s in steps:
+        per_job.setdefault(s["job_id"], []).append(s["seq_id"])
+    for seqs in per_job.values():
+        assert seqs == list(range(1, len(seqs) + 1))
+    assert audit.job_errors(spark).count() == 0
+
+
+def test_metadata_load(loaded, spark):
+    meta = loaded.results["Meta"]
+    exp = meta.bio_experiment.collect()
+    assert len(exp) == 1
+    assert exp[0]["accession"] == "GSE0"
+    assert exp[0]["organism"] == "Test Homo"
+    uid = meta.bio_data_uid.collect()[0]
+    assert uid["unique_id"] == "EXP:GSE0"
+    tags = {r["tag_type"]: r["tag"] for r in meta.tags.collect()}
+    assert tags["institution"] == "Test Institution"
+    assert tags["study_owner"] == "owner"
+
+
+def test_metadata_header_mapping():
+    mapping = map_headers(
+        ["ACCESSION (INTERNAL STUDY_ID)", "TITLE", "STUDY OWNER", "ORGANISM"]
+    )
+    assert mapping["study_id"] == "ACCESSION (INTERNAL STUDY_ID)"
+    assert mapping["study_owner"] == "STUDY OWNER"
+    assert mapping["species"] == "ORGANISM"
+
+
+def test_metadata_requires_study_id(spark, tmp_path):
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = tmp_path / "meta"
+    d.mkdir()
+    (d / "m.txt").write_text("TITLE\tDESCRIPTION\nA study\tdesc\n")
+    with pytest.raises(LoadValidationError, match="Study ID"):
+        load_study_metadata(spark, str(d))
+
+
+def test_failed_type_goes_to_manifest(spark, tmp_path):
+    d = tmp_path / "Broken Study_BRK1"
+    (d / "ClinicalDataToUpload").mkdir(parents=True)
+    (d / "ClinicalDataToUpload" / "nodata.txt").write_text("x\n")
+    res = load_study(spark, str(d), "\\Test Studies")
+    status = {m[0]: m[2] for m in res.manifest}
+    assert status["Clinical"] == "FAIL"
+    assert not res.succeeded
+    assert res.audit.job_errors(spark).count() == 1
