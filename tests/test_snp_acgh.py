@@ -1,0 +1,82 @@
+"""SNP and aCGH pipeline e2e on the reference fixtures
+(SNPDataProcessorTest / ACGH assertions re-expressed on DataFrames)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.plans.acgh import load_acgh
+from tmdataloader_spark.plans.snp import load_snp, snp_gene_map_novelty
+
+FIX = "/root/reference/fixtures/Test Studies/Test Study_GSE0"
+TOP = "\\Test Studies\\Test Study\\"
+
+
+@pytest.fixture(scope="module")
+def snp(spark):
+    return load_snp(spark, f"{FIX}/SNPDataToUpload", "GSE0", TOP)
+
+
+@pytest.fixture(scope="module")
+def acgh(spark):
+    return load_acgh(spark, f"{FIX}/ACGHDataToUpload", "TSTA", TOP)
+
+
+def test_snp_sample_data_full_join(snp):
+    pdf = snp.sample_snp_data.toPandas()
+    assert set(pdf.gsm_num.unique()) == {"TST001", "TST002", "TST003"}
+    # full-join: one row per (sample, probe) key from EITHER side
+    assert not pdf.duplicated(["gsm_num", "snp_name"]).any()
+    one = pdf[(pdf.gsm_num == "TST002") & (pdf.snp_name == "CN_473963")]
+    assert len(one) == 1 and abs(one.iloc[0].copy_number - 0.396867) < 1e-9
+    assert one.iloc[0].snp_calls == "1"
+
+
+def test_snp_dataset_registry(snp):
+    rows = snp.snp_dataset.collect()
+    assert len(rows) == 3
+    assert {r["sample_cd"] for r in rows} == {"TST001", "TST002", "TST003"}
+    assert all(r["trial_name"] == "GSE0" for r in rows)
+
+
+def test_snp_zscore_kernel(snp):
+    pdf = snp.data.toPandas()
+    assert pdf.zscore.between(-2.5, 2.5).all()
+    # L path covers exactly the copy-number rows (calls-only keys from
+    # the full join have nothing to score)
+    cn_rows = snp.sample_snp_data.filter(F.col("copy_number").isNotNull()).count()
+    assert len(pdf) == cn_rows
+
+
+def test_snp_gene_map_novelty(spark, snp):
+    inc = spark.createDataFrame(
+        [("s1", 10), ("s2", 20)], "snp_name string, entrez_gene_id long"
+    )
+    existing = spark.createDataFrame([("s1", 10)], "snp_name string, entrez_gene_id long")
+    out = snp_gene_map_novelty(inc, existing).collect()
+    assert [(r.snp_name, r.entrez_gene_id) for r in out] == [("s2", 20)]
+
+
+def test_acgh_regions(acgh):
+    regions = acgh.chromosomal_region.toPandas()
+    assert (regions.gpl_id == "TST_ACGH").all()
+    assert "chromosome" in regions.columns and "start_bp" in regions.columns
+    assert regions.region_id.is_unique
+
+
+def test_acgh_data_typed_metrics(acgh):
+    pdf = acgh.data.toPandas()
+    # 2 samples (both mapped) x regions present in the platform
+    assert set(pdf.columns) >= {
+        "chip", "segmented", "flag", "probloss", "probnorm", "probgain", "probamp",
+    }
+    assert pdf.flag.isin([0, 1, 2, -1]).all()
+    row = pdf[(pdf.region_name == "chr1:554268-639640")]
+    assert len(row) == 2  # one per sample
+    by_assay = row.set_index("assay_id")
+    assert abs(sorted(by_assay.chip.tolist())[0] - 0.666) < 1e-9
+
+
+def test_acgh_no_zscore(acgh):
+    # the reference keeps aCGH values as loaded (no z-score column)
+    assert "zscore" not in acgh.data.columns

@@ -43,9 +43,8 @@ def test_manifest_routing(loaded):
     assert status["Expression"] == "DONE"
     assert status["VCF"] == "DONE"
     assert status["Meta"] == "DONE"
-    # recognized but unimplemented types are SKIPPED, not silently lost
-    assert status["SNP"] == "SKIPPED"
-    assert status["ACGH"] == "SKIPPED"
+    assert status["SNP"] == "DONE"
+    assert status["ACGH"] == "DONE"
     assert loaded.succeeded
 
 

@@ -133,9 +133,11 @@ def load_study(
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
     into the manifest instead of a directory rename."""
+    from tmdataloader_spark.plans.acgh import load_acgh
     from tmdataloader_spark.plans.clinical import load_clinical
     from tmdataloader_spark.plans.hdd import load_hdd
     from tmdataloader_spark.plans.metadata import load_study_metadata
+    from tmdataloader_spark.plans.snp import load_snp
     from tmdataloader_spark.plans.vcf import load_vcf_study
     from tmdataloader_spark.sources.mapping import melt_clinical_study
 
@@ -171,6 +173,11 @@ def load_study(
                     )
                 elif ptype == "VCF":
                     res = load_vcf_study(spark, type_dir, top_node)
+                elif ptype == "SNP":
+                    res = load_snp(spark, type_dir, study_id, top_node)
+                elif ptype == "ACGH":
+                    # the aCGH mapping file carries its own trial id
+                    res = load_acgh(spark, type_dir, None, top_node)
                 elif ptype == "Meta":
                     res = load_study_metadata(spark, type_dir, study_id)
                 else:

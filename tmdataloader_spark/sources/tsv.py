@@ -46,6 +46,8 @@ def read_tsv(
     )
     if schema is not None:
         reader = reader.schema(schema)
+    if isinstance(path, (list, tuple)):
+        return reader.csv([str(p) for p in path])
     return reader.csv(str(path))
 
 
