@@ -99,6 +99,28 @@ def test_omics_load_matches_oracle(spark, omics):
     assert (merged.zscore - merged.z).abs().max() < 1e-9
 
 
+def test_serial_hdd_series_meta(spark):
+    """X11: SeriesMeta c_metadataxml lands on the matching ontology
+    nodes (I2B2_PROCESS_SERIAL_HDD_DATA.sql:62-74)."""
+    from tmdataloader_spark.plans.hdd import load_serial_hdd
+
+    res = load_serial_hdd(
+        spark,
+        f"{FIX}/Test ExpressionSerialHDD Study/ExpressionSerialHDDDataToUpload",
+        None,
+        TOP,
+        "expression",
+    )
+    rows = {
+        r.c_name: r.c_metadataxml
+        for r in res.i2b2.filter("c_metadataxml is not null").collect()
+    }
+    assert rows, "no SeriesMeta nodes attached"
+    one = rows["Sample Factors Week 1"]
+    assert "<Value>7</Value>" in one and "<Unit>days</Unit>" in one
+    assert "<DisplayName>Week 1</DisplayName>" in one
+
+
 @pytest.mark.parametrize("omics", ["protein", "metabolomics"])
 def test_omics_nodes_and_samples(spark, omics):
     data_dir, trial, *_ = CASES[omics]

@@ -146,7 +146,7 @@ def read_subject_sample_mapping(
     out = df.select(
         F.upper(get("STUDY_ID", "TRIAL_NAME")).alias("trial_name"),
         get("SITE_ID").alias("site_id"),
-        get("SUBJECT_ID").alias("subject_id"),
+        get("SUBJECT_ID", "SUBJECTID").alias("subject_id"),
         get("SAMPLE_ID", "SAMPLE_CD").alias("sample_cd"),
         get("PLATFORM").alias("platform"),
         F.when(
@@ -379,6 +379,8 @@ def load_hdd(
     if not mapping_files:
         raise LoadValidationError(f"no subject-sample mapping file in {data_dir}")
     mapping = read_subject_sample_mapping(spark, mapping_files[0], trial_id)
+    if trial_id is None:  # the mapping file's own STUDY_ID governs
+        trial_id = mapping.select("trial_name").first()[0]
 
     platforms = [r[0] for r in mapping.select("platform").distinct().collect()]
     platform_path = os.path.join(data_dir, f"{platforms[0]}.txt")
@@ -453,6 +455,73 @@ def load_hdd(
         platform=platform,
         observation_fact=sample_facts(samples),
     )
+
+
+_DIMENSIONS_RE = re.compile(r".+_Sample_Dimensions_Mapping\.txt$", re.I)
+
+
+def read_sample_dimensions(
+    spark: SparkSession, path: str | os.PathLike, study_id: str
+) -> DataFrame:
+    """SerialHDD sample-dimension mapping → ``(study_id, category_cd,
+    c_metadataxml)`` with the reference's ``<SeriesMeta>`` XML
+    (etl/SerialHDDDataLoader.groovy:49-80: header must start
+    Category_CD; ``_``→space on the category)."""
+    df = read_tsv(spark, path, header=True, comment="#")
+    if not re.match(r"(?i)category_cd", df.columns[0].strip()):
+        raise LoadValidationError("Incorrect sample dimension file header!")
+    c0, c1, c2, c3 = df.columns[:4]
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><ValueMetadata><Oktousevalues>Y</Oktousevalues>'
+              "<SeriesMeta><Value>"),
+        F.col(f"`{c1}`").cast("string"),
+        F.lit("</Value><Unit>"),
+        F.col(f"`{c2}`").cast("string"),
+        F.lit("</Unit><DisplayName>"),
+        F.col(f"`{c3}`").cast("string"),
+        F.lit("</DisplayName></SeriesMeta></ValueMetadata>"),
+    )
+    return df.select(
+        F.lit(study_id.upper()).alias("study_id"),
+        F.replace(F.col(f"`{c0}`").cast("string"), F.lit("_"), F.lit(" ")).alias(
+            "category_cd"
+        ),
+        xml.alias("c_metadataxml"),
+    )
+
+
+def load_serial_hdd(
+    spark: SparkSession,
+    data_dir: str | os.PathLike,
+    trial_id: str,
+    top_node: str,
+    omics: str = "expression",
+    log_base: float = 2.0,
+) -> HDDLoadResult:
+    """X11 (§2.10, 5 of the 18 processor types): the regular HDD load
+    plus timepoint sort keys — ``<SeriesMeta>`` c_metadataxml applied
+    to the ontology nodes whose name matches the dimension category
+    (I2B2_PROCESS_SERIAL_HDD_DATA.sql:62-74)."""
+    result = load_hdd(spark, data_dir, trial_id, top_node, omics, log_base)
+    if trial_id is None:
+        trial_id = result.sample_mapping.select("trial_name").first()[0]
+    dim_files = [
+        os.path.join(str(data_dir), f)
+        for f in sorted(os.listdir(str(data_dir)))
+        if _DIMENSIONS_RE.match(f)
+    ]
+    if not dim_files:
+        raise LoadValidationError(
+            f"File with sample dimensions mapping was not found in {data_dir}!"
+        )
+    dims = read_sample_dimensions(spark, dim_files[0], trial_id)
+    i2b2 = result.i2b2.join(
+        F.broadcast(dims.select(F.col("category_cd").alias("c_name"), "c_metadataxml")),
+        on="c_name",
+        how="left",
+    )
+    result.i2b2 = i2b2
+    return result
 
 
 def write_partitioned(data: DataFrame, path: str, trial_id: str | None = None) -> None:

@@ -113,6 +113,8 @@ def load_snp(
         raise LoadValidationError(f"no subject-sample mapping file in {data_dir}")
     mapping_path = os.path.join(data_dir, mapping_files[0])
     mapping = read_subject_sample_mapping(spark, mapping_path, trial_id)
+    if trial_id is None:  # the mapping file's own STUDY_ID governs
+        trial_id = mapping.select("trial_name").first()[0]
     validate_sample_mapping(mapping)
 
     platforms = [r[0] for r in mapping.select("platform").distinct().collect()]

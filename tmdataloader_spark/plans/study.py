@@ -47,6 +47,15 @@ _HDD_ROUTE = {
     "MIRNA_SEQ": "mirna_seq",
 }
 
+#: SerialHDD variants: same kernel + sample-dimension SeriesMeta XML
+_SERIAL_HDD_ROUTE = {
+    "ExpressionSerialHDD": "expression",
+    "RNASeqSerialHDD": "rnaseq",
+    "ProteinSerialHDD": "protein",
+    "MetabolomicsSerialHDD": "metabolomics",
+    "MIRNA_QPCRSerialHDD": "mirna_qpcr",
+}
+
 
 @dataclass
 class StudyLoadResult:
@@ -143,8 +152,9 @@ def load_study(
 
     audit = audit or AuditLog()
     study_name = os.path.basename(study_dir.rstrip("/"))
-    # '<Name>_<STUDY_ID>' convention; fall back to the full name
-    study_id = study_name.rsplit("_", 1)[-1].upper() if "_" in study_name else study_name.upper()
+    # '<Name>_<STUDY_ID>' convention; without it the per-type mapping
+    # files' own STUDY_ID governs (None = let the loader derive it)
+    study_id = study_name.rsplit("_", 1)[-1].upper() if "_" in study_name else None
     display_name = study_name.rsplit("_", 1)[0] if "_" in study_name else study_name
     node = f"{parent_node}\\{display_name}"
     top_node = node + "\\"
@@ -166,10 +176,17 @@ def load_study(
                     landing = melt_clinical_study(
                         spark, os.path.join(type_dir, mappings[0])
                     )
-                    res = load_clinical(spark, landing, study_id, top_node)
+                    trial = study_id or landing.select("study_id").first()[0]
+                    res = load_clinical(spark, landing, trial, top_node)
                 elif ptype in _HDD_ROUTE:
                     res = load_hdd(
                         spark, type_dir, study_id, top_node, _HDD_ROUTE[ptype]
+                    )
+                elif ptype in _SERIAL_HDD_ROUTE:
+                    from tmdataloader_spark.plans.hdd import load_serial_hdd
+
+                    res = load_serial_hdd(
+                        spark, type_dir, study_id, top_node, _SERIAL_HDD_ROUTE[ptype]
                     )
                 elif ptype == "VCF":
                     res = load_vcf_study(spark, type_dir, top_node)
@@ -178,6 +195,10 @@ def load_study(
                 elif ptype == "ACGH":
                     # the aCGH mapping file carries its own trial id
                     res = load_acgh(spark, type_dir, None, top_node)
+                elif ptype == "GWASPlink":
+                    from tmdataloader_spark.plans.gwas import load_gwas_plink
+
+                    res = load_gwas_plink(spark, type_dir, top_node)
                 elif ptype == "Meta":
                     res = load_study_metadata(spark, type_dir, study_id)
                 else:
