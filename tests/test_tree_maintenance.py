@@ -1,0 +1,105 @@
+r"""Tree maintenance (T4/T5/T7) and security (T10) operator tests."""
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.operators.tree import (
+    add_nodes,
+    add_root_node,
+    create_security_for_trial,
+    load_security_data,
+    prune_hidden_nodes,
+    prune_unused_leaves,
+)
+
+
+def mk_i2b2(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "c_fullname string, c_hlevel int, c_name string, c_basecode string, "
+        "valtype_cd string, sourcesystem_cd string, c_visualattributes string",
+    )
+
+
+def test_add_nodes_idempotent(spark):
+    i2b2 = mk_i2b2(spark, [("\\A\\B\\", 1, "B", "old", None, "T1", "LA")])
+    cd = spark.createDataFrame(
+        [("\\A\\B\\", "old", "B", "T1")],
+        "concept_path string, concept_cd string, name_char string, sourcesystem_cd string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "old"), (2, "other")], "patient_num int, concept_cd string"
+    )
+    i2b2_2, cd_2, facts_2 = add_nodes(i2b2, cd, facts, ["\\A\\B\\", "\\A\\C\\"], "T1")
+    nodes = {r.c_fullname: r for r in i2b2_2.collect()}
+    assert set(nodes) == {"\\A\\B\\", "\\A\\C\\"}
+    assert nodes["\\A\\B\\"].c_visualattributes == "FA"
+    assert nodes["\\A\\B\\"].c_basecode != "old"  # re-inserted
+    assert nodes["\\A\\C\\"].c_hlevel == 1  # (#separators − 2)
+    # facts at replaced concepts removed, others kept
+    assert [r.concept_cd for r in facts_2.collect()] == ["other"]
+    assert {r.concept_path for r in cd_2.collect()} == {"\\A\\B\\", "\\A\\C\\"}
+
+
+def test_add_root_node(spark):
+    i2b2 = mk_i2b2(spark, [("\\A\\B\\", 1, "B", "x", None, "T1", "LA")])
+    ta = spark.createDataFrame([("\\Old\\", "Old")], "c_fullname string, c_name string")
+    i2b2_2, ta_2 = add_root_node(i2b2, ta, "New Root")
+    assert "\\New Root\\" in {r.c_fullname for r in i2b2_2.collect()}
+    assert "\\New Root\\" in {r.c_fullname for r in ta_2.collect()}
+    # idempotent
+    i2b2_3, ta_3 = add_root_node(i2b2_2, ta_2, "New Root")
+    assert i2b2_3.filter(F.col("c_fullname") == "\\New Root\\").count() == 1
+
+
+def test_prune_hidden_nodes(spark):
+    i2b2 = mk_i2b2(
+        spark,
+        [
+            ("\\A\\B\\", 1, "B", "b", None, "T1", "LH"),
+            ("\\A\\C\\", 1, "C", "c", None, "T1", "LA"),
+            ("\\X\\Y\\", 1, "Y", "y", None, "T2", "LH"),
+        ],
+    )
+    out = prune_hidden_nodes(i2b2, "\\A\\")
+    # hidden under \A\ deleted; hidden outside untouched
+    assert {r.c_fullname for r in out.collect()} == {"\\A\\C\\", "\\X\\Y\\"}
+
+
+def test_prune_unused_leaves(spark):
+    i2b2 = mk_i2b2(
+        spark,
+        [
+            ("\\A\\", 0, "A", "a", None, "T1", "FA"),
+            ("\\A\\B\\", 1, "B", "b", None, "T1", "LA"),
+            ("\\A\\C\\", 1, "C", "c", None, "T1", "LA"),
+            ("\\A\\D\\", 1, "D", "d", None, "T1", "LAH"),
+        ],
+    )
+    trial_nodes = spark.createDataFrame([("\\A\\B\\",)], "leaf_node string")
+    samples = spark.createDataFrame([("\\A\\D\\",)], "concept_path string")
+    out = prune_unused_leaves(i2b2, trial_nodes, "\\A\\", samples)
+    # C is a leaf in neither the reload nor the samples -> pruned
+    assert {r.c_fullname for r in out.collect()} == {"\\A\\", "\\A\\B\\", "\\A\\D\\"}
+
+
+def test_security_roundtrip(spark):
+    facts = spark.createDataFrame(
+        [(1, "c1", "T1", "T", "E", None, "T1"), (2, "c2", "T2", "T", "E", None, "T2")],
+        "patient_num int, concept_cd string, modifier_cd string, valtype_cd string, "
+        "tval_char string, nval_num double, sourcesystem_cd string",
+    )
+    secured = create_security_for_trial(facts, "T1", secure=True)
+    sec_rows = secured.filter(F.col("concept_cd") == "SECURITY").collect()
+    assert len(sec_rows) == 1 and sec_rows[0]["tval_char"] == "EXP:T1"
+
+    i2b2 = mk_i2b2(
+        spark,
+        [
+            ("\\A\\", 0, "A", "a", None, "T1", "FA"),
+            ("\\B\\", 0, "B", "b", None, "T2", "FA"),
+        ],
+    )
+    sec = load_security_data(i2b2, secured)
+    tokens = {r.c_fullname: r.secure_obj_token for r in sec.collect()}
+    assert tokens["\\A\\"] == "EXP:T1"  # secured study
+    assert tokens["\\B\\"] == "EXP:PUBLIC"  # default

@@ -138,3 +138,163 @@ def first_existing_path_per_study(
         .drop("_rn")
         .select(study_col, F.col(path_col).alias("first_path"))
     )
+
+
+def add_nodes(
+    i2b2: DataFrame,
+    concept_dim: DataFrame,
+    facts: DataFrame,
+    new_paths: list[str],
+    trial_id: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    r"""T4 (I2B2_ADD_NODES.sql:41-100): idempotent node insert —
+    existing facts at those concepts, concept_dimension rows, and i2b2
+    rows are deleted first, then each path re-inserted as a folder
+    ('FA') with computed hlevel and last-component name. Returns the
+    rewritten (i2b2, concept_dimension, observation_fact)."""
+    spark = i2b2.sparkSession
+    doomed_concepts = i2b2.filter(F.col("c_fullname").isin(new_paths)).select(
+        F.col("c_basecode").alias("concept_cd")
+    )
+    facts = facts.join(F.broadcast(doomed_concepts), on="concept_cd", how="left_anti")
+    concept_dim = concept_dim.filter(~F.col("concept_path").isin(new_paths))
+    i2b2 = i2b2.filter(~F.col("c_fullname").isin(new_paths))
+
+    rows = [
+        (
+            p,
+            p.count("\\") - 2,
+            [x for x in p.split("\\") if x][-1],
+            None,
+            None,
+            trial_id,
+        )
+        for p in new_paths
+    ]
+    add = spark.createDataFrame(
+        rows,
+        "c_fullname string, c_hlevel int, c_name string, c_basecode string, "
+        "valtype_cd string, sourcesystem_cd string",
+    ).withColumn("c_basecode", F.sha2(F.col("c_fullname"), 256).substr(1, 16))
+    for c in i2b2.columns:
+        if c not in add.columns:
+            add = add.withColumn(c, F.lit("FA" if c == "c_visualattributes" else None).cast("string"))
+    i2b2 = i2b2.unionByName(add.select(i2b2.columns))
+    concept_dim = concept_dim.unionByName(
+        add.select(
+            F.col("c_fullname").alias("concept_path"),
+            F.col("c_basecode").alias("concept_cd"),
+            F.col("c_name").alias("name_char"),
+            "sourcesystem_cd",
+        ).select(concept_dim.columns)
+    )
+    return i2b2, concept_dim, facts
+
+
+def add_root_node(
+    i2b2: DataFrame, table_access: DataFrame | None, root_name: str
+) -> tuple[DataFrame, DataFrame]:
+    r"""T5 (I2B2_ADD_ROOT_NODE.sql): register ``\<name>\`` at hlevel 0
+    in i2b2 and table_access — idempotent."""
+    spark = i2b2.sparkSession
+    path = f"\\{root_name}\\"
+    exists = i2b2.filter(F.col("c_fullname") == path).limit(1).count() > 0
+    if not exists:
+        row = spark.createDataFrame(
+            [(path, 0, root_name)], "c_fullname string, c_hlevel int, c_name string"
+        )
+        for c in i2b2.columns:
+            if c not in row.columns:
+                row = row.withColumn(
+                    c, F.lit("CA" if c == "c_visualattributes" else None).cast("string")
+                )
+        i2b2 = i2b2.unionByName(row.select(i2b2.columns))
+    if table_access is not None:
+        if table_access.filter(F.col("c_fullname") == path).limit(1).count() == 0:
+            table_access = table_access.unionByName(
+                spark.createDataFrame(
+                    [(path, root_name)], "c_fullname string, c_name string"
+                ).select(table_access.columns)
+            )
+    return i2b2, table_access
+
+
+def prune_hidden_nodes(i2b2: DataFrame, top_node: str) -> DataFrame:
+    """T7 (I2B2_LOAD_CLINICAL_DATA.sql:64-70, 1513-1524): after
+    concept counts, nodes whose second visual-attribute char is 'H'
+    (hidden = zero observations) are deleted — the reference's
+    one-at-a-time delete cursor as a single set-based filter."""
+    hidden = F.col("c_fullname").startswith(top_node) & (
+        F.substring(F.col("c_visualattributes"), 2, 1) == "H"
+    )
+    return i2b2.filter(~hidden)
+
+
+def prune_unused_leaves(
+    i2b2: DataFrame,
+    trial_nodes: DataFrame,
+    top_node: str,
+    sample_concepts: DataFrame | None = None,
+) -> DataFrame:
+    """T7 twin (I2B2_LOAD_CLINICAL_DATA.sql:78-92, 936-947): on a
+    REPLACE reload, leaf nodes under the study that are in neither the
+    new load's leaf set nor the HDD sample concepts are deleted (a
+    leaf that flipped text↔numeric leaves a stale twin otherwise)."""
+    keep_paths = trial_nodes.select(F.col("leaf_node").alias("c_fullname")).distinct()
+    if sample_concepts is not None:
+        keep_paths = keep_paths.unionByName(
+            sample_concepts.select(F.col("concept_path").alias("c_fullname")).distinct()
+        )
+    doomed = (
+        i2b2.filter(
+            F.col("c_fullname").startswith(top_node)
+            & F.col("c_visualattributes").startswith("L")
+        )
+        .join(F.broadcast(keep_paths), on="c_fullname", how="left_anti")
+        .select("c_fullname")
+    )
+    return i2b2.join(F.broadcast(doomed), on="c_fullname", how="left_anti")
+
+
+def create_security_for_trial(
+    facts: DataFrame, trial_id: str, secure: bool = False
+) -> DataFrame:
+    """T10 (i2b2_create_security_for_trial, called at
+    I2B2_LOAD_CLINICAL_DATA.sql:1526): one SECURITY fact per patient of
+    the trial with token EXP:<trial> (secure) or EXP:PUBLIC."""
+    token = f"EXP:{trial_id}" if secure else "EXP:PUBLIC"
+    patients = (
+        facts.filter(F.col("sourcesystem_cd") == trial_id)
+        .select("patient_num")
+        .distinct()
+    )
+    sec = patients.select(
+        "patient_num",
+        F.lit("SECURITY").alias("concept_cd"),
+        F.lit(trial_id).alias("modifier_cd"),
+        F.lit("T").alias("valtype_cd"),
+        F.lit(token).alias("tval_char"),
+        F.lit(None).cast("double").alias("nval_num"),
+        F.lit(trial_id).alias("sourcesystem_cd"),
+    )
+    for c in facts.columns:
+        if c not in sec.columns:
+            sec = sec.withColumn(c, F.lit(None).cast(dict(facts.dtypes)[c]))
+    return facts.unionByName(sec.select(facts.columns))
+
+
+def load_security_data(i2b2: DataFrame, facts: DataFrame) -> DataFrame:
+    """T10 (I2B2_LOAD_SECURITY_DATA.sql:80-98): i2b2_secure = every
+    i2b2 row + secure_obj_token from the study's SECURITY fact,
+    defaulting to EXP:PUBLIC."""
+    tokens = (
+        facts.filter(F.col("concept_cd") == "SECURITY")
+        .select(
+            F.col("modifier_cd").alias("sourcesystem_cd"),
+            F.col("tval_char").alias("secure_obj_token"),
+        )
+        .distinct()
+    )
+    return i2b2.join(F.broadcast(tokens), on="sourcesystem_cd", how="left").withColumn(
+        "secure_obj_token", F.coalesce(F.col("secure_obj_token"), F.lit("EXP:PUBLIC"))
+    )
