@@ -99,6 +99,23 @@ def test_omics_load_matches_oracle(spark, omics):
     assert (merged.zscore - merged.z).abs().max() < 1e-9
 
 
+def test_rbm_long_format(spark):
+    """RBM arrives already-long (sampid/Analyte/avalue columns —
+    RBMDataProcessor.groovy:185-205)."""
+    res = load_hdd(
+        spark, f"{FIX}/Test RBM Study/RBMDataToUpload", "TESTRBM", TOP, "rbm"
+    )
+    pdf = res.data.toPandas()
+    assert len(pdf) > 0
+    assert res.platform.marker_type == "RBM"
+    # probes come from the platform's antigen_name column
+    probes = {
+        r[0] for r in res.platform.annotation.select("probeset_id").collect()
+    }
+    assert set(pdf.probeset_id).issubset(probes)
+    assert pdf.zscore.between(-2.5, 2.5).all()
+
+
 def test_serial_hdd_series_meta(spark):
     """X11: SeriesMeta c_metadataxml lands on the matching ontology
     nodes (I2B2_PROCESS_SERIAL_HDD_DATA.sql:62-74)."""

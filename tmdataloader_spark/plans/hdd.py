@@ -269,6 +269,8 @@ class OmicsType:
     probe_idx: int = 0
     first_sample_idx: int | None = None
     required_header: tuple[int, str] | None = None
+    #: already-long input (RBM): (sample_idx, probe_idx, value_idx)
+    long_format: tuple[int, int, int] | None = None
 
 
 #: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
@@ -312,6 +314,14 @@ OMICS_TYPES = {
         "MIRNA_SEQ",
         required_header=(0, "ID_REF"),
     ),
+    "rbm": OmicsType(
+        "rbm",
+        re.compile(r".+_RBM_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
+        "RBM",
+        # RBMDataProcessor.groovy:185-205: already-long rows —
+        # sampid(col 2) / Analyte(col 5) / avalue(col 7)
+        long_format=(2, 5, 7),
+    ),
 }
 
 _MAPPING_RE = re.compile(r".+_Subject_Sample_Mapping_File(_GPL\d+)*\.txt$", re.I)
@@ -329,7 +339,8 @@ def read_omics_platform(
     meta = read_head_meta(path)
     df = read_tsv(spark, path, header=True, comment="#")
     probe_candidates = re.compile(
-        r"^(ID_REF|BIOCHEMICAL|PEPTIDE|TRANSCRIPT[\s_]*ID|PROBE[\s_]*ID)$", re.I
+        r"^(ID_REF|BIOCHEMICAL|PEPTIDE|TRANSCRIPT[\s_]*ID|PROBE[\s_]*ID|ANTIGEN[\s_]*NAME)$",
+        re.I,
     )
     probe_col = next(
         (c for c in df.columns if probe_candidates.match(c.strip())), df.columns[0]
@@ -405,16 +416,32 @@ def load_hdd(
             raise LoadValidationError(
                 f"Incorrect {ot.name} data file: expected {expected} at column {idx}"
             )
-    id_col = wide.columns[ot.probe_idx]
-    first_sample = ot.first_sample_idx
-    if ot.name == "protein" and wide.columns[0].strip().upper() != "PEPTIDE":
-        first_sample = 1  # ProteinDataProcessor.groovy:190-191
-    sample_cols = (
-        wide.columns[first_sample:] if first_sample is not None else None
-    )
-    melted = melt_expression_matrix(
-        wide, probe_col=id_col, trial=trial_id.upper(), sample_cols=sample_cols
-    )
+    if ot.long_format is not None:
+        s_idx, p_idx, v_idx = ot.long_format
+        hdr = wide.columns
+        if hdr[s_idx].strip().upper() != "SAMPID" and "ANALYTE" not in hdr[p_idx].upper():
+            raise LoadValidationError(f"Incorrect {ot.name} data file")
+        melted = wide.select(
+            F.lit(trial_id.upper()).alias("trial_name"),
+            F.col(f"`{hdr[p_idx]}`").cast("string").alias("probeset_id"),
+            F.col(f"`{hdr[s_idx]}`").cast("string").alias("expr_id"),
+            F.col(f"`{hdr[v_idx]}`").cast("string").alias("intensity"),
+        ).filter(
+            (F.col("probeset_id").isNotNull())
+            & (F.col("expr_id").isNotNull())
+            & (F.col("intensity").isNotNull())
+        )
+    else:
+        id_col = wide.columns[ot.probe_idx]
+        first_sample = ot.first_sample_idx
+        if ot.name == "protein" and wide.columns[0].strip().upper() != "PEPTIDE":
+            first_sample = 1  # ProteinDataProcessor.groovy:190-191
+        sample_cols = (
+            wide.columns[first_sample:] if first_sample is not None else None
+        )
+        melted = melt_expression_matrix(
+            wide, probe_col=id_col, trial=trial_id.upper(), sample_cols=sample_cols
+        )
 
     validate_sample_mapping(mapping)
     samples = build_sample_mapping(mapping, top_node, platform)

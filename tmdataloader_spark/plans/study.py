@@ -45,6 +45,7 @@ _HDD_ROUTE = {
     "Metabolomics": "metabolomics",
     "MIRNA_QPCR": "mirna_qpcr",
     "MIRNA_SEQ": "mirna_seq",
+    "RBM": "rbm",
 }
 
 #: SerialHDD variants: same kernel + sample-dimension SeriesMeta XML
