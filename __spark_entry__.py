@@ -599,6 +599,58 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_visit_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: visit-name suppression — single distinct visit per
+    TAG-NORMALIZED category (count(distinct upper)) plus the
+    visit=label / visit=value rules
+    (I2B2_LOAD_CLINICAL_DATA.sql:344-351, 495-541)."""
+    from tmdataloader_spark.operators.cleansing import suppress_visit_names
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.col("l_linestatus"), F.lit("+$$1A{"), F.col("l_returnflag"), F.lit("}")
+        ).alias("category_cd"),
+        F.when(F.col("l_linestatus") == "O", F.lit("V1"))
+        .when(F.col("l_suppkey") % 5 == 0, F.col("l_returnflag"))
+        .otherwise(F.concat(F.lit("V"), (F.col("l_suppkey") % 3).cast("string")))
+        .alias("visit_name"),
+        F.col("l_returnflag").alias("data_label"),
+        F.col("l_quantity").cast("string").alias("data_value"),
+    )
+    return suppress_visit_names(w).select("l_orderkey", "l_linenumber", "visit_name")
+
+
+def q_hdd_leaf_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""X8: HDD category templating — PLATFORM/TISSUETYPE/ATTR1/ATTR2
+    substitution, ``+``→``\``, ``_``→space, backslash-run collapse
+    (I2B2_LOAD_SAMPLES.sql:318-366)."""
+    from tmdataloader_spark.plans.hdd import build_sample_mapping
+    from tmdataloader_spark.sources.gpl import GplPlatform
+
+    s = _t(spark, sf_dir, "supplier")
+    mapping = s.select(
+        F.lit("T1").alias("trial_name"),
+        F.lit(None).cast("string").alias("site_id"),
+        F.col("s_name").alias("subject_id"),
+        F.col("s_name").alias("sample_cd"),
+        F.lit("GPL1").alias("platform"),
+        F.when(F.col("s_nationkey") % 3 == 0, F.lit("Blood")).alias("tissue_type"),
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("Primary_Tumor")).alias("attribute_1"),
+        F.lit(None).cast("string").alias("attribute_2"),
+        F.lit("Biomarker_Data+PLATFORM+TISSUETYPE+ATTR1").alias("category_cd"),
+        F.lit("STD").alias("source_cd"),
+    )
+    platform = GplPlatform(
+        platform="GPL1", title="Test GEX Platform", organism="Homo sapiens",
+        marker_type="MRNA", annotation=None,
+    )
+    samples = build_sample_mapping(mapping, "\\Public Studies\\Study X\\", platform)
+    return samples.select("sample_cd", "sourcesystem_cd", "concept_path")
+
+
 def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10a/J9: the UPDATE merge-mode fact-deletion scope
     (I2B2_LOAD_CLINICAL_DATA.sql:1124-1166) — facts of updated
@@ -729,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "vcf_genotypes": q_vcf_genotypes,
         "merge_update": q_merge_update,
+        "visit_suppression": q_visit_suppression,
+        "hdd_leaf_paths": q_hdd_leaf_paths,
         "event_rollup": q_event_rollup,
     }
 
@@ -1237,6 +1291,61 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "visit_suppression": r"""
+            WITH w AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_linestatus || '+$$1A{' || l_returnflag || '}' AS category_cd,
+                     CASE WHEN l_linestatus = 'O' THEN 'V1'
+                          WHEN l_suppkey % 5 = 0 THEN l_returnflag
+                          ELSE 'V' || CAST(l_suppkey % 3 AS VARCHAR) END AS visit_name,
+                     l_returnflag AS data_label,
+                     CAST(l_quantity AS VARCHAR) AS data_value
+              FROM lineitem
+            ), norm AS (
+              SELECT *, regexp_replace(category_cd,
+                        '[$][$]([0-9]*[A-Z])([{][^}]+[}]|[^+]+)', '$$\1', 'g') AS cat_norm
+              FROM w
+            ), singles AS (
+              SELECT cat_norm FROM norm
+              GROUP BY cat_norm HAVING count(DISTINCT upper(visit_name)) = 1
+            ), s1 AS (
+              SELECT n.l_orderkey, n.l_linenumber, n.data_label, n.data_value,
+                     CASE WHEN s.cat_norm IS NOT NULL THEN NULL
+                          ELSE n.visit_name END AS v1
+              FROM norm n LEFT JOIN singles s USING (cat_norm)
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN v1 = data_label THEN NULL
+                        WHEN v1 = data_value THEN NULL
+                        ELSE v1 END AS visit_name
+            FROM s1
+        """,
+        "hdd_leaf_paths": r"""
+            WITH m AS (
+              SELECT s_name AS sample_cd,
+                     regexp_replace('T1' || ':' || '' || ':' || s_name,
+                                    '(::)+', ':', 'g') AS sourcesystem_cd,
+                     CASE WHEN s_nationkey % 3 = 0 THEN 'Blood' END AS tissue_type,
+                     CASE WHEN s_suppkey % 2 = 0 THEN 'Primary_Tumor' END AS attribute_1
+              FROM supplier
+            ), subst AS (
+              SELECT sample_cd, sourcesystem_cd,
+                     replace(replace(replace(replace(
+                       'Biomarker_Data+PLATFORM+TISSUETYPE+ATTR1',
+                       'PLATFORM', 'Test GEX Platform'),
+                       'ATTR1', coalesce(attribute_1, '')),
+                       'ATTR2', ''),
+                       'TISSUETYPE', coalesce(tissue_type, 'Unspecified Tissue Type')) AS cat
+              FROM m
+            )
+            SELECT sample_cd, sourcesystem_cd,
+                   -- RE2 rewrite needs '\\' for a literal backslash
+                   regexp_replace(
+                     '\Public Studies\Study X\' ||
+                     replace(replace(cat, '+', '\'), '_', ' ') || '\',
+                     '(\\){2,}', '\\', 'g') AS concept_path
+            FROM subst
+        """,
         "merge_update": """
             WITH facts AS (
               SELECT 'T1' AS modifier_cd, o_custkey AS patient_num,
