@@ -105,6 +105,28 @@ def test_metadata_requires_study_id(spark, tmp_path):
         load_study_metadata(spark, str(d))
 
 
+def test_zip_study_discovery(spark, tmp_path):
+    """S6: a zipped study is unpacked and routed like a directory."""
+    import shutil
+
+    from tmdataloader_spark.plans.study import extract_zip_study
+
+    src = tmp_path / "in" / "Tiny Study_T1" / "MetaDataToUpload"
+    src.mkdir(parents=True)
+    (src / "meta.txt").write_text(
+        "ACCESSION (INTERNAL STUDY_ID)\tTITLE\nT1\tTiny\n"
+    )
+    zip_base = tmp_path / "Tiny Study_T1"
+    shutil.make_archive(str(zip_base), "zip", tmp_path / "in")
+    work = tmp_path / "work"
+    work.mkdir()
+    found = discover_studies(str(tmp_path), work_dir=str(work))
+    zipped = [d for d, _ in found if str(work) in d]
+    assert zipped, found
+    res = load_study(spark, zipped[0], "\\Test Studies")
+    assert {m[0]: m[2] for m in res.manifest}["Meta"] == "DONE"
+
+
 def test_failed_type_goes_to_manifest(spark, tmp_path):
     d = tmp_path / "Broken Study_BRK1"
     (d / "ClinicalDataToUpload").mkdir(parents=True)

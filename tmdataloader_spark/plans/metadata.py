@@ -117,15 +117,18 @@ def build_bio_experiment(
 ) -> DataFrame:
     """bio_experiment upsert keyed on accession
     (I2B2_LOAD_STUDY_METADATA.sql:103-220): incoming rows win."""
+    def opt(name: str):
+        if name in landing.columns:
+            return F.col(name)
+        return F.lit(None).cast("string")
+
     incoming = landing.select(
         F.lit("Experiment").alias("bio_experiment_type"),
         F.col("title"),
-        F.col("description"),
-        F.col("study_design").alias("design") if "study_design" in landing.columns
-        else F.lit(None).cast("string").alias("design"),
+        opt("description").alias("description"),
+        opt("study_design").alias("design"),
         F.upper(F.col("study_id")).alias("accession"),
-        F.col("institution") if "institution" in landing.columns
-        else F.lit(None).cast("string").alias("institution"),
+        opt("institution").alias("institution"),
         F.col("species").alias("organism"),
     ).dropDuplicates(["accession"])
     if existing is None:

@@ -90,18 +90,29 @@ def is_study_dir(path: str) -> bool:
     )
 
 
-def discover_studies(root_dir: str, root: str = "") -> list[tuple[str, str]]:
+def discover_studies(
+    root_dir: str, root: str = "", work_dir: str | None = None
+) -> list[tuple[str, str]]:
     """Recursive study discovery: (study_dir, parent_node) pairs;
-    nested dirs contribute their names to the node path."""
+    nested dirs contribute their names to the node path. ``.zip``
+    studies (S6) are unpacked into ``work_dir`` and discovered like
+    directories (DirectoryProcessor.groovy:59-63)."""
     out: list[tuple[str, str]] = []
     for name in sorted(os.listdir(root_dir)):
         path = os.path.join(root_dir, name)
-        if not os.path.isdir(path) or _SKIP_RE.match(name):
+        if _SKIP_RE.match(name):
+            continue
+        if name.endswith(".zip") and os.path.isfile(path) and work_dir:
+            unpacked = extract_zip_study(path, work_dir)
+            if is_study_dir(unpacked):
+                out.append((unpacked, root))
+            continue
+        if not os.path.isdir(path):
             continue
         if is_study_dir(path):
             out.append((path, root))
         else:
-            out.extend(discover_studies(path, f"{root}\\{name}"))
+            out.extend(discover_studies(path, f"{root}\\{name}", work_dir))
     return out
 
 
