@@ -158,6 +158,19 @@ def test_multi_vcf(spark):
     assert r["variant_value"] == "0|0:0.050:-0.03,-1.17,-5.00"
 
 
+def test_invalid_study_fixture_fails(spark):
+    """VCFDataProcessorTest.testItNotLoadsStudyWithWrongMapping: the
+    Invalid Studies fixture must abort."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    with pytest.raises(LoadValidationError):
+        load_vcf_study(
+            spark,
+            "/root/reference/fixtures/Invalid Studies/VCF/Study with Wrong Mapping",
+            "\\Invalid Studies\\Study with Wrong Mapping\\",
+        )
+
+
 def test_unmapped_samples_fail(spark, tmp_path):
     from tmdataloader_spark.operators.dedup import LoadValidationError
 
