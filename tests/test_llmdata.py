@@ -79,6 +79,15 @@ def test_multimodal_decode_deterministic(spark, docs):
     assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in out)
     again = {r.media_id: (r.sha256, r.width) for r in decode_media(media, fake=True).collect()}
     assert all(again[r.media_id] == (r.sha256, r.width) for r in out)
+    # the Arrow (real-codec plumbing) path produces identical output
+    arrow = {
+        r.media_id: (r.sha256, r.width, r.height, r.duration_ms, r.n_bytes)
+        for r in decode_media(media, fake=True, use_arrow=True).collect()
+    }
+    assert all(
+        arrow[r.media_id] == (r.sha256, r.width, r.height, r.duration_ms, r.n_bytes)
+        for r in out
+    )
 
 
 def test_multimodal_real_decode_is_stubbed(spark, docs):

@@ -51,42 +51,62 @@ def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int]:
     return w, h, dur
 
 
-def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode/feature-extract media rows via Arrow-batched
-    ``mapInPandas``. Real decoding is STUBBED (no codecs in this
-    environment); ``fake=True`` runs the deterministic fake decoder
-    through the identical plumbing."""
+def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> DataFrame:
+    """Decode/feature-extract media rows.
+
+    - ``fake=True, use_arrow=False`` (default): the deterministic fake
+      metadata is fully expressible JVM-side (``sha2``, ``length``,
+      ``conv(substring(...))``) — no Python in the hot path, whole-stage
+      codegen end to end.
+    - ``use_arrow=True``: the same output through the Arrow-batched
+      ``mapInPandas`` plumbing a REAL codec would use (vectorized over
+      the batch, not row-at-a-time) — this is the integration point
+      where PIL/ffmpeg plugs in.
+    - ``fake=False``: STUBBED (no codecs in this container)."""
     if not fake:
         raise NotImplementedError(
             "real media decoding requires PIL/ffmpeg, not available in this "
             "container; run with fake=True to exercise the pipeline"
+        )
+    if not use_arrow:
+        content = F.coalesce(F.col("content"), F.lit(b""))
+        sha = F.sha2(content, 256)
+        byte = lambda pos: F.conv(F.substring(sha, pos, 2), 16, 10).cast("int")  # noqa: E731
+        return df.select(
+            "media_id",
+            "media_type",
+            F.length(content).cast("long").alias("n_bytes"),
+            sha.alias("sha256"),
+            (F.lit(64) + byte(1) % 192).alias("width"),
+            (F.lit(64) + byte(3) % 192).alias("height"),
+            F.when(
+                F.col("media_type").isin("audio", "video"),
+                F.conv(F.substring(sha, 5, 4), 16, 10).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("duration_ms"),
         )
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"]) if r["content"] is not None else b""
-                w, h, dur = _fake_decode(content, r["media_type"])
-                rows.append(
-                    (
-                        int(r["media_id"]),
-                        r["media_type"],
-                        len(content),
-                        hashlib.sha256(content).hexdigest(),
-                        w,
-                        h,
-                        dur,
-                    )
-                )
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf["content"]
+            ]
+            decoded = [
+                _fake_decode(c, t) for c, t in zip(contents, pdf["media_type"])
+            ]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "media_type", "n_bytes", "sha256",
-                    "width", "height", "duration_ms",
-                ],
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in contents],
+                    "sha256": [hashlib.sha256(c).hexdigest() for c in contents],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "duration_ms": [d[2] for d in decoded],
+                }
             )
 
     return df.select("media_id", "media_type", "content").mapInPandas(
