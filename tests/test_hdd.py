@@ -79,3 +79,18 @@ def test_partitioned_write_roundtrip(result, spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == result.data.count()
     assert back.filter(F.col("trial_name") == "GSE0").count() == back.count()
+
+
+def test_gpl_info_join(spark):
+    """J8: mapping LEFT JOIN de_gpl_info (broadcast dimension)."""
+    from tmdataloader_spark.sources.gpl import (
+        GplPlatform, attach_platform_info, gpl_info_frame,
+    )
+
+    p = GplPlatform("GPL1", "Title 1", "Homo sapiens", "Gene Expression", None)
+    info = gpl_info_frame(spark, [p])
+    mapping = spark.createDataFrame(
+        [("S1", "GPL1"), ("S2", "GPL_UNKNOWN")], "sample_cd string, platform string"
+    )
+    out = {r.sample_cd: r.platform_title for r in attach_platform_info(mapping, info).collect()}
+    assert out == {"S1": "Title 1", "S2": None}

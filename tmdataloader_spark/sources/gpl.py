@@ -76,3 +76,24 @@ def read_gpl(
         marker_type=marker_type,
         annotation=ann,
     )
+
+
+def gpl_info_frame(spark, platforms: list[GplPlatform]):
+    """de_gpl_info dimension rows (SURVEY.md §1.1 'Platform
+    annotation'): one row per loaded platform."""
+    return spark.createDataFrame(
+        [(p.platform, p.title, p.organism, p.marker_type) for p in platforms],
+        "platform string, title string, organism string, marker_type string",
+    )
+
+
+def attach_platform_info(mapping: DataFrame, gpl_info: DataFrame) -> DataFrame:
+    """J8 (I2B2_LOAD_SAMPLES.sql:334-338): subject-sample mapping LEFT
+    JOIN de_gpl_info on platform — the dimension is tiny, broadcast."""
+    dim = gpl_info.select(
+        "platform",
+        F.col("title").alias("platform_title"),
+        F.col("organism").alias("platform_organism"),
+        F.col("marker_type").alias("platform_marker_type"),
+    )
+    return mapping.join(F.broadcast(dim), on="platform", how="left")
