@@ -730,6 +730,111 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the summary-statistics kernel (VariableStatistic.groovy
+    :65-98,184-197) — per variable: N, nulls, mean, EXACT median,
+    Tukey-hinge IQR, min/max, sample SD. Suppliers ≙ variables, so
+    per-group sorted arrays stay small (the statistic module's
+    documented contract: clinical-file-sized groups only)."""
+    from tmdataloader_spark.statistic.summary import _median_of_slice
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.when(F.col("l_linenumber") != 7, F.col("l_quantity").cast("double"))
+    w = li.select(F.col("l_suppkey").alias("var_key"), v.alias("value_d"))
+    arr = F.sort_array(F.collect_list("value_d"))
+    n = F.size(arr)
+    upper = _median_of_slice(
+        arr, (F.floor(n / 2) + 1).cast("int"), (n - F.floor(n / 2)).cast("int")
+    )
+    lower = _median_of_slice(arr, F.lit(1), F.floor((n + 1) / 2).cast("int"))
+    return w.groupBy("var_key").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("value_d").isNull(), 1)).alias("n_null"),
+        F.round(F.avg("value_d"), 6).alias("mean"),
+        F.round(_median_of_slice(arr, F.lit(1), n), 6).alias("median"),
+        F.round(upper - lower, 6).alias("iqr"),
+        F.round(F.min("value_d"), 6).alias("vmin"),
+        F.round(F.max("value_d"), 6).alias("vmax"),
+        F.round(F.stddev_samp("value_d"), 6).alias("sd"),
+    )
+
+
+def q_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: validation-rule compiler (ValidationRule.groovy:47-155) —
+    required / range grammars with a `when "Field" is` guard, compiled
+    to Column predicates in ONE projection; violations melt to
+    (rule, id) rows."""
+    from tmdataloader_spark.statistic.validation import parse_rules, violation_expr
+
+    c = _t(spark, sf_dir, "customer")
+    sentences = (
+        'required; greater than 0; between 100 to 9000; '
+        'lesser than 9000, when "MKTSEGMENT" is equal to "BUILDING"'
+    )
+    rules = parse_rules(sentences)
+    value = F.when(F.col("c_custkey") % 97 != 0, F.col("c_acctbal").cast("double").cast("string"))
+    row = {"MKTSEGMENT": F.col("c_mktsegment")}
+    wide = c.select(
+        "c_custkey",
+        *[violation_expr(r, value, row).alias(f"_v{i}") for i, r in enumerate(rules)],
+    )
+    out = None
+    for i, r in enumerate(rules):
+        part = wide.filter(F.col(f"_v{i}")).select(
+            F.lit(r.description).alias("rule"), "c_custkey"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_gpl_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (I2B2_LOAD_SAMPLES.sql:334-338): subject-sample mapping LEFT
+    JOIN the tiny de_gpl_info dimension (broadcast) — unknown platforms
+    keep their mapping row with null platform info."""
+    from tmdataloader_spark.sources.gpl import attach_platform_info
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mapping = s.select(
+        F.col("s_suppkey").alias("sample_cd"),
+        F.concat(F.lit("GPL"), F.col("s_nationkey")).alias("platform"),
+    )
+    info = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.concat(F.lit("GPL"), F.col("n_nationkey")).alias("platform"),
+        F.col("n_name").alias("title"),
+        F.lit("Homo sapiens").alias("organism"),
+        F.lit("Gene Expression").alias("marker_type"),
+    )
+    return attach_platform_info(mapping, info).select(
+        "sample_cd", "platform", "platform_title", "platform_marker_type"
+    )
+
+
+def q_timepoint_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X11: timepoint display-name → minutes sort key
+    (I2B2_BUILD_METADATA_XML.sql:24-56; SerialHDD SeriesMeta values) —
+    'N days M hours' pair sums, unit-first 'Week 4', 'Baseline' → 0,
+    unparseable → null."""
+    from tmdataloader_spark.functions.timepoints import timepoint_minutes
+
+    li = _t(spark, sf_dir, "lineitem")
+    qn = F.col("l_quantity").cast("int").cast("string")
+    ln = F.col("l_linenumber").cast("string")
+    name = (
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit("Baseline"))
+        .when(F.col("l_orderkey") % 5 == 1, F.concat(F.lit("Week "), ln))
+        .when(F.col("l_orderkey") % 5 == 2, F.concat(qn, F.lit(" days "), ln, F.lit(" hours")))
+        .when(F.col("l_orderkey") % 5 == 3, F.concat(qn, F.lit(" months")))
+        .otherwise(F.concat(F.lit("Visit "), ln))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        name.alias("timepoint"),
+        timepoint_minutes(name).alias("minutes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -784,6 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visit_suppression": q_visit_suppression,
         "hdd_leaf_paths": q_hdd_leaf_paths,
         "event_rollup": q_event_rollup,
+        "summary_stats": q_summary_stats,
+        "validation_rules": q_validation_rules,
+        "gpl_info_join": q_gpl_info_join,
+        "timepoint_minutes": q_timepoint_minutes,
     }
 
 
@@ -1409,5 +1518,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # A11: exact median + Tukey hinges via sorted lists; the slice-median
+        # convention mirrors _median_of_slice (mid = start + L//2; odd → a[mid],
+        # even → avg(a[mid-1], a[mid])).
+        "summary_stats": """
+            WITH s AS (
+              SELECT l_suppkey AS var_key,
+                     CASE WHEN l_linenumber <> 7 THEN CAST(l_quantity AS DOUBLE) END AS v
+              FROM lineitem
+            ), g AS (
+              SELECT var_key,
+                     count(*) AS n_rows,
+                     count(*) FILTER (WHERE v IS NULL) AS n_null,
+                     round(avg(v), 6) AS mean,
+                     list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS a,
+                     round(min(v), 6) AS vmin,
+                     round(max(v), 6) AS vmax,
+                     round(stddev_samp(v), 6) AS sd
+              FROM s GROUP BY var_key
+            ), h AS (
+              SELECT *, len(a) AS n,
+                     1 + len(a) // 2 AS mid_full,
+                     1 + ((len(a) + 1) // 2) // 2 AS mid_lo,
+                     (len(a) // 2 + 1) + (len(a) - len(a) // 2) // 2 AS mid_up,
+                     (len(a) + 1) // 2 AS len_lo,
+                     len(a) - len(a) // 2 AS len_up
+              FROM g
+            )
+            SELECT var_key, n_rows, n_null, mean,
+                   round(CASE WHEN n = 0 THEN NULL
+                              WHEN n % 2 = 1 THEN a[mid_full]
+                              ELSE (a[mid_full - 1] + a[mid_full]) / 2.0 END, 6) AS median,
+                   round((CASE WHEN len_up = 0 THEN NULL
+                               WHEN len_up % 2 = 1 THEN a[mid_up]
+                               ELSE (a[mid_up - 1] + a[mid_up]) / 2.0 END)
+                       - (CASE WHEN len_lo = 0 THEN NULL
+                               WHEN len_lo % 2 = 1 THEN a[mid_lo]
+                               ELSE (a[mid_lo - 1] + a[mid_lo]) / 2.0 END), 6) AS iqr,
+                   vmin, vmax, sd
+            FROM h
+        """,
+        # A12: each rule's violation predicate, melted to (rule, id) rows.
+        "validation_rules": """
+            WITH v AS (
+              SELECT c_custkey, c_mktsegment,
+                     coalesce(CASE WHEN c_custkey % 97 <> 0
+                                   THEN CAST(CAST(c_acctbal AS DOUBLE) AS VARCHAR) END,
+                              '') AS val
+              FROM customer
+            )
+            SELECT 'required' AS rule, c_custkey FROM v WHERE val = ''
+            UNION ALL
+            SELECT 'greater than 0', c_custkey FROM v
+            WHERE val <> '' AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+              AND NOT (TRY_CAST(val AS DOUBLE) > 0)
+            UNION ALL
+            SELECT 'between 100 to 9000', c_custkey FROM v
+            WHERE val <> '' AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+              AND NOT (TRY_CAST(val AS DOUBLE) >= 100 AND TRY_CAST(val AS DOUBLE) <= 9000)
+            UNION ALL
+            SELECT 'lesser than 9000, when "MKTSEGMENT" is equal to "BUILDING"', c_custkey
+            FROM v
+            WHERE c_mktsegment = 'BUILDING'
+              AND val <> '' AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+              AND NOT (TRY_CAST(val AS DOUBLE) < 9000)
+        """,
+        # J8: mapping LEFT JOIN de_gpl_info.
+        "gpl_info_join": """
+            WITH info AS (
+              SELECT 'GPL' || n_nationkey AS platform, n_name AS title,
+                     'Gene Expression' AS marker_type
+              FROM nation WHERE n_nationkey % 2 = 0
+            )
+            SELECT s_suppkey AS sample_cd, 'GPL' || s_nationkey AS platform,
+                   info.title AS platform_title,
+                   info.marker_type AS platform_marker_type
+            FROM supplier LEFT JOIN info ON info.platform = 'GPL' || s_nationkey
+        """,
+        # X5/X11: minutes normalization (hour×60, day×1440, week×10080,
+        # month×43200) computed arithmetically — the Spark side must PARSE
+        # the display string back to the same number.
+        "timepoint_minutes": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE l_orderkey % 5
+                     WHEN 0 THEN 'Baseline'
+                     WHEN 1 THEN 'Week ' || l_linenumber
+                     WHEN 2 THEN CAST(CAST(l_quantity AS INT) AS VARCHAR) || ' days ' ||
+                                 l_linenumber || ' hours'
+                     WHEN 3 THEN CAST(CAST(l_quantity AS INT) AS VARCHAR) || ' months'
+                     ELSE 'Visit ' || l_linenumber
+                   END AS timepoint,
+                   CAST(CASE l_orderkey % 5
+                     WHEN 0 THEN 0
+                     WHEN 1 THEN l_linenumber * 10080
+                     WHEN 2 THEN CAST(l_quantity AS INT) * 1440 + l_linenumber * 60
+                     WHEN 3 THEN CAST(l_quantity AS INT) * 43200
+                     ELSE NULL
+                   END AS BIGINT) AS minutes
+            FROM lineitem
         """,
     }
