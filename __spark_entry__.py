@@ -927,10 +927,15 @@ closure AS (
 
 
 def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    from tmdataloader_spark.llmdata.dedup import MINHASH_PRIME, minhash_params
+
     rows = num_perms // bands
+    # shingles arrive pre-hashed (the shingle column IS the 32-bit md5
+    # base hash), affine perms with the same constants the Spark side
+    # derives in minhash_params()
     mh_cols = ",\n".join(
-        f"min(('0x'||left(md5('{i}:'||shingle),8))::bigint) AS mh_{i}"
-        for i in range(num_perms)
+        f"min(({a} * shingle + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perms))
     )
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, n_shingles, {b} AS band, md5({key}) AS band_key FROM sig".format(
@@ -945,9 +950,10 @@ def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8)
         WITH t AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents
         ), sh0 AS (
-          SELECT doc_id, list_distinct(list_transform(
+          SELECT doc_id, list_distinct(list_transform(list_transform(
             range(1, greatest(len(toks) - 1, 1)),
-            i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS shingles
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+            s -> ('0x'||left(md5('0:'||s),8))::bigint)) AS shingles
           FROM t
         ), sh AS (
           SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh0
@@ -1319,9 +1325,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
               FROM documents
             ), sh AS (
-              SELECT doc_id, list_distinct(list_transform(
+              -- shingles md5-hashed to 32-bit ints (mirrors the Spark side:
+              -- the self-join carries bigints, not n-word strings)
+              SELECT doc_id, list_distinct(list_transform(list_transform(
                 range(1, greatest(len(toks) - 1, 1)),
-                i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS shingles
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+                s -> ('0x'||left(md5('0:'||s),8))::bigint)) AS shingles
               FROM t
             ), ex0 AS (
               SELECT doc_id, unnest(shingles) AS shingle FROM sh

@@ -36,16 +36,31 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (Scala-side NGram)."""
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (Scala-side NGram).
+
+    With ``hashed`` (the default) each shingle is md5-hashed to a
+    32-bit int BEFORE dedup/explode: every downstream shuffle, agg and
+    join then carries one bigint per shingle instead of an n-word
+    string. Hashes are engine-portable (md5), so SQL oracles reproduce
+    them; collisions are deterministic and mirrored."""
     from pyspark.ml.feature import NGram
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
     dt = _spread(df, id_col).select(id_col, toks.alias("_toks"))
+    sh = F.col("_sh")
+    if hashed:
+        sh = F.transform(sh, lambda s: _hash32(s, 0))
     return (
         NGram(n=n, inputCol="_toks", outputCol="_sh")
         .transform(dt)
-        .select(id_col, F.array_distinct("_sh").alias("shingle_set"))
+        .select(id_col, F.array_distinct(sh).alias("shingle_set"))
         .select(
             id_col,
             F.size("shingle_set").alias("n_shingles"),
@@ -61,14 +76,47 @@ def _hash32(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; a·h+b < 2^61 stays in int64
+
+
+def minhash_params(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants (aᵢ odd < 2^28, bᵢ < 2^32) from
+    md5 bytes — shared verbatim by the SQL oracle."""
+    import hashlib
+
+    params = []
+    for i in range(num_perms):
+        d = hashlib.md5(f"minhash-perm:{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") % (1 << 28)) | 1
+        b = int.from_bytes(d[4:8], "big")
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_perms: int = 16
 ) -> DataFrame:
     """Per-document MinHash signature: min over shingles of each of
-    ``num_perms`` hash permutations — one groupBy, signature as
-    ``num_perms`` columns."""
+    ``num_perms`` permutations — one groupBy, signature as
+    ``num_perms`` columns.
+
+    Each shingle is md5-hashed ONCE to a 32-bit base; the permutations
+    are affine transforms ``(aᵢ·h + bᵢ) mod (2^61−1)`` — the standard
+    universal-hash family — in exact int64 arithmetic. This replaces
+    ``num_perms`` string md5s per shingle row with one md5 + cheap
+    integer math (the dominant cost of the whole MinHash pipeline at
+    corpus scale) while staying bit-reproducible in any engine.
+
+    When ``sh`` comes from ``shingles(..., hashed=True)`` the shingle
+    column IS the base hash already — no md5 at all in this stage."""
+    base = (
+        F.col("shingle")
+        if dict(sh.dtypes).get("shingle") == "bigint"
+        else _hash32(F.col("shingle"), 0)
+    )
     aggs = [
-        F.min(_hash32(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_perms)
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perms))
     ]
     return sh.groupBy(id_col, "n_shingles").agg(*aggs)
 
@@ -162,14 +210,26 @@ def ngram_jaccard_pairs(
     shingle in k docs emits k² join rows, so one hot stop-phrase is a
     shuffle bomb at corpus scale). Jaccard is then computed over the
     DF-filtered sets on both sides, which keeps the result exactly
-    reproducible by an oracle applying the same filter."""
+    reproducible by an oracle applying the same filter.
+
+    Shingles are md5-hashed to 32-bit ints BEFORE the self-join: the
+    DF agg, shuffle, and equi-join all carry one bigint per shingle
+    instead of an ~n-word string — a large shuffle-byte and compare
+    saving at corpus scale. Hash collisions (rare at 32 bits) are
+    deterministic and mirrored by the oracle, so results stay exact
+    between engines."""
     from pyspark.ml.feature import NGram
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
     sets = (
         NGram(n=n, inputCol="_toks", outputCol="_sh")
         .transform(_spread(df, id_col).select(id_col, toks.alias("_toks")))
-        .select(id_col, F.array_distinct("_sh").alias("shingle_set"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform("_sh", lambda s: _hash32(s, 0))
+            ).alias("shingle_set"),
+        )
     )
     if max_df is not None:
         sets = sets.cache()
