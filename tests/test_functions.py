@@ -138,3 +138,26 @@ def test_timepoint_minutes(spark):
     )
     vals = [r.m for r in df.select(timepoint_minutes("v").alias("m")).collect()]
     assert vals == [0, 2 * 1440 + 3 * 60, 4 * 10080, 518400, None]
+
+
+def test_tag_value_types_null_group_key(spark):
+    """A NULL visit_name group must still receive its inferred type
+    (eqNullSafe join keys — plain equality would leave valtype_cd NULL
+    and silently store numeric values as text)."""
+    from tmdataloader_spark.operators.type_inference import tag_value_types
+
+    df = spark.createDataFrame(
+        [
+            ("C1", "WEIGHT", None, "70.5"),
+            ("C1", "WEIGHT", None, "81"),
+            ("C1", "SEX", "V1", "Male"),
+        ],
+        "category_cd string, data_label string, visit_name string, data_value string",
+    )
+    out = {
+        (r.data_label, r.visit_name): (r.valtype_cd, r.tval_char, r.nval_num)
+        for r in tag_value_types(df).collect()
+    }
+    assert out[("WEIGHT", None)][0] == "N"
+    assert out[("WEIGHT", None)][1] == "E"
+    assert out[("SEX", "V1")] == ("T", "Male", None)
