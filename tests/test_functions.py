@@ -161,3 +161,13 @@ def test_tag_value_types_null_group_key(spark):
     assert out[("WEIGHT", None)][0] == "N"
     assert out[("WEIGHT", None)][1] == "E"
     assert out[("SEX", "V1")] == ("T", "Male", None)
+
+
+def test_escape_like(spark):
+    """X12 (I2B2_FILL_IN_TREE.sql:52): LIKE metachars * % _ get a *
+    escape prefix."""
+    from tmdataloader_spark.functions.paths import escape_like
+
+    df = spark.createDataFrame([("a*b%c_d",), ("plain",)], ["v"])
+    vals = [r.e for r in df.select(escape_like("v").alias("e")).collect()]
+    assert vals == ["a**b*%c*_d", "plain"]
