@@ -774,17 +774,22 @@ def q_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_rules(sentences)
     value = F.when(F.col("c_custkey") % 97 != 0, F.col("c_acctbal").cast("double").cast("string"))
     row = {"MKTSEGMENT": F.col("c_mktsegment")}
-    wide = c.select(
-        "c_custkey",
-        *[violation_expr(r, value, row).alias(f"_v{i}") for i, r in enumerate(rules)],
+    # ONE scan: all rule predicates evaluated in a single projection,
+    # melted via explode (a per-rule union would rescan the table)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.description).alias("rule"),
+                violation_expr(r, value, row).alias("violated"),
+            )
+            for r in rules
+        ]
     )
-    out = None
-    for i, r in enumerate(rules):
-        part = wide.filter(F.col(f"_v{i}")).select(
-            F.lit(r.description).alias("rule"), "c_custkey"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return (
+        c.select(F.col("c_custkey"), F.explode(pairs).alias("p"))
+        .filter(F.col("p.violated"))
+        .select(F.col("p.rule").alias("rule"), "c_custkey")
+    )
 
 
 def q_gpl_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
