@@ -95,3 +95,39 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_media(documents_as_media(docs), fake=False)
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    from pyspark.sql import functions as F
+    from tmdataloader_spark.llmdata.multimodal import (
+        documents_as_media, resize_media, sample_frames,
+    )
+
+    media = documents_as_media(docs).withColumn(
+        "media_type",
+        F.when(F.col("media_id") % 2 == 0, F.lit("video")).otherwise(F.lit("image")),
+    )
+    rs = resize_media(media, 8, 4).collect()
+    assert len(rs) == docs.count()
+    assert all(len(r.content) == 32 and r.width == 8 and r.height == 4 for r in rs)
+    # deterministic across runs
+    again = {r.media_id: bytes(r.content) for r in resize_media(media, 8, 4).collect()}
+    assert all(again[r.media_id] == bytes(r.content) for r in rs)
+
+    fr = sample_frames(media, every_ms=1000, max_frames=4)
+    rows = fr.collect()
+    # only video rows explode; ≥1 frame each, capped at 4
+    vids = {r.media_id for r in media.filter(F.col("media_type") == "video").collect()}
+    assert {r.media_id for r in rows} == vids
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms, len(r.frame)))
+    for frames in per.values():
+        assert 1 <= len(frames) <= 4
+        assert frames[0][2] == 32  # sha256 digest payload
+    assert all(ts == idx * 1000 for f in per.values() for idx, ts, _ in f)
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 4, fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, fake=False)

@@ -114,6 +114,86 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
     )
 
 
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: (media_id, media_type, content) → same schema
+    with resized content and target dims. Arrow-batched ``mapInPandas``
+    — the batch loop is where PIL's ``Image.resize`` plugs in; the
+    fake kernel emits a deterministic digest-derived payload of
+    ``width·height`` bytes so tests can assert sizes and stability."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL, not available in this container"
+        )
+    n_out = width * height
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                digest = hashlib.sha256(b + f":{width}x{height}".encode()).digest()
+                out.append((digest * (n_out // len(digest) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "media_type", "content").mapInPandas(
+        batches,
+        schema="media_id long, media_type string, content binary, width int, height int",
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 32, fake: bool = True
+) -> DataFrame:
+    """Frame sampling plumbing: one video row → one row per sampled
+    frame (media_id, frame_idx, ts_ms, frame). The 1→N batch shape is
+    the ``mapInPandas`` equivalent of a UDTF explode — where ffmpeg
+    frame extraction plugs in. The fake kernel derives the frame count
+    from the fake-decoded duration and each frame payload from
+    sha256(content ‖ idx) — deterministic across partitionings."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, not available in this container"
+        )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, mtype, c in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                if mtype != "video":
+                    continue
+                b = bytes(c) if c is not None else b""
+                _, _, dur = _fake_decode(b, "video")
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(hashlib.sha256(b + f":frame:{i}".encode()).digest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select("media_id", "media_type", "content").mapInPandas(
+        batches, schema="media_id long, frame_idx int, ts_ms long, frame binary"
+    )
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter for testing: treat document text bytes as opaque media
     content (utf-8), exercising the binary-column path end-to-end."""
