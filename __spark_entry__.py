@@ -730,6 +730,19 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed block top-k (llmdata.similarity.cosine_topk):
+    corpus hash-split into blocks, per-block NumPy matmul via cogrouped
+    applyInPandas, global window reduce — the exact-ANN scale path (no
+    driver collect). Same output contract as brute force, so it shares
+    the ann_cosine oracle semantics."""
+    from tmdataloader_spark.llmdata.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk(q, e, k=5)
+
+
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: the summary-statistics kernel (VariableStatistic.groovy
     :65-98,184-197) — per variable: N, nulls, mean, EXACT median,
@@ -894,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visit_suppression": q_visit_suppression,
         "hdd_leaf_paths": q_hdd_leaf_paths,
         "event_rollup": q_event_rollup,
+        "ann_block": q_ann_block,
         "summary_stats": q_summary_stats,
         "validation_rules": q_validation_rules,
         "gpl_info_join": q_gpl_info_join,
@@ -1395,6 +1409,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "ann_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+            ), cd AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), qd AS (
+              SELECT query_id, CAST(qv AS DOUBLE[]) AS qv FROM q
+            ), scored AS (
+              SELECT qd.query_id, cd.vec_id AS cand_id,
+                     round(list_dot_product(qd.qv, cd.cv) /
+                           (sqrt(list_dot_product(qd.qv, qd.qv)) * sqrt(list_dot_product(cd.cv, cd.cv))), 6) AS cosine_sim
+              FROM qd, cd WHERE qd.query_id != cd.vec_id
+            )
+            SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+"ann_block": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
             ), cd AS (

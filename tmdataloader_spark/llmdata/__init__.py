@@ -10,5 +10,6 @@ for 100 TB first:
 - ``text``       : language-ID heuristic, quality scoring, token
                    counting, fingerprinting — all JVM-side expressions
 - ``multimodal`` : opaque binary columns + typed metadata, Arrow-
-                   batched decode plumbing (real codecs stubbed)
+                   batched decode / resize / frame-sample plumbing
+                   (real codecs stubbed)
 """
