@@ -271,6 +271,10 @@ def load_clinical(
         "site_id", "subject_id", "visit_name", "data_label", "category_cd", "data_value",
     ]
     work = dedup_keep_one(work, key_cols)
+    # ONE materialization of the cleansed frame serves both abort
+    # guards and the node/patient/fact builds below — without it each
+    # guard re-runs the full melt+cleanse lineage as its own job
+    work = work.cache()
     if check_duplicates:
         numeric = work.filter(F.col("data_type") == "N")
         assert_no_duplicates(
@@ -278,8 +282,8 @@ def load_clinical(
         )
         assert_visit_name_consistency(work)
 
+    # narrow projection on top of the cached frame
     work = inject_placeholders(work)
-    work = work.cache()
 
     trial_nodes = build_trial_nodes(work, top_node)
     patients = build_patient_dimension(work, trial_id)
