@@ -563,7 +563,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_ann(q, e, k=5)
+    # dim pinned to the table's embedding width (the oracle's plane
+    # literals are generated for the same dim)
+    return lsh_ann(q, e, k=5, dim=64)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic 16-cell codebook (vec_id < 16),
+    argmax integer-inner-product assignment, nprobe=4 probe join,
+    exact cosine rerank — the Faiss-IVF shape as a broadcast +
+    narrow-assignment + cell equi-join plan."""
+    from tmdataloader_spark.llmdata.similarity import ivf_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_ann(q, e, k=5, ncentroids=16, nprobe=4)
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +742,17 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator in streaming.py): one
+    shuffle on user_id serves the lag window, the running-sum session
+    ordinal, and the per-session aggregate."""
+    from tmdataloader_spark.streaming import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_seconds=1800)
 
 
 def q_ann_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,11 +927,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "vcf_genotypes": q_vcf_genotypes,
         "merge_update": q_merge_update,
         "visit_suppression": q_visit_suppression,
         "hdd_leaf_paths": q_hdd_leaf_paths,
         "event_rollup": q_event_rollup,
+        "sessionize": q_sessionize,
         "ann_block": q_ann_block,
         "summary_stats": q_summary_stats,
         "validation_rules": q_validation_rules,
@@ -1447,6 +1474,48 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        # IVF: codebook = rows vec_id<16; cell = argmax exact integer inner
+        # product on floor(x*1000) quantization (ties → smaller cid);
+        # queries probe their 4 best cells; exact cosine rerank.
+        "ann_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS qv,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), ip AS (
+              SELECT e.vec_id, cent.cid, list_dot_product(e.qv, cent.cv) AS ip
+              FROM e CROSS JOIN cent
+            ), ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn
+              FROM ip
+            ), cassign AS (
+              SELECT vec_id AS cand_id, cid AS cell FROM ranked WHERE rn = 1
+            ), qprobe AS (
+              SELECT vec_id AS query_id, cid AS cell FROM ranked
+              WHERE rn <= 4 AND vec_id < 10
+            ), cand AS (
+              SELECT query_id, cand_id FROM qprobe JOIN cassign USING (cell)
+              WHERE query_id <> cand_id
+            ), scored AS (
+              SELECT cand.query_id, cand.cand_id,
+                     round(list_dot_product(eq.v, ec.v) /
+                           (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cosine_sim
+              FROM cand
+              JOIN e eq ON eq.vec_id = cand.query_id
+              JOIN e ec ON ec.vec_id = cand.cand_id
+            )
+            SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "visit_suppression": r"""
             WITH w AS (
               SELECT l_orderkey, l_linenumber,
@@ -1565,6 +1634,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # Gap sessionization: integer-micros gap test (epoch_us of the
+        # micros-truncated timestamp == Spark's unix_micros), running-sum
+        # session ordinal, per-session aggregate.
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), s AS (
+              SELECT *,
+                     sum(CASE WHEN prev_us IS NULL
+                              OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o
+            )
+            SELECT user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_seq
         """,
         # A11: exact median + Tukey hinges via sorted lists; the slice-median
         # convention mirrors _median_of_slice (mid = start + L//2; odd → a[mid],

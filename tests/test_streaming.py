@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from tmdataloader_spark.streaming import (
     read_event_stream,
+    sessionize_batch,
+    sessionize_stream,
     stream_quality_scores,
     windowed_event_rollup,
 )
@@ -55,6 +57,67 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     }
     assert got == expected
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization must agree with its batch
+    twin: every session the stream CLOSES (by gap or by event-time
+    timeout) matches the batch result; only each user's final session —
+    still open when the feed pauses — may be pending."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes, value):
+        return (eid, uid, "click", t0 + dt.timedelta(minutes=minutes), float(value))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    # user 1: sessions [0,10], [120,125], [360]; user 2: [0] only
+    batch1 = [ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 120, 3.0),
+              ev(4, 1, 125, 4.0), ev(5, 2, 0, 9.0)]
+    batch2 = [ev(6, 1, 360, 5.0)]
+    src = str(tmp_path / "sess_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessionize_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_seq): (
+                r.session_start, r.session_end, r.n_events, r.sum_value
+            )
+            for r in spark.sql("select * from sessionize_test").collect()
+        }
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expected_all = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events, r.sum_value
+        )
+        for r in sessionize_batch(all_events, gap_seconds=1800).collect()
+    }
+    # user 1 session 1 closes by gap in micro-batch 1; session 2 closes by
+    # gap in micro-batch 2; user 2's only session closes by event-time
+    # TIMEOUT (watermark from batch 2 passes t0+30min). Open at end:
+    # user 1 session 3.
+    assert (1, 1) in got and (1, 2) in got and (2, 1) in got
+    assert (1, 3) not in got  # still open — pending, not lost
+    for k, v in got.items():
+        assert expected_all[k] == v
 
 
 def test_stateless_quality_stream(spark, tmp_path):

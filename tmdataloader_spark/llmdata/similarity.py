@@ -124,6 +124,100 @@ def cosine_topk(
     )
 
 
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a tiny coarse-quantizer codebook
+    partitions the corpus into ``ncentroids`` cells; each query probes
+    only its ``nprobe`` best cells and exact-reranks the vectors found
+    there — the classic Faiss IVF-Flat shape, distributed.
+
+    Codebook: the corpus rows with ``id < ncentroids`` (deterministic;
+    production would plug MLlib KMeans centroids here — centroid
+    QUALITY only moves recall, never the plan shape or cost model).
+    Cell assignment is argmax integer inner product on floor(x·QUANT)
+    quantized vectors — exact in any engine (sums ≪ 2^53), so the
+    DuckDB oracle rebuilds the same cells from the same table.
+
+    100 TB shape: one broadcast of a 16-row codebook; assignment is a
+    narrow (id, cell) frame out of an Arrow-batched int matmul (no
+    ×ncentroids row blow-up, no shuffle); the probe join is an
+    equi-join on ``cell`` touching ~nprobe/ncentroids of the corpus;
+    only candidate vectors are re-read for the exact rerank."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.filter(F.col(id_col) < ncentroids)
+        .select(id_col, vec_col)
+        .collect()  # codebook only: ncentroids rows, intentionally tiny
+    )
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = np.floor(np.array([r[1] for r in cent_rows], dtype=np.float64) * QUANT).astype(
+        np.int64
+    )
+    b_cent = spark.sparkContext.broadcast((cids, cmat))
+
+    def assign(nbest: int):
+        def gen(it):
+            ids_c, cm = b_cent.value
+            for pdf in it:
+                m = np.array(list(pdf[vec_col]), dtype=np.float64)
+                q = np.floor(m * QUANT).astype(np.int64)
+                ip = q @ cm.T  # (n, ncentroids) exact integer inner products
+                out = []
+                for row in range(len(pdf)):
+                    order = np.lexsort((ids_c, -ip[row]))[:nbest]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vid": pdf[id_col].iloc[row],
+                                "cell": ids_c[order],
+                                "probe_rank": np.arange(1, len(order) + 1),
+                            }
+                        )
+                    )
+                yield pd.concat(out)
+
+        return gen
+
+    spread = corpus.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism, id_col
+    )
+    cassign = spread.mapInPandas(
+        assign(1), schema="vid long, cell long, probe_rank int"
+    ).select(F.col("vid").alias("cand_id"), "cell")
+    qassign = queries.select(id_col, vec_col).mapInPandas(
+        assign(nprobe), schema="vid long, cell long, probe_rank int"
+    ).select(F.col("vid").alias("query_id"), "cell")
+
+    cand = qassign.join(cassign, on="cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    ).select("query_id", "cand_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = cand.join(qv, on="query_id").join(cv, on="cand_id").withColumn(
+        "cosine_sim", _cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def int_hyperplanes(dim: int, nplanes: int) -> list[list[int]]:
     """Deterministic INTEGER hyperplanes from md5 bytes (each
     component = byte − 128 ∈ [−128, 127]). Integer-valued so sign
@@ -208,6 +302,7 @@ def lsh_ann(
     vec_col: str = "embedding",
     nbits: int = 4,
     ntables: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: ``ntables`` independent sign-hash
     buckets; a query scores only corpus rows sharing a bucket in any
@@ -220,8 +315,12 @@ def lsh_ann(
     bucket math is exact integer arithmetic, reproducible in SQL.
 
     Recall/cost dial: more tables and fewer bits → more candidates →
-    higher recall; raise nbits for clustered real-world corpora."""
-    dim = len(corpus.select(vec_col).first()[0])
+    higher recall; raise nbits for clustered real-world corpora.
+
+    Pass ``dim`` when the embedding width is known — it saves the
+    probe job that would otherwise read one row to measure it."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     qb = lsh_buckets(queries, id_col, vec_col, nbits, ntables, dim)
     cb = lsh_buckets(corpus, id_col, vec_col, nbits, ntables, dim)
     cand = (

@@ -11,7 +11,9 @@ batch backfill — the standard lambda-check."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def read_event_stream(
@@ -45,6 +47,150 @@ def windowed_event_rollup(
             "event_type",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization, batch form: consecutive events of one
+    user belong to one session while the inter-event gap stays ≤
+    ``gap_seconds``; a larger gap opens a new session.
+
+    Plan shape: one shuffle on ``user_id`` serves both the lag window
+    and the running-sum window and the final per-session aggregate —
+    Spark reuses the exchange, so at 100 TB this is a single
+    hash-partition of the event log, no driver state.  Gap arithmetic
+    is integer microseconds (``unix_micros``) so an engine reading the
+    same micros-truncated timestamps reproduces it exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        events.withColumn("_new", new_session)
+        .withColumn("session_seq", F.sum("_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            F.date_format(F.max("ts"), fmt).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# Arrow-side schemas for the stateful operator (kept module-level so the
+# batch twin's column contract is visibly identical).
+_SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_seq long, session_start string, "
+    "session_end string, n_events long, sum_value double"
+)
+# state: ordinal of the open session, its start/last-event micros,
+# running count and value sum.
+_SESSION_STATE_SCHEMA = (
+    "seq long, start_us long, last_us long, n_events long, sum_value double"
+)
+
+
+def _session_rows(key, closed):
+    import pandas as pd
+
+    (user_id,) = key
+    rows = []
+    for seq, start_us, last_us, n, sv in closed:
+        rows.append(
+            {
+                "user_id": user_id,
+                "session_seq": seq,
+                "session_start": pd.Timestamp(start_us, unit="us").strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "session_end": pd.Timestamp(last_us, unit="us").strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "n_events": n,
+                "sum_value": round(sv, 6),
+            }
+        )
+    return pd.DataFrame(rows, columns=[c.split()[0] for c in _SESSION_OUTPUT_SCHEMA.split(", ")])
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    — the streaming twin of :func:`sessionize_batch`.
+
+    Per ``user_id`` the state holds the one open session (start, last
+    event time, count, value sum, ordinal).  Each micro-batch merges
+    its rows in event-time order: rows within ``gap_seconds`` of the
+    open session extend it; a larger gap closes it (emitted downstream)
+    and opens the next.  An event-time timeout set to
+    ``last_event + gap`` closes idle sessions once the watermark passes
+    — state is bounded by (active users × one tuple), not by history,
+    which is what makes this run indefinitely on an unbounded feed.
+
+    Late rows older than the watermark are dropped by the watermark
+    operator before reaching the state function (standard streaming
+    contract; the batch twin replayed over the full log is the
+    reconciliation path, same as the rollup pair above)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterable, state) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is final.
+            closed = [state.get]
+            state.remove()
+            yield _session_rows(key, closed)
+            return
+
+        if state.exists:
+            seq, start_us, last_us, n, sv = state.get
+        else:
+            seq, start_us, last_us, n, sv = 0, None, None, 0, 0.0
+
+        closed = []
+        # one group's micro-batch rows may span several Arrow chunks and
+        # chunk order is not event-time order — concat, then sort once
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            # normalize to int64 micros regardless of the Arrow-side
+            # datetime64 resolution (ns under legacy pandas, us under 2.x)
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            vals = pdf["value"].to_numpy()
+            for t, v in zip(ts_us, vals):
+                if start_us is None:
+                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, float(v)
+                elif t - last_us > gap_us:
+                    closed.append((seq, start_us, last_us, n, sv))
+                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, float(v)
+                else:
+                    last_us, n, sv = int(t), n + 1, sv + float(v)
+
+        if start_us is not None:
+            state.update((seq, start_us, last_us, n, sv))
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield _session_rows(key, closed)
+
+    return (
+        events.withWatermark("ts", f"{gap_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )
 
