@@ -316,21 +316,33 @@ def move_study_by_path(
         )
 
     # empty-old-level pruning (:463-491): old ancestors that now have
-    # no descendants are deleted
-    for anc in reversed(_ancestors(old_path)[:-1]):
-        has_children = (
-            i2b2.filter(
-                F.col("c_fullname").startswith(anc) & (F.col("c_fullname") != anc)
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
-        if not has_children:
-            i2b2 = i2b2.filter(F.col("c_fullname") != anc)
-            concept_dim = concept_dim.filter(F.col("concept_path") != anc)
+    # no descendants are deleted. ONE scan computes, per ancestor, how
+    # many non-ancestor descendants remain; the bottom-up cascade (a
+    # level whose only descendants were deeper pruned levels is itself
+    # empty) then resolves in plain Python — the reference's per-level
+    # EXISTS loop would be one full scan per depth.
+    old_ancs = _ancestors(old_path)[:-1]
+    if old_ancs:
+        flags_row = i2b2.filter(~F.col("c_fullname").isin(old_ancs)).agg(
+            *[
+                F.max(
+                    F.when(F.col("c_fullname").startswith(anc), 1).otherwise(0)
+                ).alias(f"a{i}")
+                for i, anc in enumerate(old_ancs)
+            ]
+        ).collect()[0]
+        removed: list[str] = []
+        survivor_below = False
+        for i in range(len(old_ancs) - 1, -1, -1):  # deepest first
+            if flags_row[i] == 1 or survivor_below:
+                survivor_below = True
+            else:
+                removed.append(old_ancs[i])
+        if removed:
+            i2b2 = i2b2.filter(~F.col("c_fullname").isin(removed))
+            concept_dim = concept_dim.filter(~F.col("concept_path").isin(removed))
             if table_access is not None:
-                table_access = table_access.filter(F.col("c_fullname") != anc)
+                table_access = table_access.filter(~F.col("c_fullname").isin(removed))
 
     # hlevel recompute for the moved subtree (:493-512):
     # (#separators − 2), i.e. root = 0
@@ -351,6 +363,24 @@ def move_study_by_path(
     counts = compute_concept_counts(
         facts.select(F.col("concept_path").alias("path"), "patient_num")
     )
+
+    # Truncate lineage of the SMALL ontology frames before handing the
+    # warehouse back: the reference materializes every operation into
+    # DB tables, so each op starts from flat state. Without this,
+    # chained operations (move → move, keep-security delete → move)
+    # stack unions/withColumns/filters into a plan whose serialized
+    # task graph grows without bound — each probe action re-executes
+    # the whole history and task deserialization eventually OOMs.
+    # localCheckpoint is the Spark analog for the driver-side state;
+    # observation_fact stays LAZY (its rewrite is one narrow map — at
+    # 100 TB you write it back to the fact table instead).
+    i2b2 = i2b2.localCheckpoint(eager=False)
+    concept_dim = concept_dim.localCheckpoint(eager=False)
+    counts = counts.localCheckpoint(eager=False)
+    if table_access is not None:
+        table_access = table_access.localCheckpoint(eager=False)
+    if tags is not None:
+        tags = tags.localCheckpoint(eager=False)
     return dc_replace(
         wh,
         i2b2=i2b2,
