@@ -34,16 +34,11 @@ def main() -> None:
     # long-lived cluster pays these once, not per query:
     # JVM + parquet footers,
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    # the Python/Arrow worker pool (one fork per core),
+    # and the Python/Arrow worker pool (one fork per core).
     ncores = spark.sparkContext.defaultParallelism
     spark.range(0, ncores, 1, ncores).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    # and the MLlib transformer classes (NGram shingling).
-    from pyspark.ml.feature import NGram
-
-    warm_df = spark.createDataFrame([(["a", "b", "c"],)], ["_toks"])
-    NGram(n=2, inputCol="_toks", outputCol="_sh").transform(warm_df).count()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

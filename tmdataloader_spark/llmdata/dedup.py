@@ -36,6 +36,52 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams as a pure Catalyst expression
+    (``sequence`` + ``slice`` + ``concat_ws`` — runs inside
+    whole-stage codegen, no UDF and no MLlib transformer). Output
+    matches MLlib NGram exactly: n consecutive tokens joined by one
+    space, empty array when fewer than ``n`` tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, array form:
+    ``(id, shingle_set)``.
+
+    This is the SHARED base subplan of every shingle pipeline —
+    ``ngram_jaccard_pairs`` and the MinHash/LSH chain both build on
+    this exact function, so their plans canonicalize identically and a
+    warm session's CacheManager serves one query's cached shingle sets
+    to the other (pure expressions canonicalize reliably; the previous
+    MLlib-NGram UDF did not always).
+
+    With ``hashed`` (the default) each shingle is md5-hashed to a
+    32-bit int BEFORE dedup/explode: every downstream shuffle, agg and
+    join then carries one bigint per shingle instead of an n-word
+    string. Hashes are engine-portable (md5), so SQL oracles reproduce
+    them; collisions are deterministic and mirrored."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    grams = _word_ngrams(toks, n)
+    if hashed:
+        grams = F.transform(grams, lambda s: _hash32(s, 0))
+    return _spread(df, id_col).select(
+        F.col(id_col), F.array_distinct(grams).alias("shingle_set")
+    )
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -43,29 +89,12 @@ def shingles(
     n: int = 3,
     hashed: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document (Scala-side NGram).
-
-    With ``hashed`` (the default) each shingle is md5-hashed to a
-    32-bit int BEFORE dedup/explode: every downstream shuffle, agg and
-    join then carries one bigint per shingle instead of an n-word
-    string. Hashes are engine-portable (md5), so SQL oracles reproduce
-    them; collisions are deterministic and mirrored."""
-    from pyspark.ml.feature import NGram
-
-    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
-    dt = _spread(df, id_col).select(id_col, toks.alias("_toks"))
-    sh = F.col("_sh")
-    if hashed:
-        sh = F.transform(sh, lambda s: _hash32(s, 0))
-    return (
-        NGram(n=n, inputCol="_toks", outputCol="_sh")
-        .transform(dt)
-        .select(id_col, F.array_distinct(sh).alias("shingle_set"))
-        .select(
-            id_col,
-            F.size("shingle_set").alias("n_shingles"),
-            F.explode("shingle_set").alias("shingle"),
-        )
+    """Exploded long form of :func:`shingle_sets`:
+    ``(id, n_shingles, shingle)`` — one row per distinct shingle."""
+    return shingle_sets(df, text_col, id_col, n, hashed).select(
+        id_col,
+        F.size("shingle_set").alias("n_shingles"),
+        F.explode("shingle_set").alias("shingle"),
     )
 
 
@@ -218,21 +247,13 @@ def ngram_jaccard_pairs(
     saving at corpus scale. Hash collisions (rare at 32 bits) are
     deterministic and mirrored by the oracle, so results stay exact
     between engines."""
-    from pyspark.ml.feature import NGram
-
-    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
-    sets = (
-        NGram(n=n, inputCol="_toks", outputCol="_sh")
-        .transform(_spread(df, id_col).select(id_col, toks.alias("_toks")))
-        .select(
-            id_col,
-            F.array_distinct(
-                F.transform("_sh", lambda s: _hash32(s, 0))
-            ).alias("shingle_set"),
-        )
-    )
+    # Cached because the sets feed BOTH sides of the self-join (and
+    # the DF-guard agg when max_df is set) — without the cache the
+    # tokenize+hash stage runs twice. MEMORY_AND_DISK, so an
+    # over-budget corpus spills instead of OOMing; a warm session's
+    # later MinHash run reuses the same cached subplan.
+    sets = shingle_sets(df, text_col, id_col, n=n).cache()
     if max_df is not None:
-        sets = sets.cache()
         # Hot shingles are the Zipf tail above the DF cap — a bounded
         # vocabulary of stop-phrases, safe to collect (the per-shingle
         # DF agg is one map-side-combined shuffle of (shingle, count)).
