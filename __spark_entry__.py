@@ -141,14 +141,17 @@ def q_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/W2/W5: DISTINCT ON keep-one with deterministic min-record
     tiebreak (I2B2_LOAD_CLINICAL_DATA.sql:634-645,
-    I2B2_CREATE_FULL_TREE.sql:21-28)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy("l_orderkey", "l_linenumber")
-    return (
-        li.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    I2B2_CREATE_FULL_TREE.sql:21-28). Uses the library operator's
+    min(struct) aggregation form — map-side partial agg instead of a
+    full-shuffle row_number sort."""
+    from tmdataloader_spark.operators.dedup import dedup_keep_one
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"
     )
+    return dedup_keep_one(
+        li, ["l_partkey", "l_suppkey"], ["l_orderkey", "l_linenumber"]
+    ).select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
 
 
 def q_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,16 +28,33 @@ def assert_no_duplicates(df: DataFrame, keys: list[str]) -> None:
         raise LoadValidationError(f"duplicate rows for keys {keys}: {dups[0].asDict()}")
 
 
-def dedup_keep_one(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+def dedup_keep_one(
+    df: DataFrame, keys: list[str], order_col: str | list[str] | None = None
+) -> DataFrame:
     """A8/W2: keep one row per key — DISTINCT ON equivalent
-    (I2B2_LOAD_CLINICAL_DATA.sql:634-645). With ``order_col`` the kept
-    row is deterministic (min order_col, like W5's MIN(RECORD_ID),
-    I2B2_CREATE_FULL_TREE.sql:21-28); without, arbitrary like the
-    reference."""
+    (I2B2_LOAD_CLINICAL_DATA.sql:634-645). With ``order_col`` (one
+    column or a list) the kept row is deterministic: lexicographic min
+    over the order columns then over the remaining payload, like W5's
+    MIN(RECORD_ID) (I2B2_CREATE_FULL_TREE.sql:21-28). Without,
+    arbitrary like the reference.
+
+    Implemented as ``min(struct(...))`` aggregation, not a
+    row_number window: partial aggregation collapses each group
+    map-side, so the shuffle carries one row per key per input
+    partition instead of every input row — the difference between a
+    sort-based and an agg-based plan at 100 TB. (Also strictly more
+    deterministic than row_number, which breaks order ties
+    arbitrarily.)"""
     if order_col is None:
         return df.dropDuplicates(keys)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    payload = order_cols + [c for c in df.columns if c not in keys and c not in order_cols]
+    picked = df.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in payload])).alias("_m")
+    )
+    return picked.select(
+        *[F.col(f"_m.{c}").alias(c) if c in payload else F.col(c) for c in df.columns]
+    )
 
 
 def assert_visit_name_consistency(
