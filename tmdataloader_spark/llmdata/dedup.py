@@ -246,12 +246,27 @@ def ngram_jaccard_pairs(
     instead of an ~n-word string — a large shuffle-byte and compare
     saving at corpus scale. Hash collisions (rare at 32 bits) are
     deterministic and mirrored by the oracle, so results stay exact
-    between engines."""
-    # Cached because the sets feed BOTH sides of the self-join (and
-    # the DF-guard agg when max_df is set) — without the cache the
-    # tokenize+hash stage runs twice. MEMORY_AND_DISK, so an
-    # over-budget corpus spills instead of OOMing; a warm session's
-    # later MinHash run reuses the same cached subplan.
+    between engines.
+
+    Candidate generation uses LOSSLESS prefix filtering (the
+    AllPairs / set-similarity-join principle, cf. Bayardo et al.
+    WWW'07 and Vernica et al. SIGMOD'10): with every set ordered by
+    the same global total order, two sets with Jaccard ≥ t must share
+    a shingle inside BOTH sets' first ``|x| − ⌈t·|x|⌉ + 1`` elements.
+    The self-join therefore touches only those prefix rows —
+    candidate volume tracks the true-duplicate count instead of the
+    quadratic shared-shingle mass — and the few candidates are
+    exact-verified with ``array_intersect`` on the full sets. Same
+    result set, orders-of-magnitude fewer join rows at corpus scale.
+    The order used is the 32-bit shingle hash itself: effectively a
+    random permutation (prefix collisions ≈ (1−t)² of shared-shingle
+    mass) obtained by one narrow ``array_sort`` projection — no
+    document-frequency pass, no re-aggregation."""
+    # Cached: feeds the skew-guard agg, the prefix self-join, and the
+    # verification joins — without the cache the tokenize+hash stage
+    # runs once per consumer. MEMORY_AND_DISK, so an over-budget
+    # corpus spills instead of OOMing; a warm session's later MinHash
+    # run reuses the same cached subplan.
     sets = shingle_sets(df, text_col, id_col, n=n).cache()
     if max_df is not None:
         # Hot shingles are the Zipf tail above the DF cap — a bounded
@@ -272,35 +287,52 @@ def ngram_jaccard_pairs(
                     F.col("shingle_set"), F.array(*[F.lit(s) for s in hot])
                 ).alias("shingle_set"),
             )
-    # n_sh comes free from the array size — no extra shuffle
-    ex = sets.select(
-        id_col,
+    ordered = sets.select(
+        F.col(id_col),
+        F.array_sort("shingle_set").alias("shingle_arr"),
         F.size("shingle_set").alias("n_sh"),
-        F.explode("shingle_set").alias("shingle"),
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(
-            b,
+    # prefix length |x| − ⌈t·|x|⌉ + 1; the 1e-9 nudge keeps a float
+    # threshold from over-rounding ceil upward (a longer prefix is
+    # merely more candidates — still lossless, verification is exact)
+    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    pex = ordered.select(
+        F.col(id_col), F.explode(F.slice("shingle_arr", 1, plen)).alias("shingle")
+    )
+    cand = (
+        pex.alias("a")
+        .join(
+            pex.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_inter"))
+        .distinct()
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.round(
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            6,
-        ),
+    fa = ordered.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingle_arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    fb = ordered.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingle_arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    jac = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
