@@ -182,8 +182,21 @@ def minhash_lsh_pairs(
     """Full MinHash→LSH→verify pipeline: returns (doc_a, doc_b,
     jaccard) for candidate pairs (band collision) whose EXACT shingle
     Jaccard ≥ threshold. Deterministic: md5 permutations, rounded
-    jaccard."""
-    sh = shingles(df, text_col, id_col, n=ngram).cache()
+    jaccard.
+
+    Verification joins the candidate pairs back to the cached shingle
+    ARRAYS and computes ``size(array_intersect(...))`` — two narrow
+    equi-joins carrying one array per candidate, instead of re-joining
+    the exploded shingle stream (whose volume is the whole corpus,
+    not the candidate set)."""
+    # same cached base subplan as ngram_jaccard_pairs — in a warm
+    # session whichever runs first feeds the other
+    sets = shingle_sets(df, text_col, id_col, n=ngram).cache()
+    sh = sets.select(
+        F.col(id_col),
+        F.size("shingle_set").alias("n_shingles"),
+        F.explode("shingle_set").alias("shingle"),
+    )
     sigs = minhash_signatures(sh, id_col, num_perms)
     bandkeys = lsh_band_keys(sigs, id_col, num_perms, bands)
     a = bandkeys.alias("a")
@@ -203,21 +216,20 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("_doc_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, on="doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = inter.withColumn(
-        "jaccard",
-        F.round(
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            6,
-        ),
+    fa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("arr_a"))
+    fb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("arr_b"))
+    jac = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
