@@ -484,6 +484,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash, window-min
+    selection — Schleimer/Wilkerson/Aiken): position-robust document
+    fingerprints; shared substrings ≥ k+w−1 chars guarantee a shared
+    selected hash. Pure expressions, portable md5 hashes."""
+    from tmdataloader_spark.llmdata.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: English stopword hit-rate over tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -921,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1357,6 +1368,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "winnow": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents
+            ), s2 AS (  -- rolling 8-gram hashes (portable 32-bit md5)
+              SELECT doc_id,
+                CASE WHEN length(norm) - 7 >= 1 THEN
+                  list_transform(range(1, length(norm) - 7 + 1),
+                    i -> ('0x'||left(md5('0:'||substr(norm, i, 8)),8))::bigint)
+                ELSE CAST([] AS BIGINT[]) END AS g
+              FROM s1
+            ), s3 AS (  -- winnow: min per window of 4, dedup
+              SELECT doc_id,
+                CASE WHEN len(g) - 3 >= 1 THEN
+                  list_distinct(list_transform(range(1, len(g) - 3 + 1),
+                    j -> list_aggregate(g[j:j+3], 'min')))
+                ELSE CAST([] AS BIGINT[]) END AS fps
+              FROM s2
+            )
+            SELECT doc_id, unnest(fps) AS fp_hash FROM s3
         """,
         "langid": """
             WITH t AS (

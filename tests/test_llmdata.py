@@ -131,3 +131,56 @@ def test_multimodal_resize_and_frames(spark, docs):
         resize_media(media, 8, 4, fake=False)
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k+w-1 share at least one selected hash; docs shorter than k
+    produce no fingerprints."""
+    from tmdataloader_spark.llmdata.text import winnow_fingerprints
+
+    shared = "zygomatic arch process anatomy"  # 30 chars >= 8+4-1
+    df = spark.createDataFrame(
+        [
+            (1, "left prefix " + shared + " and a tail"),
+            (2, "other opening words " + shared + " different end"),
+            (3, "completely unrelated content with no overlap at all"),
+            (4, "short"),  # < k chars after normalization
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, k=8, w=4)
+    rows = fp.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert sets[1] & sets[2], "docs sharing a long substring must share a hash"
+    assert 4 not in sets and 5 not in sets, "short docs yield no fingerprints"
+    assert sets[3], "normal doc has fingerprints"
+
+
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs):
+    """Prefix-filtered exact Jaccard must equal the brute-force
+    all-pairs result on a real corpus slice."""
+    from tmdataloader_spark.llmdata.dedup import ngram_jaccard_pairs, shingle_sets
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["shingle_set"])
+        for r in shingle_sets(docs).collect()
+    }
+    ids = sorted(sets)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= 0.6:
+                brute.add((a, b, round(j, 6)))
+    assert got == brute

@@ -56,6 +56,59 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03): hash every character ``k``-gram of the normalized
+    text, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum. The selected-hash set is a position-robust
+    fingerprint: any shared substring of length ≥ k+w−1 guarantees a
+    shared selected hash.
+
+    Pure Catalyst expressions (sequence/transform/slice/array_min)
+    over the portable 32-bit md5 hash, so a SQL oracle reproduces
+    every fingerprint bit-for-bit. One row per (doc, distinct
+    selected hash); cost is O(len) per doc with no shuffle until the
+    caller aggregates."""
+    # staged projections so norm and the gram-hash array bind ONCE per
+    # row — embedding them inside the next stage's lambdas would
+    # re-evaluate them per element (O(len²) regex/hash work)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    s1 = df.select(F.col(id_col), norm.alias("_norm"))
+    n_grams = F.length("_norm") - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("0:"), F.substring(F.col("_norm"), i, k))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s2 = s1.select(F.col(id_col), grams.alias("_g"))
+    n_wins = F.size("_g") - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice("_g", j, w))
+    )
+    fps = F.when(n_wins >= 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return s2.select(F.col(id_col), F.explode(fps).alias("fp_hash"))
+
+
 def language_id(text: Column | str, threshold: float = 0.05) -> Column:
     """n-gram-heuristic language ID: English stopword hit-rate.
     (A real model would be a Pandas UDF; the heuristic stays JVM-side.)"""
