@@ -494,6 +494,22 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset sampling + train/val/test splitting:
+    portable md5-bucket arithmetic, so assignments are stable across
+    runs/engines/appends (what rand()-based sampling can't give a
+    training pipeline). Pure per-row expressions — no shuffle."""
+    from tmdataloader_spark.llmdata.sampling import hash_sample, split_column
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.25).select(
+        "doc_id",
+        split_column("doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).alias(
+            "split"
+        ),
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: English stopword hit-rate over tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -932,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
+        "hash_split": q_hash_split,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1391,6 +1408,21 @@ def oracle_sql() -> dict[str, str]:
               FROM s2
             )
             SELECT doc_id, unnest(fps) AS fp_hash FROM s3
+        """,
+        "hash_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     ('0x'||left(md5('sample:'||CAST(doc_id AS VARCHAR)),8))::bigint
+                       % 1000000 AS sb,
+                     ('0x'||left(md5('split:'||CAST(doc_id AS VARCHAR)),8))::bigint
+                       % 1000000 AS pb
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN pb < 800000 THEN 'train'
+                        WHEN pb < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b WHERE sb < 250000
         """,
         "langid": """
             WITH t AS (

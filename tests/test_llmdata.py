@@ -184,3 +184,35 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs):
             if round(j, 6) >= 0.6:
                 brute.add((a, b, round(j, 6)))
     assert got == brute
+
+
+def test_hash_sampling_deterministic_and_stratified(spark, docs):
+    """Hash sampling is stable across runs, nests by construction,
+    and stratified fractions apply per stratum."""
+    from tmdataloader_spark.llmdata.sampling import (
+        hash_sample,
+        split_column,
+        stratified_hash_sample,
+    )
+
+    s1 = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert s1 == s2, "same salt+fraction must select identical rows"
+    s_small = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert s_small <= s1, "same-salt smaller fraction nests inside larger"
+
+    splits = docs.select(
+        "doc_id",
+        split_column("doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).alias("s"),
+    )
+    counts = {r["s"]: r["n"] for r in splits.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+    lab = docs.withColumn("parity", (F.col("doc_id") % 2).cast("string"))
+    strat = stratified_hash_sample(lab, {"0": 1.0}, "parity")
+    kept = {r.doc_id for r in strat.select("doc_id").collect()}
+    assert kept == {r.doc_id for r in lab.filter("parity = '0'").collect()}, (
+        "fraction 1.0 keeps the whole stratum; unlisted strata default to 0"
+    )
