@@ -8,7 +8,7 @@ check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 class LoadValidationError(RuntimeError):
