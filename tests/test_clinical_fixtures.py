@@ -1,0 +1,167 @@
+r"""Reference-parity e2e loads of the clinical edge-case fixture
+studies, mirroring the reference's own integration assertions
+(ClinicalDataProcessorTest.groovy — line refs per test): terminator
+paths, data-value-in-path categories, $$TAG substitution, case-mixed
+values, repeated labels before a terminator, and the wrong-mapping-
+file negative.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.plans.clinical import load_clinical
+from tmdataloader_spark.sources.mapping import melt_clinical_study
+
+FIX = "/root/reference/fixtures/Test Studies/"
+
+
+def _counts(spark, dirname, mapname, study_id, study_name):
+    mapping = f"{FIX}{dirname}/ClinicalDataToUpload/{mapname}"
+    top = f"\\Test Studies\\{study_name}\\"
+    res = load_clinical(spark, melt_clinical_study(spark, mapping), study_id, top)
+    return res, {
+        r["concept_path"]: r["patient_count"] for r in res.concept_counts.collect()
+    }
+
+
+def test_terminator_paths(spark):
+    """ClinicalDataProcessorTest.groovy:372-399 — `+$` terminates the
+    category path: no visit/terminal nodes appear below it."""
+    _, c = _counts(
+        spark,
+        "Test Study With Terminator_GSE0TERMINATOR",
+        "Test Study With Terminator_GSE0TERMINATOR_Mapping_File.txt",
+        "GSE0TERMINATOR",
+        "Test Study With Terminator",
+    )
+    d = "\\Test Studies\\Test Study With Terminator\\Subjects\\Demographics\\"
+    expected = {
+        d: 9,
+        d + "Language\\": 5,
+        d + "Language\\English\\": 2,
+        d + "Language\\Spanish\\": 1,
+        d + "Language\\French\\": 1,
+        d + "Language\\Russian\\": 1,
+        d + "Language\\Russian\\v1\\": 1,
+        d + "Language\\Russian\\v2\\": 1,
+        d + "Sex (SEX)\\Male\\Spanish\\": 1,
+        d + "Sex (SEX)\\Female\\": 2,
+        d + "Sex (SEX)\\Female\\French\\": 1,
+        d + "Age (AGE)\\Male\\": 2,
+        d + "Age (AGE)\\Female\\": 5,
+    }
+    for path, n in expected.items():
+        assert c.get(path) == n, f"{path}: got {c.get(path)}, want {n}"
+    for absent in [
+        d + "Sex (SEX)\\Female\\French\\$\\",
+        d + "Sex (SEX)\\Female\\French\\v1\\",
+        d + "Age (AGE)\\Female\\$\\",
+        d + "Age (AGE)\\Female\\v1\\",
+    ]:
+        assert absent not in c, f"terminated path grew a child: {absent}"
+
+
+def test_data_value_in_path(spark):
+    """ClinicalDataProcessorTest.groovy:401-424 — DATALABEL/DATAVALUE
+    placeholders inside category_cd place values mid-path."""
+    _, c = _counts(
+        spark,
+        "Test Study With Data Value In Path_GSE0DVINPATH",
+        "Test Study With Data Value In Path_GSE0DVINPATH_Mapping_File.txt",
+        "GSE0DVINPATH",
+        "Test Study With Data Value In Path",
+    )
+    d = "\\Test Studies\\Test Study With Data Value In Path\\Subjects\\Demographics\\"
+    expected = {
+        d + "Female\\Baseline\\French\\Sex (SEX)\\": 2,
+        d + "Female\\Visit 7\\French\\Sex (SEX)\\": 1,
+        d + "Female\\Baseline\\English\\Sex (SEX)\\": 1,
+        d + "Age (AGE)\\Baseline\\": 9,
+        d + "Age (AGE)\\Visit 7\\": 2,
+        d + "French\\Language\\Baseline\\": 2,
+        d + "French\\Language\\Visit 7\\": 1,
+        "\\Test Studies\\Test Study With Data Value In Path\\Clinical Data\\"
+        "Datavalue5\\Baseline\\TAG test 2\\Test data label\\": 1,
+    }
+    for path, n in expected.items():
+        assert c.get(path) == n, f"{path}: got {c.get(path)}, want {n}"
+
+
+def test_tag_substitution(spark):
+    """ClinicalDataProcessorTest.groovy:149-167 — $$TAG values from
+    the tags file substitute into leaf paths."""
+    res, c = _counts(
+        spark,
+        "Test Study Tag_GSE0TAG",
+        "Test Study_GSE0TAG_Mapping_File.txt",
+        "GSE0TAG",
+        "Test Study Tag",
+    )
+    e = "\\Test Studies\\Test Study Tag\\GSE0TAG\\eText\\"
+    expected = {
+        e + "tag1\\": 8,
+        e + "tag2\\": 4,
+        e + "tag1 tag and Spain language\\": 1,
+        e + "tag2 tag and English language\\": 2,
+    }
+    for path, n in expected.items():
+        assert c.get(path) == n, f"{path}: got {c.get(path)}, want {n}"
+    pats = {r["sourcesystem_cd"] for r in res.patient_dimension.collect()}
+    assert "GSE0TAG:HCC2935" in pats
+    assert "GSE0TAG:2SKMEL28" in pats
+
+
+def test_upper_and_lower_case_values_stay_distinct(spark):
+    """ClinicalDataProcessorTest.groovy:743-757 — case-differing
+    values produce distinct leaves (no case collapsing)."""
+    _, c = _counts(
+        spark,
+        "Test Study With Upper and Lower Case_GSE0ULC",
+        "custom_test_Mapping_File.txt",
+        "GSE0ULC",
+        "Test Study With Upper and Lower Case",
+    )
+    node = "\\Test Studies\\Test Study With Upper and Lower Case\\Subjects\\Node\\"
+    for v in ["abilify", "Abilify", "ABILIFY"]:
+        assert node + v + "\\" in c, f"missing case-distinct leaf {v}"
+
+
+def test_repeating_labels_before_terminator(spark):
+    """ClinicalDataProcessorTest.groovy:777-795 — visit_name equal to
+    data_label with an unlabelled terminator path keeps the reference
+    counts."""
+    _, c = _counts(
+        spark,
+        "Test Study With Repeating Labels In Path_GSE0REPEATLABPATH",
+        "Test Study With Terminator_GSE0REPEATLABPATH_Mapping_File.txt",
+        "GSE0REPEATLABPATH",
+        "Test Study With Terminator",
+    )
+    d = "\\Test Studies\\Test Study With Terminator\\Subjects\\Demographics\\"
+    expected = {
+        d: 9,
+        d + "v1\\": 7,
+        d + "v1\\Male\\": 2,
+        d + "v1\\Female\\": 5,
+        d + "v2\\": 1,
+    }
+    for path, n in expected.items():
+        assert c.get(path) == n, f"{path}: got {c.get(path)}, want {n}"
+
+
+def test_wrong_mapping_file_name_fails(spark):
+    """ClinicalDataProcessorTest.groovy:797-805 — a mapping file that
+    doesn't match `*_Mapping_File.txt` fails the clinical job (the
+    orchestrator records FAIL in the manifest, like the reference's
+    DataProcessingException)."""
+    from tmdataloader_spark.plans.study import load_study
+
+    res = load_study(
+        spark,
+        FIX + "Test Study With Wrong Mapping File_Name_GSE0WRONGMAPF",
+        parent_node="\\Test Studies",
+    )
+    clinical = [m for m in res.manifest if m[0] == "Clinical"]
+    assert clinical, "clinical dir not visited"
+    assert clinical[0][2] == "FAIL"
+    assert "no mapping file" in (clinical[0][3] or "")
