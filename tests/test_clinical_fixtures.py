@@ -165,3 +165,34 @@ def test_wrong_mapping_file_name_fails(spark):
     assert clinical, "clinical dir not visited"
     assert clinical[0][2] == "FAIL"
     assert "no mapping file" in (clinical[0][3] or "")
+
+
+def test_duplicated_patient_id_fails_with_reference_report(spark):
+    """ClinicalDataProcessorTest.groovy:455-468 — the duplicated-
+    patient study fails the load and the duplicates listing matches
+    the fixture's ExpectedDuplicates.csv row-for-row."""
+    import csv
+
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = FIX + "Test Study With Duplicated Patient ID_GSE0DUPPID/ClinicalDataToUpload/"
+    with pytest.raises(LoadValidationError) as exc:
+        load_clinical(
+            spark,
+            melt_clinical_study(
+                spark, d + "Test Study With Dublicated Patiend ID_GSE0DUB_Mapping_File.txt"
+            ),
+            "GSE0DUPPID",
+            "\\Test Studies\\Test Study With Duplicated Patient ID\\",
+        )
+    got = {
+        tuple((row[c] or "") for c in
+              ["site_id", "subject_id", "visit_name", "data_label", "category_cd"])
+        for row in exc.value.duplicates
+    }
+    with open(d + "ExpectedDuplicates.csv", newline="") as fh:
+        expected = {
+            (r["site_id"], r["subject_id"], r["visit_name"], r["data_label"], r["category_cd"])
+            for r in csv.DictReader(fh)
+        }
+    assert got == expected

@@ -22,10 +22,42 @@ def find_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.groupBy(*keys).agg(F.count("*").alias("dup_count")).filter(F.col("dup_count") > 1)
 
 
-def assert_no_duplicates(df: DataFrame, keys: list[str]) -> None:
+# the reference's duplicates.csv column layout (ClinicalDataProcessor
+# checkDuplicates path; fixture ExpectedDuplicates.csv)
+DUPLICATES_REPORT_COLUMNS = [
+    "site_id",
+    "subject_id",
+    "visit_name",
+    "data_label",
+    "category_cd",
+    "modifier_cd",
+    "link_value",
+]
+
+
+def duplicates_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Distinct duplicate key tuples in the reference's
+    ``duplicates.csv`` column layout — columns outside ``keys`` are
+    null, mirroring the reference's empty fields."""
+    out = find_duplicates(df, keys).select(*keys)
+    for c in DUPLICATES_REPORT_COLUMNS:
+        if c not in keys:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    return out.select(*DUPLICATES_REPORT_COLUMNS)
+
+
+def assert_no_duplicates(df: DataFrame, keys: list[str], report: bool = False) -> None:
+    """Abort on duplicate keys. With ``report``, the raised error
+    carries a ``duplicates`` attribute listing the distinct duplicate
+    key tuples (reference: config.checkDuplicates writes
+    duplicates.csv before failing the load). Capped at 10k rows — the
+    report is a driver-side artifact by design, as in the reference."""
     dups = find_duplicates(df, keys).limit(1).collect()
     if dups:
-        raise LoadValidationError(f"duplicate rows for keys {keys}: {dups[0].asDict()}")
+        err = LoadValidationError(f"duplicate rows for keys {keys}: {dups[0].asDict()}")
+        if report:
+            err.duplicates = duplicates_report(df, keys).limit(10000).collect()
+        raise err
 
 
 def dedup_keep_one(

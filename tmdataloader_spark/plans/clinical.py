@@ -278,7 +278,9 @@ def load_clinical(
     if check_duplicates:
         numeric = work.filter(F.col("data_type") == "N")
         assert_no_duplicates(
-            numeric, ["site_id", "subject_id", "visit_name", "data_label", "category_cd"]
+            numeric,
+            ["site_id", "subject_id", "visit_name", "data_label", "category_cd"],
+            report=True,
         )
         assert_visit_name_consistency(work)
 
