@@ -196,3 +196,76 @@ def test_duplicated_patient_id_fails_with_reference_report(spark):
             for r in csv.DictReader(fh)
         }
     assert got == expected
+
+
+def test_plus_sign_paths(spark):
+    """ClinicalDataProcessorTest.groovy:359-369 — `+` separates path
+    components, `(plus)` escapes a literal plus, value pluses become
+    ' and ' in leaves but stay literal in $$-substituted components."""
+    _, c = _counts(
+        spark,
+        "Test Study With Plus Sign_GSE0PLS",
+        "Test Study With Plus Sign_GSE0PLS_Mapping_File.txt",
+        "GSE0PLS",
+        "Test Study With Plus Sign",
+    )
+    top = "\\Test Studies\\Test Study With Plus Sign\\"
+    expected = {
+        top + "Subjects+\\Demographics+\\": 1,
+        top + "Subjects+\\Demographics+\\Language++\\": 1,
+        top + "Subjects+\\Demographics+\\Language++\\Spain and English and German+\\": 1,
+        top + "Subjects\\Demographics\\Spain+English+German+\\Assessment Date\\10/01/2014\\": 1,
+    }
+    for path, n in expected.items():
+        assert c.get(path) == n, f"{path}: got {c.get(path)}, want {n}"
+
+
+def test_long_category_cd_aborts(spark):
+    """ClinicalDataProcessorTest.groovy:804-813 — CATEGORY_CD over 250
+    chars fails mapping validation with the reference's message."""
+    from tmdataloader_spark.sources.mapping import MappingError
+
+    d = FIX + "Test Study With Long CategoryCD_GSE0LONGCCD/ClinicalDataToUpload/"
+    with pytest.raises(MappingError, match=r"CATEGORY_CD is too long \(311 > 250\) for row \[5\]"):
+        melt_clinical_study(
+            spark, d + "Test Study With Long CategoryCD_GSE0LONGCCD_Mapping_File.txt"
+        )
+
+
+def test_non_visual_symbols_abort(spark):
+    """ClinicalDataProcessorTest.groovy:815-823 (SkipLinesReader) —
+    bytes that don't decode as UTF-8 abort the load."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = FIX + "Test Study With Non Visial Symbols In Header_GSE0NOVIS/ClinicalDataToUpload/"
+    with pytest.raises(LoadValidationError, match="non visual symbol"):
+        melt_clinical_study(spark, d + "ERROR-GSE0NOVIS_Mapping_File.txt")
+
+
+def test_different_study_id_in_file_aborts(spark):
+    """ClinicalDataProcessorTest.groovy:825-833 — a row whose STUDY_ID
+    differs from the file's first aborts with the reference's exact
+    message (line 13 of TST001.txt)."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = FIX + "Test Study With Different StudyID_GSE0DIFFSID/ClinicalDataToUpload/"
+    with pytest.raises(
+        LoadValidationError,
+        match=r"STUDY_ID differs from previous in 13 line in TST001\.txt file\.",
+    ):
+        melt_clinical_study(
+            spark, d + "Test Study With Different_StudyID_GSE0DIFFSID_Mapping_File.txt"
+        )
+
+
+def test_different_study_id_two_files_aborts(spark):
+    """ClinicalDataProcessorTest.groovy:835-845 — Var.2: the second
+    file's STUDY_ID differs (line 2 of TST_DEMO.txt)."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = FIX + "Test Study With Different StudyID In Two Files_GSE0DIFFSIDVAR2/ClinicalDataToUpload/"
+    import glob
+
+    mapping = glob.glob(d + "*_Mapping_File.txt")[0]
+    with pytest.raises(LoadValidationError, match=r"STUDY_ID differs from previous"):
+        melt_clinical_study(spark, mapping).count()

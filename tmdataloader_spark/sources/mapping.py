@@ -71,20 +71,29 @@ class MappingError(ValueError):
     pass
 
 
+MAX_CATEGORY_CD_LEN = 250  # i2b2 column width (ClinicalDataMapping.groovy:128-131)
+
+
 def parse_mapping_file(path: str | os.PathLike) -> dict[str, FileMapping]:
     """Parse a clinical mapping file into per-data-file mappings
-    (ClinicalDataMapping.groovy:69-189)."""
+    (ClinicalDataMapping.groovy:69-189). Raw 1-based file line numbers
+    ride along so validation messages match the reference's."""
     path = Path(path)
     with io.open(path, "r", encoding="utf-8", errors="replace") as fh:
-        rows = [
-            r
-            for r in csv.reader(
-                (ln for ln in fh if not ln.startswith("#") and ln.strip()), delimiter="\t"
-            )
+        numbered = [
+            (i, ln)
+            for i, ln in enumerate(fh, 1)
+            if not ln.startswith("#") and ln.strip()
         ]
+    rows = [
+        (n, r)
+        for (n, _), r in zip(
+            numbered, csv.reader((ln for _, ln in numbered), delimiter="\t")
+        )
+    ]
     if not rows:
         raise MappingError("Empty mapping file")
-    header = [h.strip() for h in rows[0]]
+    header = [h.strip() for h in rows[0][1]]
     idx = {h: i for i, h in enumerate(header)}
     vt_i = idx.get("variable_type", -1)
     vr_i = idx.get("validation_rules", -1)
@@ -92,7 +101,7 @@ def parse_mapping_file(path: str | os.PathLike) -> dict[str, FileMapping]:
     dls_i = idx.get("data_label_source", 4)
 
     mappings: dict[str, FileMapping] = {}
-    for row in rows[1:]:
+    for line_no, row in rows[1:]:
         row = row + [""] * (len(header) - len(row))
         file_name = row[0]
         fm = mappings.setdefault(file_name, FileMapping(file_name=file_name))
@@ -106,6 +115,11 @@ def parse_mapping_file(path: str | os.PathLike) -> dict[str, FileMapping]:
         if data_label in SPECIAL_LABELS:
             setattr(fm, data_label.lower(), column)
             continue
+        if len(row[1]) > MAX_CATEGORY_CD_LEN:
+            raise MappingError(
+                f"CATEGORY_CD is too long ({len(row[1])} > {MAX_CATEGORY_CD_LEN}) "
+                f"for row [{line_no}]: {row}"
+            )
         entry = MappingEntry(
             category_cd=row[1],
             column=column,
@@ -224,11 +238,59 @@ def _inject_datalabel(cat_cd: str, source_type: str) -> str:
     return cat_cd + "+DATALABEL"
 
 
+def _validate_clinical_file(
+    data_path: str | os.PathLike, study_id_col: int, expected_study_id: str | None = None
+) -> str | None:
+    """The reference's read-time validations, driver-side like its
+    line reader (clinical files are small; HDD matrices never pass
+    through here):
+
+    - bytes that decode to U+FFFD (non-UTF8 input) abort with the
+      reference's context snippet (SkipLinesReader.groovy:106-115)
+    - every data row's STUDY_ID must equal the first one seen — a
+      state the caller threads ACROSS a study's files via
+      ``expected_study_id`` (ClinicalDataProcessor.groovy:73-81),
+      message format included
+
+    Returns the study id in effect after this file.
+    """
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    p = Path(data_path)
+    text = p.read_bytes().decode("utf-8", errors="replace")
+    bad = text.find("�")
+    if bad != -1:
+        ctx = text[max(bad - 100, 0) : bad + 100]
+        raise LoadValidationError(f"In this:\n {ctx} \nfound non visual symbol.")
+    if study_id_col <= 0:
+        return expected_study_id
+    first = expected_study_id
+    header_seen = False
+    for i, line in enumerate(text.splitlines(), 1):
+        if not line.strip() or line.startswith("# "):
+            continue
+        if not header_seen:
+            header_seen = True
+            continue
+        cols = line.split("\t")
+        sid = cols[study_id_col - 1].strip().upper() if study_id_col <= len(cols) else ""
+        if not sid:
+            continue
+        if first is None:
+            first = sid
+        elif sid != first:
+            raise LoadValidationError(
+                f"STUDY_ID differs from previous in {i} line in {p.name} file."
+            )
+    return first
+
+
 def melt_clinical_file(
     spark: SparkSession,
     data_path: str | os.PathLike,
     fm: FileMapping,
     visit_name_first: bool = False,
+    expected_study_id: str | None = None,
 ) -> DataFrame:
     """R1: one data file × its mapping → the long EAV landing frame
     ``lt_src_clinical_data`` (study_id, site_id, subject_id,
@@ -239,6 +301,7 @@ def melt_clinical_file(
     ``inline`` — the Spark-native form of the Groovy per-row loop
     (ClinicalDataProcessor.groovy:51-164), one narrow stage.
     """
+    _validate_clinical_file(data_path, fm.study_id, expected_study_id)
     df = read_tsv(spark, data_path, header=True, comment="# ")
     cols = df.columns
     header = data_file_columns(data_path, comment="#")
@@ -333,7 +396,13 @@ def melt_clinical_study(
     mapping_path = Path(mapping_path)
     mappings = parse_mapping_file(mapping_path)
     out: DataFrame | None = None
+    study_id: str | None = None
     for fname, fm in mappings.items():
+        # one STUDY_ID per study load, shared across all its files
+        # (ClinicalDataProcessor.groovy keeps usedStudyId per load)
+        study_id = _validate_clinical_file(
+            mapping_path.parent / fname, fm.study_id, study_id
+        )
         part = melt_clinical_file(
             spark, mapping_path.parent / fname, fm, visit_name_first=visit_name_first
         )
