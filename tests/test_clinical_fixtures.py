@@ -269,3 +269,30 @@ def test_different_study_id_two_files_aborts(spark):
     mapping = glob.glob(d + "*_Mapping_File.txt")[0]
     with pytest.raises(LoadValidationError, match=r"STUDY_ID differs from previous"):
         melt_clinical_study(spark, mapping).count()
+
+
+def test_non_utf8_study_aborts(spark):
+    """ClinicalDataProcessorTest.groovy:759-766 — the Non-UTF8 study's
+    data file fails the byte-level validation."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    d = FIX + "Test Study With Non-UTF8 symbols_GSE0/ClinicalDataToUpload/"
+    with pytest.raises(LoadValidationError, match="non visual symbol"):
+        melt_clinical_study(spark, d + "ERROR-UNF8_Mapping_File.txt")
+
+
+def test_non_unique_column_names_load(spark):
+    """ClinicalDataProcessorTest.groovy:350-357 — duplicate data-file
+    column names load fine (mapping is positional, 1-based indexes)."""
+    m = (
+        "/root/reference/fixtures/Additional Test Studies/"
+        "Test Study With Non Unique Column Names_GSE0NQCN/ClinicalDataToUpload/"
+        "Test Study_GSE0NQCN_Mapping_File.txt"
+    )
+    res = load_clinical(
+        spark,
+        melt_clinical_study(spark, m),
+        "GSE0NQCN",
+        "\\Test Studies\\Test Study With Non Unique Column Names\\",
+    )
+    assert res.observation_fact.count() > 0
