@@ -103,3 +103,30 @@ def test_security_roundtrip(spark):
     tokens = {r.c_fullname: r.secure_obj_token for r in sec.collect()}
     assert tokens["\\A\\"] == "EXP:T1"  # secured study
     assert tokens["\\B\\"] == "EXP:PUBLIC"  # default
+
+
+def test_copy_security_from_study(spark):
+    """PostProcessingTest.groovy 'it should check copy security
+    configuration' — the source study's ACL rows are duplicated onto
+    the target study's secure object with fresh ids."""
+    from tmdataloader_spark.operators.tree import copy_security_from_study
+
+    secure_objects = spark.createDataFrame(
+        [(10, "EXP:GSE0"), (20, "EXP:GSE0SECOND")],
+        "search_secure_object_id long, bio_data_unique_id string",
+    )
+    access = spark.createDataFrame(
+        [(1, 1, 10, 8), (2, 7, 10, 8), (3, 1, 99, 8)],
+        "auth_sec_obj_access_id long, auth_principal_id long, "
+        "secure_object_id long, secure_access_level_id long",
+    )
+    out = copy_security_from_study(access, secure_objects, "GSE0SECOND", "GSE0")
+    rows = {tuple(r) for r in out.collect()}
+    # originals intact
+    assert (1, 1, 10, 8) in rows and (3, 1, 99, 8) in rows
+    # both ACL rows of GSE0's object copied to GSE0SECOND's object
+    copied = {r for r in rows if r[2] == 20}
+    assert {(r[1], r[3]) for r in copied} == {(1, 8), (7, 8)}
+    # ids continue past the existing maximum, no collisions
+    ids = [r[0] for r in out.collect()]
+    assert len(ids) == len(set(ids)) and max(ids) == 5

@@ -298,3 +298,50 @@ def load_security_data(i2b2: DataFrame, facts: DataFrame) -> DataFrame:
     return i2b2.join(F.broadcast(tokens), on="sourcesystem_cd", how="left").withColumn(
         "secure_obj_token", F.coalesce(F.col("secure_obj_token"), F.lit("EXP:PUBLIC"))
     )
+
+
+def copy_security_from_study(
+    access: DataFrame,
+    secure_objects: DataFrame,
+    study_id: str,
+    from_study_id: str,
+) -> DataFrame:
+    """T10 post-processing (COPY_SECURITY_FROM_OTHER_STUDY.sql:37-60):
+    append copies of the source study's ACL rows re-pointed at the
+    target study's secure object.
+
+    ``secure_objects`` is the ``search_secure_object`` frame
+    (``search_secure_object_id``, ``bio_data_unique_id``), ``access``
+    the ``search_auth_sec_object_access`` frame. New access ids are
+    ``max(existing) + row_number`` — the set-based stand-in for the
+    reference's sequence, deterministic given a principal ordering.
+    Both studies' secure-object lookups broadcast (single-row dims)."""
+    from pyspark.sql import Window
+
+    def _obj_id(study: str) -> DataFrame:
+        return secure_objects.filter(
+            F.col("bio_data_unique_id") == f"EXP:{study}"
+        ).select("search_secure_object_id")
+
+    src = _obj_id(from_study_id).withColumnRenamed(
+        "search_secure_object_id", "_src_id"
+    )
+    dst = _obj_id(study_id).withColumnRenamed("search_secure_object_id", "_dst_id")
+    base_id = (
+        access.agg(F.coalesce(F.max("auth_sec_obj_access_id"), F.lit(0))).first()[0]
+    )
+    w = Window.orderBy("auth_principal_id", "secure_access_level_id")
+    copied = (
+        access.join(
+            F.broadcast(src), access["secure_object_id"] == F.col("_src_id")
+        )
+        .select("auth_principal_id", "secure_access_level_id")
+        .crossJoin(F.broadcast(dst))
+        .select(
+            (F.lit(base_id) + F.row_number().over(w)).alias("auth_sec_obj_access_id"),
+            F.col("auth_principal_id"),
+            F.col("_dst_id").alias("secure_object_id"),
+            F.col("secure_access_level_id"),
+        )
+    )
+    return access.unionByName(copied.select(access.columns))
