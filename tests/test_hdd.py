@@ -94,3 +94,34 @@ def test_gpl_info_join(spark):
     )
     out = {r.sample_cd: r.platform_title for r in attach_platform_info(mapping, info).collect()}
     assert out == {"S1": "Title 1", "S2": None}
+
+
+def test_reference_expression_assertions(result):
+    """ExpressionDataProcessorTest.testItLoadsData parity: known
+    sample/subject pairs, per-sample attribute routing into
+    sample_type/timepoint, the Blood node's 32 distinct patients, and
+    one exact raw intensity."""
+    sm = result.sample_mapping.toPandas().set_index("sample_cd")
+    assert "TST1000000719" in sm.index
+    assert sm.loc["TST1000000808"].sourcesystem_cd.endswith("453PMS")
+    r808 = sm.loc["TST1000000808"]
+    assert (r808.sample_type, r808.timepoint, r808.tissue_type) == (
+        "Attr1Value", "Attr2Value", "Blood",
+    )
+    r809 = sm.loc["TST1000000809"]
+    assert (r809.sample_type, r809.timepoint) == ("Attr1Value", None)
+    r810 = sm.loc["TST1000000810"]
+    assert (r810.sample_type, r810.timepoint) == (None, "Attr2Value")
+
+    # the node count is subtree-aggregated: ATTR samples live on
+    # deeper leaves under Blood\ and still count toward it
+    blood = sm[sm.concept_path.str.contains(r"Test GEX Platform\\Blood\\", regex=True)]
+    assert blood.sourcesystem_cd.nunique() == 32
+
+    assay = sm.loc["TST1000000719"].assay_id
+    d = result.data
+    row = d.filter(
+        (F.col("assay_id") == int(assay)) & (F.col("probeset_id") == "1007_s_at")
+    ).collect()
+    assert len(row) == 1
+    assert abs(row[0]["raw_intensity"] - 6.624529839) < 1e-9

@@ -249,6 +249,11 @@ def build_sample_mapping(
         "tissue_type",
         "attribute_1",
         "attribute_2",
+        # de_subject_sample_mapping's names for the same attributes
+        # (I2B2_LOAD_SAMPLES.sql sample upsert: ATTR1 → sample_type,
+        # ATTR2 → timepoint)
+        F.col("attribute_1").alias("sample_type"),
+        F.col("attribute_2").alias("timepoint"),
         "category_cd",
         leaf.alias("concept_path"),
         F.sha2(leaf, 256).substr(1, 16).alias("concept_code"),
