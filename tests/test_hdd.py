@@ -125,3 +125,68 @@ def test_reference_expression_assertions(result):
     ).collect()
     assert len(row) == 1
     assert abs(row[0]["raw_intensity"] - 6.624529839) < 1e-9
+
+
+def test_merge_samples_reload(spark, result):
+    """ExpressionDataProcessorTest.testItMergeSamples parity: the
+    additional-studies reload replaces overlapping samples' values,
+    adds new samples, keeps the rest, and the Blood subtree grows from
+    32 to 33 distinct patients."""
+    from tmdataloader_spark.plans.hdd import load_expression, merge_hdd_samples
+
+    second = load_expression(
+        spark,
+        "/root/reference/fixtures/Additional Test Studies/Test Study_GSE0/"
+        "ExpressionDataToUpload",
+        "GSE0",
+        TOP,
+    )
+    data, mapping = merge_hdd_samples(
+        result.data, result.sample_mapping, second.data, second.sample_mapping
+    )
+    sm = mapping.toPandas().set_index("sample_cd")
+
+    def raw(sample_cd, probe):
+        assay = int(sm.loc[sample_cd].assay_id)
+        rows = data.filter(
+            (F.col("assay_id") == assay) & (F.col("probeset_id") == probe)
+        ).collect()
+        assert len(rows) == 1, f"{sample_cd}/{probe}: {len(rows)} rows"
+        return rows[0]["raw_intensity"]
+
+    assert abs(raw("TST1000000719", "1007_s_at") - 6.624529839) < 1e-9  # kept
+    assert abs(raw("TST2000000719", "1007_s_at") - 7.624529839) < 1e-9  # added
+    assert abs(raw("TST1000000722", "1007_s_at") - 5.374219894) < 1e-9  # replaced
+    assert abs(raw("TST1000000723", "1007_s_at") - 6.653120041) < 1e-9  # kept
+    blood = sm[sm.concept_path.str.contains(r"Test GEX Platform\\Blood\\", regex=True)]
+    assert blood.sourcesystem_cd.nunique() == 33
+
+
+def test_same_samples_different_platforms(spark):
+    """ExpressionDataProcessorTest.testItLoadsSameSamplesForDifferentPlatforms:
+    the same sample codes loaded on two platforms coexist as distinct
+    assays with their own values and their own platform subtrees."""
+    from tmdataloader_spark.plans.hdd import load_expression, merge_hdd_samples
+
+    base = "/root/reference/fixtures/Additional Test Studies/Test Study_GSE0/"
+    a = load_expression(spark, base + "ExpressionDataToUpload", "GSE0", TOP)
+    b = load_expression(spark, base + "ExpressionDataToUpload_OtherPlatform", "GSE0", TOP)
+    data, mapping = merge_hdd_samples(a.data, a.sample_mapping, b.data, b.sample_mapping)
+    sm = mapping.toPandas()
+
+    def raw(sample_cd, gpl, probe):
+        assay = int(sm[(sm.sample_cd == sample_cd) & (sm.gpl_id == gpl)].iloc[0].assay_id)
+        rows = data.filter(
+            (F.col("assay_id") == assay) & (F.col("probeset_id") == probe)
+        ).collect()
+        assert len(rows) == 1
+        return rows[0]["raw_intensity"]
+
+    assert abs(raw("TST2000000719", "GEX_TST", "1007_s_at") - 7.624529839) < 1e-9
+    assert abs(raw("TST2000000719", "GEX_TST2", "1007_s_at") - 1.624529839) < 1e-9
+    assert abs(raw("TST1000000722", "GEX_TST", "1007_s_at") - 5.374219894) < 1e-9
+    assert abs(raw("TST1000000722", "GEX_TST2", "1007_s_at") - 1.374219894) < 1e-9
+    p1 = sm[sm.concept_path.str.contains(r"Test GEX Platform\\Blood\\", regex=True)]
+    p2 = sm[sm.concept_path.str.contains(r"Test GEX Platform 2\\Blood\\", regex=True)]
+    assert p1.sourcesystem_cd.nunique() == 3
+    assert p2.sourcesystem_cd.nunique() == 3

@@ -242,7 +242,12 @@ def build_sample_mapping(
         "trial_name",
         usub.alias("sourcesystem_cd"),
         F.xxhash64(usub).alias("patient_id"),
-        F.xxhash64(F.concat_ws(":", F.col("trial_name"), F.col("sample_cd"))).alias("assay_id"),
+        # one assay per (trial, sample, platform) — the same sample
+        # loaded on two platforms keeps two assay rows
+        # (ExpressionDataProcessorTest.testItLoadsSameSamplesForDifferentPlatforms)
+        F.xxhash64(
+            F.concat_ws(":", F.col("trial_name"), F.col("sample_cd"), F.col("platform"))
+        ).alias("assay_id"),
         "sample_cd",
         F.lit(platform.marker_type).alias("platform"),
         F.col("platform").alias("gpl_id"),
@@ -554,6 +559,36 @@ def load_serial_hdd(
     )
     result.i2b2 = i2b2
     return result
+
+
+def merge_hdd_samples(
+    old_data: DataFrame,
+    old_mapping: DataFrame,
+    new_data: DataFrame,
+    new_mapping: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Sample-level merge on reload (I2B2_LOAD_SAMPLES.sql:659-830
+    upsert; ExpressionDataProcessorTest.testItMergeSamples): a sample
+    present in the incoming load replaces its existing rows —
+    mapping by (trial_name, sample_cd, gpl_id), data by the assay ids
+    those samples hash to — and every other existing sample survives.
+    The same sample on a DIFFERENT platform is a different key, so
+    multi-platform sample sets coexist
+    (testItLoadsSameSamplesForDifferentPlatforms).
+
+    Plan shape: two left_anti joins against the incoming sample keys
+    (small per-load dims, broadcast by AQE) + unions — no full-table
+    rewrite; pair with ``write_partitioned`` for the storage swap."""
+    keys = ["trial_name", "sample_cd", "gpl_id"]
+    new_keys = new_mapping.select(*keys).distinct()
+    merged_mapping = old_mapping.join(new_keys, keys, "left_anti").unionByName(
+        new_mapping
+    )
+    new_assays = new_mapping.select("assay_id").distinct()
+    merged_data = old_data.join(new_assays, "assay_id", "left_anti").unionByName(
+        new_data
+    )
+    return merged_data, merged_mapping
 
 
 def write_partitioned(data: DataFrame, path: str, trial_id: str | None = None) -> None:
