@@ -24,12 +24,17 @@ from pyspark.sql.window import Window
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (the
-        # same truncation DuckDB applies when reading TIMESTAMP_NS).
+        # events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read nanos as long, truncate to
+        # micros, same truncation DuckDB applies) and, in newer driver
+        # generations, as plain TIMESTAMP_NTZ micros. Normalize either
+        # encoding to session-TZ (UTC) TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

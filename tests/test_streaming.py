@@ -15,9 +15,13 @@ from tmdataloader_spark.streaming import (
 
 
 def _events_batch(spark):
+    # ts has been generated as TIMESTAMP(NANOS) (read as long) and as
+    # TIMESTAMP_NTZ micros; normalize either to session-TZ timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_streaming_rollup_matches_batch(spark, tmp_path):
