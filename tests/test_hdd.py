@@ -141,13 +141,21 @@ def test_merge_samples_reload(spark, result):
         "GSE0",
         TOP,
     )
-    data, mapping = merge_hdd_samples(
-        result.data, result.sample_mapping, second.data, second.sample_mapping
+    from tmdataloader_spark.plans.hdd import sample_facts, upsert_sample_patients
+
+    old_patients = upsert_sample_patients(result.sample_mapping, None)
+    old_facts = sample_facts(result.sample_mapping)
+    merged = merge_hdd_samples(
+        result.data, result.sample_mapping, second.data, second.sample_mapping,
+        old_patients=old_patients, old_facts=old_facts,
     )
-    sm = mapping.toPandas().set_index("sample_cd")
+    data, mapping = merged
+    sm = mapping.toPandas()
 
     def raw(sample_cd, probe):
-        assay = int(sm.loc[sample_cd].assay_id)
+        match = sm[(sm.sample_cd == sample_cd) & (sm.gpl_id == "GEX_TST")]
+        assert len(match) == 1
+        assay = int(match.iloc[0].assay_id)
         rows = data.filter(
             (F.col("assay_id") == assay) & (F.col("probeset_id") == probe)
         ).collect()
@@ -160,6 +168,18 @@ def test_merge_samples_reload(spark, result):
     assert abs(raw("TST1000000723", "1007_s_at") - 6.653120041) < 1e-9  # kept
     blood = sm[sm.concept_path.str.contains(r"Test GEX Platform\\Blood\\", regex=True)]
     assert blood.sourcesystem_cd.nunique() == 33
+
+    # the reference reload also grows patient_dimension by the new
+    # subject behind TST2000000719 (I2B2_LOAD_SAMPLES.sql:211-260) …
+    pd_rows = merged.patient_dimension.toPandas()
+    assert pd_rows.sourcesystem_cd.nunique() == old_patients.count() + 1
+    added_subject = sm[sm.sample_cd == "TST2000000719"].iloc[0].sourcesystem_cd
+    assert (pd_rows.sourcesystem_cd == added_subject).any()
+    # … and refreshes per-sample facts: every merged sample has exactly
+    # one fact row at its sample concept
+    facts = merged.sample_facts.toPandas()
+    assert set(facts.sample_cd) == set(sm.sample_cd)
+    assert len(facts) == len(facts[["sample_cd", "concept_cd"]].drop_duplicates())
 
 
 def test_same_samples_different_platforms(spark):

@@ -27,6 +27,7 @@ import glob
 import os
 import re
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -242,11 +243,20 @@ def build_sample_mapping(
         "trial_name",
         usub.alias("sourcesystem_cd"),
         F.xxhash64(usub).alias("patient_id"),
-        # one assay per (trial, sample, platform) — the same sample
-        # loaded on two platforms keeps two assay rows
-        # (ExpressionDataProcessorTest.testItLoadsSameSamplesForDifferentPlatforms)
+        # one assay per (trial, sample, platform, source_cd) — the same
+        # sample loaded on two platforms keeps two assay rows
+        # (ExpressionDataProcessorTest.testItLoadsSameSamplesForDifferentPlatforms),
+        # and the reference scopes the sample upsert by source_cd too
+        # (I2B2_LOAD_SAMPLES.sql:675-681), so two sources' reloads of
+        # the same sample/platform coexist rather than collide
         F.xxhash64(
-            F.concat_ws(":", F.col("trial_name"), F.col("sample_cd"), F.col("platform"))
+            F.concat_ws(
+                ":",
+                F.col("trial_name"),
+                F.col("sample_cd"),
+                F.col("platform"),
+                F.coalesce(F.col("source_cd"), F.lit("STD")),
+            )
         ).alias("assay_id"),
         "sample_cd",
         F.lit(platform.marker_type).alias("platform"),
@@ -561,25 +571,48 @@ def load_serial_hdd(
     return result
 
 
+class HddMergeResult(NamedTuple):
+    """merge_hdd_samples output; unpacks as ``data, mapping`` for the
+    common case, with the optionally-merged warehouse frames behind."""
+
+    data: DataFrame
+    mapping: DataFrame
+    patient_dimension: DataFrame | None = None
+    sample_facts: DataFrame | None = None
+
+    def __iter__(self):  # 2-tuple unpack compatibility
+        return iter((self.data, self.mapping))
+
+
 def merge_hdd_samples(
     old_data: DataFrame,
     old_mapping: DataFrame,
     new_data: DataFrame,
     new_mapping: DataFrame,
-) -> tuple[DataFrame, DataFrame]:
+    old_patients: DataFrame | None = None,
+    old_facts: DataFrame | None = None,
+) -> HddMergeResult:
     """Sample-level merge on reload (I2B2_LOAD_SAMPLES.sql:659-830
     upsert; ExpressionDataProcessorTest.testItMergeSamples): a sample
     present in the incoming load replaces its existing rows —
-    mapping by (trial_name, sample_cd, gpl_id), data by the assay ids
-    those samples hash to — and every other existing sample survives.
-    The same sample on a DIFFERENT platform is a different key, so
-    multi-platform sample sets coexist
-    (testItLoadsSameSamplesForDifferentPlatforms).
+    mapping by (trial_name, sample_cd, gpl_id, source_cd) as the
+    reference scopes both the mapping update and the data delete
+    (I2B2_LOAD_SAMPLES.sql:675-681; I2B2_PROCESS_MRNA_DATA.sql:213-217),
+    data by the assay ids those samples hash to — and every other
+    existing sample survives. The same sample on a DIFFERENT platform
+    (or source_cd) is a different key, so multi-platform sample sets
+    coexist (testItLoadsSameSamplesForDifferentPlatforms).
+
+    When ``old_patients`` / ``old_facts`` are passed, the reference
+    reload's remaining effects are composed in the same call: new
+    subjects are upserted into patient_dimension
+    (I2B2_LOAD_SAMPLES.sql:211-260) and the per-sample observation
+    facts are rebuilt for merged samples (:839-887).
 
     Plan shape: two left_anti joins against the incoming sample keys
     (small per-load dims, broadcast by AQE) + unions — no full-table
     rewrite; pair with ``write_partitioned`` for the storage swap."""
-    keys = ["trial_name", "sample_cd", "gpl_id"]
+    keys = ["trial_name", "sample_cd", "gpl_id", "source_cd"]
     new_keys = new_mapping.select(*keys).distinct()
     merged_mapping = old_mapping.join(new_keys, keys, "left_anti").unionByName(
         new_mapping
@@ -588,7 +621,20 @@ def merge_hdd_samples(
     merged_data = old_data.join(new_assays, "assay_id", "left_anti").unionByName(
         new_data
     )
-    return merged_data, merged_mapping
+    merged_patients = (
+        upsert_sample_patients(new_mapping, old_patients)
+        if old_patients is not None
+        else None
+    )
+    merged_facts = None
+    if old_facts is not None:
+        # facts of replaced samples go away with the sample; refreshed
+        # facts come from the merged mapping (same concept per sample)
+        new_fact_keys = new_mapping.select("sample_cd").distinct()
+        merged_facts = old_facts.join(
+            new_fact_keys, "sample_cd", "left_anti"
+        ).unionByName(sample_facts(new_mapping))
+    return HddMergeResult(merged_data, merged_mapping, merged_patients, merged_facts)
 
 
 def write_partitioned(data: DataFrame, path: str, trial_id: str | None = None) -> None:
