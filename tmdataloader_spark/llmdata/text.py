@@ -88,15 +88,28 @@ def winnow_fingerprints(
             F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), " +", " "
         )
     )
-    s1 = df.select(F.col(id_col), norm.alias("_norm"))
+    # Repartition BEFORE the per-character md5 projection: a small
+    # corpus parquet arrives as one input split, which would run the
+    # 1M+ hashes on a single core (measured 4× slower at sf0.1). The
+    # shuffle moves only the raw (id, text) rows.
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    s1 = spread.select(F.col(id_col), norm.alias("_norm"))
     n_grams = F.length("_norm") - (k - 1)
     positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    pos_rows = s1.select(F.col(id_col), F.col("_norm"), F.explode(positions).alias("pos"))
+    pos_rows = s1.select(
+        F.col(id_col),
+        F.col("_norm"),
+        n_grams.alias("_n"),
+        F.explode(positions).alias("pos"),
+    )
     grams = pos_rows.select(
         F.col(id_col),
         F.col("pos"),
+        F.col("_n"),
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit("0:"), F.substring(F.col("_norm"), F.col("pos"), k))),
@@ -110,11 +123,10 @@ def winnow_fingerprints(
         .alias("_h"),
     )
     sliding = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    per_doc = Window.partitionBy(id_col)
     wins = (
         grams.withColumn("_wmin", F.min("_h").over(sliding))
-        .withColumn("_n", F.count("*").over(per_doc))
-        # only full windows: starts at pos ≤ n_grams − w + 1
+        # only full windows: starts at pos ≤ n_grams − w + 1; _n rides
+        # along from the pre-explode projection (no count window pass)
         .filter(F.col("pos") <= F.col("_n") - (w - 1))
     )
     return wins.select(F.col(id_col), F.col("_wmin").alias("fp_hash")).distinct()
