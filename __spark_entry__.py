@@ -552,6 +552,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from pairwise matches: hash-min label
+    propagation (connected components, one shuffle per round,
+    O(diameter) rounds) over the MinHash+LSH pair list, then cluster
+    assignment for every document — min-id member is the keep-one
+    canonical. The oracle computes the same components with a
+    recursive reachability closure over the same pairs."""
+    from tmdataloader_spark.llmdata.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+    return dedup_clusters(d, pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (md5 token hashes, sign-of-sum bits)."""
     from tmdataloader_spark.llmdata.dedup import simhash
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1475,6 +1490,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
         """,
         "minhash_lsh": _minhash_oracle(),
+        # components via recursive reachability closure over the same
+        # MinHash pairs; min reachable id (incl. self) = cluster id
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_oracle()}
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), labels AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT d.doc_id,
+                   coalesce(l.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+        """,
         "simhash": _simhash_cte() + "SELECT doc_id, simhash FROM sig",
         "simhash_pairs": _simhash_cte() + """
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

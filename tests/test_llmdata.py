@@ -216,3 +216,27 @@ def test_hash_sampling_deterministic_and_stratified(spark, docs):
     assert kept == {r.doc_id for r in lab.filter("parity = '0'").collect()}, (
         "fraction 1.0 keeps the whole stratum; unlisted strata default to 0"
     )
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Hash-min propagation converges past one round (a chain needs
+    diameter rounds), separate components stay separate, and
+    dedup_clusters assigns untouched docs their own singleton id."""
+    from tmdataloader_spark.llmdata.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 5-4-3-2-1 (worst case for min propagation) + island 10-11
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.range(1, 13).withColumnRenamed("id", "doc_id")
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert clusters[5] == 1 and clusters[11] == 10
+    assert clusters[7] == 7 and clusters[12] == 12, "singletons keep their own id"
+    kept = sorted(k for k, v in clusters.items() if k == v)
+    assert kept == [1, 6, 7, 8, 9, 10, 12], "keep-one = min-id member per cluster"

@@ -500,3 +500,87 @@ def embedding_dup_pairs(
         .cogroup(right.groupby("rba", "rbb"))
         .applyInPandas(tile, schema="doc_a long, doc_b long, cosine_sim double")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the step that
+    turns pairwise matches (MinHash/SimHash/embedding) into dedup
+    GROUPS with a canonical keeper: output is ``(node, component)``
+    where ``component`` is the minimum node id of the group, i.e. the
+    member a keep-one policy retains.
+
+    Algorithm: hash-min label propagation (the map-reduce classic, cf.
+    Kang et al. PEGASUS, ICDM'09) — every node starts labeled with its
+    own id; each round every node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Rounds needed
+    = graph diameter, which for near-dup clusters is tiny (they are
+    clique-ish); each round is ONE shuffle (edge-label join + min agg)
+    plus a cheap convergence check, with ``localCheckpoint`` breaking
+    the lineage so plans stay flat no matter how many rounds run.
+    No driver-side graph: state is two distributed tables (edges,
+    labels) — the same loop runs on a 10^11-edge graph given executor
+    memory for the label table's shuffle partitions.
+    """
+    edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("component").alias("nc")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nc").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), "component")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster assignment for EVERY document: members of a near-dup
+    component get its min-id as ``cluster_id``; untouched documents
+    are their own singleton cluster. ``filter(cluster_id == doc_id)``
+    is then exactly the deduplicated corpus (keep-one policy)."""
+    comp = connected_components(pairs, src_col, dst_col)
+    return df.select(F.col(id_col)).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
