@@ -552,6 +552,49 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters at word granularity: top-word /
+    top-bigram / duplicate-word fractions per document."""
+    from tmdataloader_spark.llmdata.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/phone/IPv4 regex redaction (portable
+    regexes, no backrefs/lookaround). Synthetic PII is appended from
+    the row's own columns so the redaction path actually fires."""
+    from tmdataloader_spark.llmdata.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.format_string("%04d", F.pmod(F.col("doc_id"), F.lit(10000))),
+        F.lit(" ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".1 end"),
+    )
+    return d.select("doc_id", redact_pii(dirty).alias("clean_text"))
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing ≥ 2 distinct
+    word 3-grams with the pseudo eval set (doc_id % 97 == 0) are
+    flagged; the tiny benchmark shingle set is broadcast so the corpus
+    never shuffles."""
+    from tmdataloader_spark.llmdata.text import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = benchmark_contamination(d, bench, n=3, min_shared=2)
+    return out.select(
+        "doc_id", "n_shared", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise matches: hash-min label
     propagation (connected components, one shuffle per round,
@@ -972,6 +1015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "repetition": q_repetition,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1490,6 +1536,81 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
         """,
         "minhash_lsh": _minhash_oracle(),
+        "repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w FROM t
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+            ), ws AS (
+              SELECT doc_id, max(c) AS maxw, sum(c) AS nw, count(*) AS dn
+              FROM wc GROUP BY 1
+            ), g AS (
+              SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(1, len(toks)),
+                               i -> list_aggregate(toks[i:i+1], 'string_agg', ' '))
+                ELSE [] END) AS g
+              FROM t
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+            ), gs AS (
+              SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM gc GROUP BY 1
+            )
+            SELECT ws.doc_id,
+                   round(CAST(maxw AS DOUBLE) / nw, 6) AS top_word_frac,
+                   round(coalesce(CAST(maxg AS DOUBLE) / ng, 0), 6) AS top_bigram_frac,
+                   round(1.0 - CAST(dn AS DOUBLE) / nw, 6) AS dup_word_frac
+            FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+        """,
+        "pii_redaction": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 (555) 010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.1 end' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'
+                   ) AS clean_text
+            FROM dirty
+        """,
+        # corpus/benchmark word-3-gram overlap on the shared 32-bit
+        # md5 shingle hash; benchmark = doc_id % 97 == 0
+        "decontamination": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), sh0 AS (
+              SELECT doc_id, list_distinct(list_transform(list_transform(
+                range(1, greatest(len(toks) - 1, 1)),
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+                s -> ('0x'||left(md5('0:'||s),8))::bigint)) AS shingles
+              FROM t
+            ), sh AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+            ), bench AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT s.doc_id, count(*) AS n_shared
+              FROM sh s JOIN bench b ON s.shingle = b.shingle
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_shared, 0) AS n_shared,
+                   CAST(coalesce(h.n_shared, 0) >= 2 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
         # components via recursive reachability closure over the same
         # MinHash pairs; min reachable id (incl. self) = cluster id
         "dedup_clusters": f"""

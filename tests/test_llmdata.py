@@ -240,3 +240,53 @@ def test_connected_components_chain_and_singletons(spark):
     assert clusters[7] == 7 and clusters[12] == 12, "singletons keep their own id"
     kept = sorted(k for k, v in clusters.items() if k == v)
     assert kept == [1, 6, 7, 8, 9, 10, 12], "keep-one = min-id member per cluster"
+
+
+def test_repetition_signals(spark):
+    from tmdataloader_spark.llmdata.text import repetition_signals
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word repeated
+            (2, "all words here are unique"),    # no repetition
+            (3, "one"),                          # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(d).collect()}
+    assert got[1].top_word_frac == 1.0
+    assert got[1].top_bigram_frac == 1.0
+    assert got[1].dup_word_frac == 0.75
+    assert got[2].top_word_frac == 0.2
+    assert got[2].dup_word_frac == 0.0
+    assert got[3].top_bigram_frac == 0.0, "single-token doc has no bigrams"
+
+
+def test_redact_pii(spark):
+    from tmdataloader_spark.llmdata.text import redact_pii
+
+    d = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org, call +1 (555) 010-9999, host 192.168.0.1 ok")],
+        "doc_id long, text string",
+    )
+    out = d.select(redact_pii("text").alias("t")).collect()[0].t
+    assert out == "mail <EMAIL>, call <PHONE>, host <IP> ok"
+
+
+def test_benchmark_contamination(spark):
+    from tmdataloader_spark.llmdata.text import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in benchmark_contamination(corpus, bench).collect()}
+    # shared 3-grams: "quick brown fox", "brown fox jumps"
+    assert got[1].n_shared == 2 and got[1].contaminated
+    assert got[2].n_shared == 0 and not got[2].contaminated

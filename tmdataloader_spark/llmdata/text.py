@@ -140,3 +140,122 @@ def language_id(text: Column | str, threshold: float = 0.05) -> Column:
         F.filter(toks, lambda t: F.array_contains(F.lit(EN_STOPWORDS), t))
     ).cast("double") / F.size(toks)
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) at word
+    granularity: documents dominated by a repeated token or phrase are
+    boilerplate/spam and get filtered before training.
+
+    Per document:
+    - ``top_word_frac``  — occurrences of the most frequent token over
+      total tokens;
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      2-gram over total 2-gram occurrences (0 when < 2 tokens);
+    - ``dup_word_frac``  — 1 − distinct/total tokens.
+
+    Shape: token + bigram explode → two (id, term) count aggs →
+    per-doc max/sum — every stage keyed on the doc id or (doc, term),
+    map-side combined, no skew beyond natural doc length."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    words = base.select(
+        id_col, F.explode("_toks").alias("w")
+    ).groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    word_stats = words.groupBy(id_col).agg(
+        F.max("c").alias("_maxw"),
+        F.sum("c").alias("_nw"),
+        F.count("*").alias("_distinct"),
+    )
+    grams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select(
+        id_col, F.explode(grams).alias("g")
+    ).groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    bigram_stats = bigrams.groupBy(id_col).agg(
+        F.max("c").alias("_maxg"), F.sum("c").alias("_ng")
+    )
+    return (
+        word_stats.join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.col("_maxw").cast("double") / F.col("_nw"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("_maxg").cast("double") / F.col("_ng"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.lit(1.0) - F.col("_distinct").cast("double") / F.col("_nw"), 6
+            ).alias("dup_word_frac"),
+        )
+    )
+
+
+#: PII patterns — no backreferences or lookaround, so the same regex
+#: runs identically under Java (Spark) and RE2 (DuckDB/Go engines).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Regex redaction of common PII shapes (emails, phone-number
+    runs, IPv4) — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: JVM-side, streams through codegen, and
+    every pattern is portable to the SQL oracle dialect."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/test decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct word ``n``-grams with ANY benchmark
+    document (the n-gram-overlap method used for eval-set leakage
+    checks in LLM data pipelines).
+
+    Shape: both sides shingle to 32-bit hashes (shared kernel with
+    the dedup pipelines), the benchmark side collapses to DISTINCT
+    shingles and is BROADCAST (eval sets are tiny next to a corpus),
+    and the count of matched distinct shingles per corpus doc is one
+    map-side-combined agg — no shuffle of the corpus at all."""
+    from tmdataloader_spark.llmdata.dedup import shingles
+
+    corpus_sh = shingles(corpus, text_col, id_col, n=n)
+    bench_sh = (
+        shingles(benchmark, text_col, id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )
