@@ -145,3 +145,36 @@ def test_stateless_quality_stream(spark, tmp_path):
         r.doc_id: r.n_tokens for r in stream_quality_scores(docs).collect()
     }
     assert got == expected
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Within-watermark duplicate texts collapse to their first
+    occurrence; distinct texts all survive."""
+    from tmdataloader_spark.streaming import stream_exact_dedup
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Hello,  World!", "2024-01-01 10:00:00"),
+            (2, "hello world", "2024-01-01 10:05:00"),   # dup after norm
+            (3, "something else", "2024-01-01 10:10:00"),
+            (4, "Hello World", "2024-01-01 10:15:00"),   # dup again
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "docs_in")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.sql("select * from dedup_test").collect()}
+    finally:
+        q.stop()
+    assert kept == {1, 3}, "first occurrence per fingerprint survives"

@@ -207,3 +207,32 @@ def stream_quality_scores(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
     )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``llmdata.dedup.exact_dedup``: keep the first document per
+    normalization fingerprint, drop later duplicates arriving within
+    the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the
+    fingerprint hash only (not the text), and expires each key once
+    the watermark passes its first-seen event time — state is bounded
+    by (distinct fingerprints per watermark window), which is what
+    lets an unbounded feed run indefinitely. Two occurrences farther
+    apart than the watermark can BOTH survive; the batch twin over the
+    full log is the reconciliation path (same lambda contract as the
+    rollup/sessionize pairs above)."""
+    from tmdataloader_spark.llmdata.text import fingerprint
+
+    return (
+        docs.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
