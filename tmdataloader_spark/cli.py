@@ -1,0 +1,262 @@
+r"""Command-line surface mirroring the reference's ``tm_etl`` tool
+(etl/CommandLineTool.groovy:28-268): upload study directories into a
+parquet warehouse, or run the move/delete/security operations against
+it — so a user of the reference can run the same jobs with the same
+flags against this engine.
+
+    python -m tmdataloader_spark [options] [<data_dir>]
+
+The warehouse is a directory of parquet tables (the Spark-native
+replacement for the reference's Postgres/Oracle schema): core i2b2
+frames at the root, per-omics matrices under ``deapp/``. Uploading a
+study REPLACES that study's rows (delete-by-study + append — the same
+partition-overwrite semantics as plans/hdd.write_partitioned).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmdataloader_spark.plans.operations import (
+    StudyWarehouse,
+    delete_all_data,
+    move_study_by_path,
+    normalize_path,
+)
+
+__version__ = "0.3.0"
+
+#: core warehouse tables and their empty-frame schemas (matching what
+#: the loaders emit; unionByName(allowMissingColumns) absorbs extras)
+CORE_SCHEMAS = {
+    "i2b2": (
+        "c_fullname string, c_hlevel int, c_name string, c_basecode string, "
+        "valtype_cd string, sourcesystem_cd string, c_visualattributes string"
+    ),
+    "concept_dimension": (
+        "concept_path string, concept_cd string, name_char string, "
+        "sourcesystem_cd string"
+    ),
+    "observation_fact": (
+        "patient_num long, concept_cd string, modifier_cd string, "
+        "valtype_cd string, tval_char string, nval_num double, "
+        "sourcesystem_cd string, sample_cd string, concept_path string"
+    ),
+    "patient_dimension": (
+        "patient_num long, sex_cd string, age_in_years_num int, "
+        "race_cd string, sourcesystem_cd string"
+    ),
+    "concept_counts": "concept_path string, patient_count long",
+}
+
+
+def read_warehouse(spark: SparkSession, wh_dir: str) -> StudyWarehouse:
+    """Open (or initialize empty) warehouse frames."""
+
+    def table(name: str) -> DataFrame:
+        p = os.path.join(wh_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        return spark.createDataFrame([], CORE_SCHEMAS[name])
+
+    deapp: dict[str, DataFrame] = {}
+    deapp_dir = os.path.join(wh_dir, "deapp")
+    if os.path.isdir(deapp_dir):
+        for f in sorted(os.listdir(deapp_dir)):
+            if f.endswith(".parquet"):
+                deapp[f[:-8]] = spark.read.parquet(os.path.join(deapp_dir, f))
+    return StudyWarehouse(
+        i2b2=table("i2b2"),
+        concept_dimension=table("concept_dimension"),
+        observation_fact=table("observation_fact"),
+        patient_dimension=table("patient_dimension"),
+        concept_counts=table("concept_counts"),
+        deapp=deapp,
+    )
+
+
+def write_warehouse(wh: StudyWarehouse, wh_dir: str) -> None:
+    """Persist warehouse frames. Writes go to a staging name first,
+    then swap — a reader never sees a half-written table."""
+    os.makedirs(os.path.join(wh_dir, "deapp"), exist_ok=True)
+    items = [(n, getattr(wh, n)) for n in CORE_SCHEMAS] + [
+        (os.path.join("deapp", n), df) for n, df in wh.deapp.items()
+    ]
+    for name, df in items:
+        if df is None:
+            continue
+        final = os.path.join(wh_dir, f"{name}.parquet")
+        tmp = final + ".staging"
+        df.write.mode("overwrite").parquet(tmp)
+        # swap (atomic enough for a local/posix warehouse; an object
+        # store deployment would write to a versioned prefix instead)
+        import shutil
+
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+
+def _drop_study(wh: StudyWarehouse, trial_id: str) -> StudyWarehouse:
+    """Best-effort delete before re-insert (the upload upsert); unlike
+    delete_all_data this must not raise when the study is absent."""
+    try:
+        return delete_all_data(wh, trial_id=trial_id)
+    except Exception:
+        return wh
+
+
+def _union(base: DataFrame | None, add: DataFrame | None) -> DataFrame | None:
+    if add is None:
+        return base
+    if base is None:
+        return add
+    return base.unionByName(add, allowMissingColumns=True)
+
+
+def merge_study_into_warehouse(
+    wh: StudyWarehouse, loaded, spark: SparkSession
+) -> StudyWarehouse:
+    """Fold one StudyLoadResult's frames into the warehouse."""
+    from tmdataloader_spark.plans.study import _HDD_ROUTE, _SERIAL_HDD_ROUTE
+
+    for ptype, res in loaded.results.items():
+        trial = None
+        if hasattr(res, "observation_fact") and res.observation_fact is not None:
+            row = res.observation_fact.select("sourcesystem_cd").first()
+            trial = row[0] if row else None
+        if trial:
+            wh = _drop_study(wh, trial)
+        for attr, target in [
+            ("observation_fact", "observation_fact"),
+            ("patient_dimension", "patient_dimension"),
+            ("i2b2", "i2b2"),
+            ("concept_dimension", "concept_dimension"),
+            ("concept_counts", "concept_counts"),
+        ]:
+            add = getattr(res, attr, None)
+            if add is not None:
+                setattr(wh, target, _union(getattr(wh, target), add))
+        if ptype in _HDD_ROUTE or ptype in _SERIAL_HDD_ROUTE:
+            omics = _HDD_ROUTE.get(ptype) or _SERIAL_HDD_ROUTE[ptype]
+            wh.deapp[f"de_subject_{omics}_data"] = _union(
+                wh.deapp.get(f"de_subject_{omics}_data"), res.data
+            )
+            wh.deapp["de_subject_sample_mapping"] = _union(
+                wh.deapp.get("de_subject_sample_mapping"), res.sample_mapping
+            )
+    return wh
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tm_etl",
+        description="PySpark tMDataLoader-equivalent: upload studies / run operations",
+    )
+    p.add_argument("data_dir", nargs="?", help="studies directory to upload")
+    p.add_argument("-c", "--config", help="configuration file (python dict literal)")
+    p.add_argument("-v", "--version", action="store_true", help="print version and exit")
+    p.add_argument("-i", "--interactive", action="store_true", help="(accepted; no-op)")
+    p.add_argument("-n", "--no-rename", action="store_true", help="(accepted; manifest-based state machine never renames)")
+    p.add_argument("-t", "--use-t", action="store_true", help="do not force Z datatype for T expression data")
+    p.add_argument("-s", "--stop-on-fail", action="store_true", help="stop when an upload fails")
+    p.add_argument("-m", "--move-study", metavar="OLD;NEW", help="move study: 'old_path;new_path'")
+    p.add_argument("--keep-security", action="store_true", help="preserve target security on move-over")
+    p.add_argument("--copy-security-settings-from", metavar="STUDY_ID")
+    p.add_argument("--secure-study", action="store_true", help="make uploaded studies securable")
+    p.add_argument("--visit-name-first", action="store_true")
+    p.add_argument("--data-value-first", action="store_true")
+    p.add_argument("--always-set-visit-name", action="store_true")
+    p.add_argument("--delete-study-by-id", metavar="STUDY_ID")
+    p.add_argument("--delete-study-by-path", metavar="PATH")
+    p.add_argument("--force-start", action="store_true", help="skip the single-instance lock")
+    p.add_argument("--allow-non-unique-columns", action="store_true")
+    p.add_argument("--use-first-gene-id", action="store_true")
+    p.add_argument("--check-duplicates", action="store_true")
+    p.add_argument("--replace-study", action="store_true")
+    p.add_argument("--warehouse", default="warehouse", help="parquet warehouse directory (default ./warehouse)")
+    p.add_argument("--parent-node", default="\\Public Studies", help="ontology parent for uploaded studies")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from tmdataloader_spark.session import get_spark
+    from tmdataloader_spark.sinks import ProcessLockError, process_lock
+
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(f"tm_etl (tmdataloader_spark) {__version__}")
+        return 0
+
+    ops = [args.move_study, args.delete_study_by_id, args.delete_study_by_path,
+           args.copy_security_settings_from, args.data_dir]
+    if not any(ops):
+        build_parser().print_help()
+        return 2
+
+    spark = get_spark("tm_etl")
+    wh_dir = args.warehouse
+
+    # operations path (§3.4): bypasses directory processing
+    if args.move_study:
+        old, _, new = args.move_study.partition(";")
+        wh = read_warehouse(spark, wh_dir)
+        wh = move_study_by_path(wh, old, new, keep_security=args.keep_security)
+        write_warehouse(wh, wh_dir)
+        print(f">>> MOVED {normalize_path(old)} -> {normalize_path(new)}")
+        return 0
+    if args.delete_study_by_id or args.delete_study_by_path:
+        wh = read_warehouse(spark, wh_dir)
+        wh = delete_all_data(
+            wh, trial_id=args.delete_study_by_id, path=args.delete_study_by_path
+        )
+        write_warehouse(wh, wh_dir)
+        print(f">>> DELETED {args.delete_study_by_id or args.delete_study_by_path}")
+        return 0
+
+    # upload path (§3.1)
+    from tmdataloader_spark.plans.study import discover_studies, load_study
+
+    def run_upload() -> int:
+        import tempfile
+
+        wh = read_warehouse(spark, wh_dir)
+        with tempfile.TemporaryDirectory() as zip_work:
+            studies = discover_studies(args.data_dir, root="", work_dir=zip_work)
+            if not studies:
+                print(f"no studies under {args.data_dir}", file=sys.stderr)
+                return 1
+            failed = 0
+            for study_dir, rel in studies:
+                parent = args.parent_node + rel
+                print(f">>> STUDY {study_dir} -> {parent}")
+                loaded = load_study(spark, study_dir, parent_node=parent)
+                for ptype, d, status, err in loaded.manifest:
+                    print(f"    {ptype:<14} {status}{': ' + err if err else ''}")
+                if not loaded.succeeded:
+                    failed += 1
+                    if args.stop_on_fail:
+                        print(">>> STOP ON FAIL", file=sys.stderr)
+                        return 1
+                    continue
+                wh = merge_study_into_warehouse(wh, loaded, spark)
+            write_warehouse(wh, wh_dir)
+            return 1 if failed else 0
+
+    os.makedirs(wh_dir, exist_ok=True)
+    if args.force_start:
+        return run_upload()
+    try:
+        with process_lock(os.path.join(wh_dir, ".tm_etl.lock")):
+            return run_upload()
+    except ProcessLockError:
+        print("another tm_etl instance is running (use --force-start)", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
