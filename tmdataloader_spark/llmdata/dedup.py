@@ -397,9 +397,13 @@ def simhash_pairs(
                 F.col("simhash").bitwiseAND(F.lit(mask)).alias("band_bits"),
             )
         )
+    # cached: both self-join sides read this frame — without it the
+    # upstream signature aggregation (token explode + 32 bit-sums)
+    # runs twice per query; size is n_docs × (id, sig, band) rows,
+    # MEMORY_AND_DISK so an over-budget corpus spills instead of OOM
     keyed = sig.select(
         id_col, "simhash", F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, "simhash", "bk.band", "bk.band_bits")
+    ).select(id_col, "simhash", "bk.band", "bk.band_bits").cache()
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (
