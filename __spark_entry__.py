@@ -835,6 +835,34 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): every purchase event attached to the
+    user's latest click at-or-before it — union + carry-forward
+    window, ONE shuffle on user_id, no inequality theta-join. Right
+    side pre-deduped per (user, ts) so ties are deterministic; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from tmdataloader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    out = asof_join(left, right, on="user_id", right_prefix="last_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("last_click_id").alias("click_id"),
+        F.col("last_click_ts").alias("click_ts"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the
     applyInPandasWithState streaming operator in streaming.py): one
@@ -1031,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdd_leaf_paths": q_hdd_leaf_paths,
         "event_rollup": q_event_rollup,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "ann_block": q_ann_block,
         "summary_stats": q_summary_stats,
         "validation_rules": q_validation_rules,
@@ -1865,6 +1894,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # backward-inclusive as-of: DuckDB's native ASOF LEFT JOIN on
+        # the same deduped right side
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, ts, max(event_id) AS click_id,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   r.click_id, r.click_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # Gap sessionization: integer-micros gap test (epoch_us of the
         # micros-truncated timestamp == Spark's unix_micros), running-sum

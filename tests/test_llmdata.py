@@ -290,3 +290,41 @@ def test_benchmark_contamination(spark):
     # shared 3-grams: "quick brown fox", "brown fox jumps"
     assert got[1].n_shared == 2 and got[1].contaminated
     assert got[2].n_shared == 0 and not got[2].contaminated
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of with left-join nulls and tolerance:
+    equal timestamps match, no-prior-row yields NULL, tolerance nulls
+    out stale matches."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 12:00:00"),
+            (3, "u2", "2024-01-01 09:00:00"),   # equal-time match
+            (4, "u4", "2024-01-01 09:00:00"),   # no right rows at all
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 09:30:00", 100),
+            ("u1", "2024-01-01 11:00:00", 200),
+            ("u2", "2024-01-01 09:00:00", 300),
+            ("u2", "2024-01-01 09:30:00", 999),  # AFTER left: never matches
+        ],
+        "user_id string, ts string, val long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {r.event_id: r.r_val for r in asof_join(left, right, on="user_id").collect()}
+    assert got == {1: 100, 2: 200, 3: 300, 4: None}
+
+    tol = {
+        r.event_id: r.r_val
+        for r in asof_join(left, right, on="user_id", tolerance_seconds=1800).collect()
+    }
+    assert tol[1] == 100, "30 min back is inside a 30-min tolerance (inclusive)"
+    assert tol[2] is None, "60 min back is outside it"

@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join — extension operator (the reference has
+no temporal joins; the brief's training-data pipelines do: feature
+lookups "as of" an event time, price/quote alignment, last-state
+attachment).
+
+Spark has no ASOF JOIN primitive and the naive formulations are
+scale-traps: an inequality theta-join explodes to O(n·m) compares,
+and a per-left-row subquery is uncomputable distributed. The
+implementation here is the UNION + CARRY-FORWARD pattern: tag right
+rows 0 and left rows 1, union them, and run ONE window over
+(key, ts, tag) carrying the last non-null right payload forward —
+a single hash-partition of both inputs by key, sorted within
+partitions, no row multiplication at all. This is the same shape
+Flink's temporal join and kdb's aj compile to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: columns injected into the union frame; underscored to avoid
+#: colliding with user payload columns
+_TAG, _SEQ = "_asof_tag", "_asof_seq"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same key
+    with ``right_ts <= left_ts`` (backward as-of, inclusive — the
+    DuckDB/pandas ``merge_asof`` default). Right payload columns come
+    back ``right_prefix``-renamed, NULL when no prior right row
+    exists (left join semantics).
+
+    ``tolerance_seconds`` bounds the lookback: matches older than
+    ``left_ts − tolerance`` are nulled out (pandas ``merge_asof``
+    tolerance semantics) — state in the window never grows regardless.
+
+    Ties: right rows sort BEFORE left rows at the same timestamp (so
+    an equal-time right row matches), and multiple right rows at one
+    (key, ts) resolve to the last in ``(ts, seq)`` order where seq is
+    a stable input ordinal — callers wanting a specific winner should
+    pre-dedup the right side.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias(_TAG),
+        F.monotonically_increasing_id().alias(_SEQ),
+        *[
+            F.struct(*[F.col(c) for c in payload], F.col(right_ts).alias("_rts")).alias(
+                "_asof_payload"
+            )
+        ],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias(_TAG),
+        F.monotonically_increasing_id().alias(_SEQ),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+    )
+    unioned = l.select(
+        *[F.col(c) for c in left.columns],
+        "_asof_ts", _TAG, _SEQ, "_asof_payload",
+    ).unionByName(
+        r.select(
+            *keys,
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+              for c in left.columns if c not in keys],
+            "_asof_ts", _TAG, _SEQ, "_asof_payload",
+        )
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", _TAG, _SEQ)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col(_TAG) == 1)
+    if tolerance_seconds is not None:
+        in_range = F.col("_asof_match._rts") >= F.col("_asof_ts") - F.expr(
+            f"INTERVAL {tolerance_seconds} SECONDS"
+        )
+        carried = carried.withColumn(
+            "_asof_match", F.when(in_range, F.col("_asof_match"))
+        )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_asof_match.{c}").alias(f"{right_prefix}{c}") for c in payload
+    ]
+    return carried.select(*out_cols)
