@@ -863,6 +863,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (extension): purchases inside the 2-hour
+    window after each signup of the same user — bucketized equi-join
+    + residual filter, no inequality theta-join. Oracle is the plain
+    SQL range predicate (fine at oracle scale)."""
+    from tmdataloader_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = range_join(points, intervals, on="user_id")
+    return out.select(
+        "event_id",
+        "signup_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the
     applyInPandasWithState streaming operator in streaming.py): one
@@ -1060,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "ann_block": q_ann_block,
         "summary_stats": q_summary_stats,
         "validation_rules": q_validation_rules,
@@ -1912,6 +1940,21 @@ def oracle_sql() -> dict[str, str]:
                    r.click_id, r.click_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), i AS (
+              SELECT event_id AS signup_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, i.signup_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   strftime(i.start_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+            FROM p JOIN i ON p.user_id = i.user_id
+             AND p.ts >= i.start_ts AND p.ts < i.end_ts
         """,
         # Gap sessionization: integer-micros gap test (epoch_us of the
         # micros-truncated timestamp == Spark's unix_micros), running-sum

@@ -328,3 +328,33 @@ def test_asof_join_semantics(spark):
     }
     assert tol[1] == 100, "30 min back is inside a 30-min tolerance (inclusive)"
     assert tol[2] is None, "60 min back is outside it"
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Bucketized interval join is exact across bucket boundaries:
+    half-open [start, end), long intervals spanning many buckets, and
+    no cross-key leakage."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),  # == start: included
+            (2, "u1", "2024-01-01 13:59:59"),  # just inside long interval
+            (3, "u1", "2024-01-01 14:00:00"),  # == end: excluded
+            (4, "u2", "2024-01-01 10:30:00"),  # other key, no interval
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [("i1", "u1", "2024-01-01 10:00:00", "2024-01-01 14:00:00")],
+        "iv_id string, user_id string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    got = {
+        (r.event_id, r.iv_id)
+        for r in range_join(points, intervals, on="user_id", bucket_seconds=3600).collect()
+    }
+    assert got == {(1, "i1"), (2, "i1")}

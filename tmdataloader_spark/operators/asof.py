@@ -99,3 +99,43 @@ def asof_join(
         F.col(f"_asof_match.{c}").alias(f"{right_prefix}{c}") for c in payload
     ]
     return carried.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: every point row paired with every
+    interval row of the same key satisfying ``start <= point < end``
+    (half-open, the window-bound convention).
+
+    The naive formulation is an inequality theta-join — a broadcast
+    nested loop (or cartesian) that dies at scale. Here both sides
+    are BUCKETIZED on time: each point maps to one bucket, each
+    interval explodes to the buckets it overlaps, and the join is a
+    plain equi-join on (key, bucket) + a residual range filter.
+    Candidate volume is |points| + Σ interval_span/bucket — linear,
+    shuffle keyed on (key, bucket) so long intervals don't hot-spot a
+    single key partition. ``bucket_seconds`` trades replication of
+    long intervals against per-bucket fanout (set it near the median
+    interval length)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    b = F.lit(bucket_seconds)
+    p = points.withColumn("_bucket", (F.unix_timestamp(F.col(point_ts)) / b).cast("long"))
+    start_b = (F.unix_timestamp(F.col(start_col)) / b).cast("long")
+    # end is exclusive: a bucket is touched only if start of bucket < end
+    end_b = ((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("long")
+    i = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(start_b, F.greatest(end_b, start_b)))
+    )
+    cond = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    return (
+        p.join(i, keys + ["_bucket"])
+        .filter(cond)
+        .drop("_bucket")
+    )
