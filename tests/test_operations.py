@@ -168,3 +168,64 @@ def test_delete_all_data(wh):
 def test_delete_by_path_resolves_trial(wh):
     out = delete_all_data(wh, path=ORIGINAL)
     assert out.observation_fact.count() == 0
+
+
+def test_move_over_existing_with_keep_security(spark):
+    """MoveStudyOperationTest.testMoveStudyWithSaveSecurity: with
+    keep-security the existing study at the target path is deleted
+    first and the moved study lands there; without it the move aborts
+    ('Study target path is already exists')."""
+
+    def node(path, hlevel, name, trial):
+        return (path, hlevel, name, None, None, trial)
+
+    i2b2 = spark.createDataFrame(
+        [
+            node("\\R\\", 0, "R", None),
+            node("\\R\\A\\", 1, "A", "TA"),
+            node("\\R\\A\\x\\", 2, "x", "TA"),
+            node("\\R\\B\\", 1, "B", "TB"),
+            node("\\R\\B\\y\\", 2, "y", "TB"),
+        ],
+        "c_fullname string, c_hlevel int, c_name string, c_basecode string, "
+        "valtype_cd string, sourcesystem_cd string",
+    )
+    cd = spark.createDataFrame(
+        [
+            ("\\R\\A\\", "ca", "A", "TA"),
+            ("\\R\\A\\x\\", "cx", "x", "TA"),
+            ("\\R\\B\\", "cb", "B", "TB"),
+            ("\\R\\B\\y\\", "cy", "y", "TB"),
+        ],
+        "concept_path string, concept_cd string, name_char string, sourcesystem_cd string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "cx", "TA", "T", "v", None, "TA", None, "\\R\\A\\x\\"),
+            (2, "cy", "TB", "T", "v", None, "TB", None, "\\R\\B\\y\\"),
+        ],
+        "patient_num long, concept_cd string, modifier_cd string, valtype_cd string, "
+        "tval_char string, nval_num double, sourcesystem_cd string, sample_cd string, "
+        "concept_path string",
+    )
+    patients = spark.createDataFrame(
+        [(1, "M", None, None, "TA:1"), (2, "F", None, None, "TB:2")],
+        "patient_num long, sex_cd string, age_in_years_num int, race_cd string, "
+        "sourcesystem_cd string",
+    )
+    wh0 = StudyWarehouse(
+        i2b2=i2b2, concept_dimension=cd, observation_fact=facts,
+        patient_dimension=patients,
+        concept_counts=spark.createDataFrame(
+            [], "concept_path string, patient_count long"),
+    )
+
+    with pytest.raises(LoadValidationError, match="already exists"):
+        move_study_by_path(wh0, "\\R\\A\\", "\\R\\B\\")
+
+    out = move_study_by_path(wh0, "\\R\\A\\", "\\R\\B\\", keep_security=True)
+    got = paths(out.i2b2, "c_fullname")
+    assert "\\R\\B\\x\\" in got and "\\R\\A\\" not in got
+    assert "\\R\\B\\y\\" not in got, "old target study deleted"
+    fact_paths = paths(out.observation_fact, "concept_path")
+    assert fact_paths == {"\\R\\B\\x\\"}
