@@ -546,26 +546,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nc").alias("nbr_component"))
         )
-        new_labels = (
+        # carry a changed-flag through the SAME projection so the
+        # convergence check reads the checkpointed result instead of
+        # re-joining new labels against old (one join per round saved)
+        new_val = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
+        stepped = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_val.alias("component"),
+                (new_val < F.col("component")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("u", "component")
+        if stepped.filter(F.col("_changed")).limit(1).count() == 0:
             break
     return labels.select(F.col("u").alias("node"), "component")
 
