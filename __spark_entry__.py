@@ -595,6 +595,15 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed scikit-learn IDF);
+    vocabulary agg joined back on the term key, ties broken on the
+    rounded score then term so both engines rank identically."""
+    from tmdataloader_spark.llmdata.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise matches: hash-min label
     propagation (connected components, one shuffle per round,
@@ -1071,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "repetition": q_repetition,
+        "tfidf": q_tfidf,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "simhash": q_simhash,
@@ -1593,6 +1603,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
         """,
         "minhash_lsh": _minhash_oracle(),
+        "tfidf": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS nd FROM documents
+            ), idf AS (
+              SELECT term, ln(CAST(nd + 1 AS DOUBLE) / (count(*) + 1)) + 1 AS idf
+              FROM tf, n GROUP BY term, nd
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * idf.idf, 6) AS tfidf
+              FROM tf JOIN idf USING (term)
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
+        """,
         "repetition": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks

@@ -358,3 +358,24 @@ def test_range_join_bucket_boundaries(spark):
         for r in range_join(points, intervals, on="user_id", bucket_seconds=3600).collect()
     }
     assert got == {(1, "i1"), (2, "i1")}
+
+
+def test_tfidf_top_terms(spark):
+    """Corpus-distinctive terms outrank ubiquitous ones; k bounds the
+    per-doc output; smoothed IDF keeps ubiquitous terms positive."""
+    from tmdataloader_spark.llmdata.text import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common yak"),
+            (3, "common plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(d, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    assert rows[(1, 1)].term == "zebra", "rare term beats frequent common term"
+    assert rows[(2, 1)].term == "yak"
+    assert all(r.tfidf > 0 for r in rows.values())
+    assert max(r.rank for r in rows.values()) <= 2

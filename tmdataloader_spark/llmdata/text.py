@@ -259,3 +259,47 @@ def benchmark_contamination(
             (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-relevance
+    signal data-curation pipelines use for topic filtering and
+    near-duplicate triage.
+
+    ``tfidf = tf · (ln((N+1)/(df_t+1)) + 1)`` (the smoothed
+    scikit-learn convention, never negative/zero). Shape: one token
+    explode → per-(doc, term) counts (map-side combined) → the IDF
+    table is ONE small agg over distinct (doc, term) rows, joined back
+    on the term key — at corpus scale the vocabulary table is orders
+    smaller than the token stream and AQE broadcasts it. Ranking ties
+    break on the 6-decimal rounded score then term, so results are
+    engine-stable."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    idf = tf.groupBy("term").agg(
+        (F.log((n_docs + 1) / (F.count("*") + 1)) + 1).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
