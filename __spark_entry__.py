@@ -604,6 +604,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship llmdata composition: the full curation pipeline
+    (langid → length → repetition → MinHash near-dup keep-one →
+    decontamination vs the doc_id%97 pseudo eval set) producing one
+    verdict row per document with ordered drop reasons."""
+    from tmdataloader_spark.llmdata.curate import curate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return curate(d, benchmark=bench)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise matches: hash-min label
     propagation (connected components, one shuffle per round,
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "curate": q_curate,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
         "pii_redaction": q_pii_redaction,
@@ -1701,6 +1714,67 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_shared, 0) AS n_shared,
                    CAST(coalesce(h.n_shared, 0) >= 2 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "curate": f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_oracle()}
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), labels AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ), tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), wde AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM wde GROUP BY 1, 2
+            ), ws AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topw FROM wc GROUP BY 1
+            ), sh0 AS (
+              SELECT doc_id, list_distinct(list_transform(list_transform(
+                range(1, greatest(len(toks) - 1, 1)),
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+                x -> ('0x'||left(md5('0:'||x),8))::bigint)) AS shingles
+              FROM tok
+            ), shl AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+            ), bench AS (
+              SELECT DISTINCT shingle FROM shl WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT s.doc_id, count(*) AS n_shared
+              FROM shl s JOIN bench b ON s.shingle = b.shingle GROUP BY 1
+            ), j AS (
+              SELECT t.doc_id,
+                     CASE WHEN CAST(len(list_filter(t.toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE)
+                          / len(t.toks) >= 0.05 THEN 'en' ELSE 'und' END AS lang,
+                     len(t.toks) AS n_tokens,
+                     ws.topw,
+                     coalesce(l.component, t.doc_id) AS cluster_id,
+                     coalesce(h.n_shared, 0) >= 2 AS cont
+              FROM tok t
+              JOIN ws ON ws.doc_id = t.doc_id
+              LEFT JOIN labels l ON l.node = t.doc_id
+              LEFT JOIN hits h ON h.doc_id = t.doc_id
+            )
+            SELECT doc_id, reasons, CAST(reasons = '' AS INT) AS kept FROM (
+              SELECT doc_id, concat_ws(',',
+                CASE WHEN lang != 'en' THEN 'lang' END,
+                CASE WHEN n_tokens < 20 THEN 'short' END,
+                CASE WHEN n_tokens > 90 THEN 'long' END,
+                CASE WHEN topw > 0.15 THEN 'repetitive' END,
+                CASE WHEN cluster_id != doc_id THEN 'duplicate' END,
+                CASE WHEN cont THEN 'contaminated' END) AS reasons
+              FROM j
+            )
         """,
         # components via recursive reachability closure over the same
         # MinHash pairs; min reachable id (incl. self) = cluster id

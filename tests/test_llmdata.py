@@ -380,3 +380,29 @@ def test_tfidf_top_terms(spark):
     assert rows[(1, 2)].term == "common"
     assert all(r.tfidf > 0 for r in rows.values()), "smoothed IDF stays positive"
     assert max(r.rank for r in rows.values()) <= 2
+
+
+def test_curate_pipeline_reasons(spark):
+    """The composed curation pipeline flags each rule independently
+    and keeps only clean documents; reasons are ordered and
+    comma-joined."""
+    from tmdataloader_spark.llmdata.curate import curate
+
+    good = "the quick brown fox jumps over a lazy dog and then it runs off to the river bank again with joy " * 1
+    docs = spark.createDataFrame(
+        [
+            (1, good + "one two three four five six seven"),          # kept
+            (2, good + "one two three four five six seven"),          # exact dup of 1
+            (3, "foo bar " * 12),                                    # not English + repetitive
+            (4, "the a and of to in is for on it"),                  # too short
+            (5, good * 5),                                           # too long
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.kept, r.reasons) for r in curate(docs, min_tokens=15, max_tokens=60).collect()}
+    assert got[1] == (1, "")
+    assert got[2] == (0, "duplicate")
+    assert "lang" in got[3][1] and "repetitive" in got[3][1]
+    assert got[3][1].index("lang") < got[3][1].index("repetitive"), "fixed reason order"
+    assert got[4][1] == "short"
+    assert got[5] == (0, "long")

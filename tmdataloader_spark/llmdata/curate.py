@@ -1,0 +1,92 @@
+"""End-to-end corpus curation — the composed training-data pipeline:
+language ID → length bounds → repetition filters → MinHash near-dup
+keep-one → eval-set decontamination, producing one verdict row per
+document with machine-readable drop reasons.
+
+This is the flagship composition of the llmdata suite: every signal
+is one of the already-tested operators, joined back on the doc id —
+so the plan is a DAG of independent signal subplans plus equi-joins,
+each stage scale-characterized in SURVEY.md §9. Nothing here touches
+the driver except the connected-components convergence loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: fixed reason order — the output ``reasons`` string is the
+#: comma-join of the violated subset in THIS order (engine-stable)
+REASONS = ("lang", "short", "long", "repetitive", "duplicate", "contaminated")
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    max_top_word_frac: float = 0.15,
+    jaccard_threshold: float = 0.8,
+    contamination_min_shared: int = 2,
+) -> DataFrame:
+    """One verdict row per document: ``(id, kept, reasons)`` where
+    ``reasons`` is the comma-joined violated-rule subset (fixed
+    order: lang, short, long, repetitive, duplicate, contaminated)
+    and ``kept = 1`` iff it is empty. ``filter(kept = 1)`` joined
+    back to the corpus is the curated training set.
+
+    - lang: English stopword hit-rate < 5% (``text.language_id``)
+    - short/long: whitespace token count outside
+      [``min_tokens``, ``max_tokens``]
+    - repetitive: most frequent token above ``max_top_word_frac``
+      of all tokens (``text.repetition_signals``)
+    - duplicate: member of a MinHash-LSH near-dup component
+      (Jaccard ≥ ``jaccard_threshold``) that is NOT the min-id
+      canonical (``dedup.dedup_clusters`` keep-one policy)
+    - contaminated: shares ≥ ``contamination_min_shared`` distinct
+      word 3-grams with ``benchmark`` (skipped when None)
+    """
+    from tmdataloader_spark.llmdata.dedup import dedup_clusters, minhash_lsh_pairs
+    from tmdataloader_spark.llmdata.text import (
+        benchmark_contamination,
+        language_id,
+        repetition_signals,
+        tokens,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        language_id(F.col(text_col)).alias("_lang"),
+        F.size(tokens(F.col(text_col))).alias("_n_tokens"),
+    )
+    rep = repetition_signals(df, text_col, id_col).select(
+        id_col, F.col("top_word_frac").alias("_topw")
+    )
+    pairs = minhash_lsh_pairs(df, num_perms=16, bands=4, threshold=jaccard_threshold)
+    clusters = dedup_clusters(df, pairs, id_col=id_col).select(
+        id_col, F.col("cluster_id").alias("_cluster")
+    )
+    out = base.join(rep, id_col).join(clusters, id_col)
+    if benchmark is not None:
+        cont = benchmark_contamination(
+            df, benchmark, text_col, id_col, n=3, min_shared=contamination_min_shared
+        ).select(id_col, F.col("contaminated").alias("_cont"))
+        out = out.join(cont, id_col)
+    else:
+        out = out.withColumn("_cont", F.lit(False))
+
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("_lang") != "en", F.lit("lang")),
+        F.when(F.col("_n_tokens") < min_tokens, F.lit("short")),
+        F.when(F.col("_n_tokens") > max_tokens, F.lit("long")),
+        F.when(F.col("_topw") > max_top_word_frac, F.lit("repetitive")),
+        F.when(F.col("_cluster") != F.col(id_col), F.lit("duplicate")),
+        F.when(F.col("_cont"), F.lit("contaminated")),
+    )
+    return out.select(
+        id_col,
+        reasons.alias("reasons"),
+        (reasons == "").cast("int").alias("kept"),
+    )
