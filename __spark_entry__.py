@@ -1055,7 +1055,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (round 4): the driver's correctness gate checks the
+    # FIRST 50 entries. The ten queries that fell outside r03's window
+    # (six of which had never had a green oracle row: event_rollup,
+    # sessionize, asof_join, range_join, gpl_info_join,
+    # timepoint_minutes) lead the dict; ten long-stable relational
+    # queries that pytest e2e also covers (anti/semi/except/union/
+    # first_value/path_functions/move/delete/visual_attributes/
+    # timepoints — green in r01+r02+r03) are rotated to the tail.
     return {
+        "event_rollup": q_event_rollup,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "gpl_info_join": q_gpl_info_join,
+        "timepoint_minutes": q_timepoint_minutes,
+        "hdd_leaf_paths": q_hdd_leaf_paths,
+        "ann_block": q_ann_block,
+        "summary_stats": q_summary_stats,
+        "validation_rules": q_validation_rules,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -1067,20 +1085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_melt": q_clinical_melt,
         "demographics_pivot": q_demographics_pivot,
         "fact_assembly": q_fact_assembly,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_dropped": q_except_dropped,
-        "union_exclusion": q_union_exclusion,
-        "first_value": q_first_value,
         "fill_in_tree": q_fill_in_tree,
         "tree_closure": q_tree_closure,
         "concept_counts": q_concept_counts,
-        "visual_attributes": q_visual_attributes,
-        "path_functions": q_path_functions,
-        "move_study": q_move_study,
-        "delete_study": q_delete_study,
         "cleansing": q_cleansing,
-        "timepoints": q_timepoints,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1106,16 +1114,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vcf_genotypes": q_vcf_genotypes,
         "merge_update": q_merge_update,
         "visit_suppression": q_visit_suppression,
-        "hdd_leaf_paths": q_hdd_leaf_paths,
-        "event_rollup": q_event_rollup,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "ann_block": q_ann_block,
-        "summary_stats": q_summary_stats,
-        "validation_rules": q_validation_rules,
-        "gpl_info_join": q_gpl_info_join,
-        "timepoint_minutes": q_timepoint_minutes,
+        # --- tail (positions 51-60): stable since r01/r02, also covered
+        # by pytest e2e; outside the driver's 50-row oracle window.
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "visual_attributes": q_visual_attributes,
+        "timepoints": q_timepoints,
     }
 
 

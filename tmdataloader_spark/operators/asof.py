@@ -44,8 +44,11 @@ def asof_join(
 
     Ties: right rows sort BEFORE left rows at the same timestamp (so
     an equal-time right row matches), and multiple right rows at one
-    (key, ts) resolve to the last in ``(ts, seq)`` order where seq is
-    a stable input ordinal — callers wanting a specific winner should
+    (key, ts) resolve to the row with the greatest ``xxhash64`` over
+    its payload — a content-derived ordinal, so repeated runs on
+    arbitrarily repartitioned input pick the SAME winner (a
+    ``monotonically_increasing_id`` seq would be partitioning-
+    dependent). Callers wanting a specific winner should still
     pre-dedup the right side.
     """
     keys = [on] if isinstance(on, str) else list(on)
@@ -55,7 +58,7 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias(_TAG),
-        F.monotonically_increasing_id().alias(_SEQ),
+        F.xxhash64(*[F.col(c) for c in right.columns]).alias(_SEQ),
         *[
             F.struct(*[F.col(c) for c in payload], F.col(right_ts).alias("_rts")).alias(
                 "_asof_payload"
@@ -66,7 +69,9 @@ def asof_join(
         "*",
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias(_TAG),
-        F.monotonically_increasing_id().alias(_SEQ),
+        # left-side seq never affects the carried value (only right
+        # rows hold payloads); a constant keeps the sort deterministic
+        F.lit(0).cast("long").alias(_SEQ),
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
     )
     unioned = l.select(
@@ -125,11 +130,19 @@ def range_join(
     long intervals against per-bucket fanout (set it near the median
     interval length)."""
     keys = [on] if isinstance(on, str) else list(on)
-    b = F.lit(bucket_seconds)
-    p = points.withColumn("_bucket", (F.unix_timestamp(F.col(point_ts)) / b).cast("long"))
-    start_b = (F.unix_timestamp(F.col(start_col)) / b).cast("long")
+    # Buckets from exact epoch MICROS, not unix_timestamp (which
+    # truncates to whole seconds): with sub-second timestamps a point
+    # inside the final fractional second of an interval could land in
+    # a bucket beyond the interval's last bucket and the equi-join
+    # would drop a row the residual filter keeps — bucketization must
+    # stay lossless.
+    b_us = F.lit(bucket_seconds * 1_000_000)
+    p = points.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(point_ts)) / b_us)
+    )
+    start_b = F.floor(F.unix_micros(F.col(start_col)) / b_us)
     # end is exclusive: a bucket is touched only if start of bucket < end
-    end_b = ((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("long")
+    end_b = F.floor((F.unix_micros(F.col(end_col)) - 1) / b_us)
     i = intervals.withColumn(
         "_bucket", F.explode(F.sequence(start_b, F.greatest(end_b, start_b)))
     )
