@@ -78,6 +78,30 @@ def main() -> None:
         )
     )
 
+    # Regression guard: compare against the checked-in baseline on the
+    # common query set and exit nonzero on a >2x total regression —
+    # future rounds catch slowdowns mechanically, not by eyeballing
+    # BENCH_r{N}.json diffs. Guard only applies at the baseline's sf
+    # (0.1) and can be disabled with SPARK_GRAFT_BENCH_NO_GUARD=1.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD") == "1" or sf != "0.1":
+        return
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if not os.path.exists(base_path):
+        return
+    with open(base_path) as fh:
+        baseline = json.load(fh)["queries"]
+    common = [q for q in timings if q in baseline and timings[q] == timings[q]]
+    now = sum(timings[q] for q in common)
+    then = sum(baseline[q] for q in common)
+    if then > 0 and now > 2.0 * then:
+        print(
+            f"bench regression: {now:.1f}s vs baseline {then:.1f}s "
+            f"on {len(common)} common queries (>2x)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

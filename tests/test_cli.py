@@ -42,3 +42,29 @@ def test_cli_upload_move_delete(spark, tmp_path):
 def test_cli_version(capsys):
     assert main(["-v"]) == 0
     assert "tm_etl" in capsys.readouterr().out
+
+
+def test_cli_upload_multi_type_keeps_all_ptypes(spark, tmp_path):
+    """A study shipping several data types (Expression + Clinical — the
+    standard layout) keeps EVERY type's frames after upload: the
+    replace-drop runs once per trial BEFORE any type merges, so the
+    second type's merge must not wipe the first's facts/patients/
+    nodes (HDD results carry observation_fact rows too)."""
+    study = tmp_path / "studies" / "Test Study_GSE0"
+    study.parent.mkdir()
+    for sub in ("ClinicalDataToUpload", "ExpressionDataToUpload"):
+        shutil.copytree(os.path.join(FIXTURE, sub), study / sub)
+    wh = str(tmp_path / "wh")
+
+    rc = main([str(tmp_path / "studies"), "--warehouse", wh,
+               "--parent-node", "\\Test Studies", "--force-start"])
+    assert rc == 0
+    facts = spark.read.parquet(os.path.join(wh, "observation_fact.parquet"))
+    gse0 = facts.filter(facts.sourcesystem_cd == "GSE0")
+    # clinical facts (no sample_cd) AND expression sample facts coexist
+    assert gse0.filter(facts.sample_cd.isNull()).count() > 0, "clinical facts wiped"
+    assert gse0.filter(facts.sample_cd.isNotNull()).count() > 0, "sample facts wiped"
+    mat = spark.read.parquet(
+        os.path.join(wh, "deapp", "de_subject_expression_data.parquet")
+    )
+    assert mat.filter(mat.trial_name == "GSE0").count() > 0

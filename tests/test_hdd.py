@@ -210,3 +210,50 @@ def test_same_samples_different_platforms(spark):
     p2 = sm[sm.concept_path.str.contains(r"Test GEX Platform 2\\Blood\\", regex=True)]
     assert p1.sourcesystem_cd.nunique() == 3
     assert p2.sourcesystem_cd.nunique() == 3
+
+
+def test_merge_hdd_samples_facts_scoped_to_trial(spark):
+    """Reloading a sample in one trial must not delete the same
+    sample_cd's facts belonging to OTHER trials/platforms/source_cds:
+    the reference scopes the fact delete to the incoming trial/source/
+    platform (I2B2_LOAD_SAMPLES.sql:269-275), so the merge anti-join
+    must use (sourcesystem_cd, sample_cd, concept_cd), not bare
+    sample_cd."""
+    from tmdataloader_spark.plans.hdd import merge_hdd_samples, sample_facts
+
+    schema = (
+        "trial_name string, sample_cd string, gpl_id string, source_cd string, "
+        "assay_id long, patient_id long, concept_code string, concept_path string, "
+        "sourcesystem_cd string"
+    )
+    old_mapping = spark.createDataFrame(
+        [
+            ("GSE1", "S1", "GPL1", "STD", 1, 101, "C_GSE1", "\\p\\GSE1\\", "GSE1:S1"),
+            # same sample code, different trial — must be untouched
+            ("OTHER", "S1", "GPL1", "STD", 2, 201, "C_OTHER", "\\p\\OTHER\\", "OTHER:S1"),
+        ],
+        schema,
+    )
+    new_mapping = spark.createDataFrame(
+        [("GSE1", "S1", "GPL1", "STD", 3, 101, "C_GSE1", "\\p\\GSE1\\", "GSE1:S1")],
+        schema,
+    )
+    dschema = "assay_id long, probeset_id string, raw_intensity double"
+    old_data = spark.createDataFrame([(1, "p", 1.0), (2, "p", 2.0)], dschema)
+    new_data = spark.createDataFrame([(3, "p", 3.0)], dschema)
+
+    merged = merge_hdd_samples(
+        old_data,
+        old_mapping,
+        new_data,
+        new_mapping,
+        old_facts=sample_facts(old_mapping),
+    )
+    facts = merged.sample_facts.toPandas()
+    other = facts[facts.sourcesystem_cd == "OTHER"]
+    assert len(other) == 1, "foreign-trial fact for the same sample_cd must survive"
+    gse1 = facts[facts.sourcesystem_cd == "GSE1"]
+    assert len(gse1) == 1 and gse1.iloc[0].concept_cd == "C_GSE1"
+    # data side: the foreign trial's assay survives, the replaced one is gone
+    assays = {r.assay_id for r in merged.data.collect()}
+    assert assays == {2, 3}

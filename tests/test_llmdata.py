@@ -406,3 +406,85 @@ def test_curate_pipeline_reasons(spark):
     assert got[3][1].index("lang") < got[3][1].index("repetitive"), "fixed reason order"
     assert got[4][1] == "short"
     assert got[5] == (0, "long")
+
+
+def test_range_join_subsecond_end(spark):
+    """Buckets are computed from epoch micros: a point inside the final
+    FRACTIONAL second of an interval whose end crosses a bucket
+    boundary must still match (second-truncated bucketing dropped it),
+    and a point exactly at the (sub-second) end stays excluded."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00.2"),  # inside [09:30, 10:00:00.5)
+            (2, "u1", "2024-01-01 10:00:00.5"),  # == end: excluded
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [("i1", "u1", "2024-01-01 09:30:00", "2024-01-01 10:00:00.5")],
+        "iv_id string, user_id string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    got = {
+        (r.event_id, r.iv_id)
+        for r in range_join(points, intervals, on="user_id", bucket_seconds=3600).collect()
+    }
+    assert got == {(1, "i1")}
+
+
+def test_asof_join_tie_break_partitioning_invariant(spark):
+    """With true (key, ts) duplicates on the right, the winner is
+    content-derived (greatest xxhash64 of the row), so arbitrary
+    repartitioning of the input yields identical output."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00")],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", v) for v in (10, 20, 30, 40)],
+        "user_id string, ts string, val long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    outs = [
+        asof_join(left, r, on="user_id").collect()[0].r_val
+        for r in (
+            right,
+            right.repartition(7),
+            right.repartition(3, "val"),
+            right.coalesce(1).sortWithinPartitions(F.desc("val")),
+        )
+    ]
+    assert len(set(outs)) == 1, f"tie-break must be partitioning-invariant: {outs}"
+
+
+def test_curate_custom_columns(spark):
+    """curate() forwards text/id column names to every stage,
+    including the MinHash near-dup pass."""
+    from tmdataloader_spark.llmdata.curate import curate
+
+    good = "the quick brown fox jumps over a lazy dog and then it runs off to the river bank again with joy "
+    docs = spark.createDataFrame(
+        [
+            (1, good + "one two three four five six seven"),
+            (2, good + "one two three four five six seven"),  # near-dup of 1
+            (3, good + "eight nine ten eleven twelve thirteen fourteen"),
+        ],
+        "id long, body string",
+    )
+    got = {
+        r.id: (r.kept, r.reasons)
+        for r in curate(docs, text_col="body", id_col="id",
+                        min_tokens=15, max_tokens=60).collect()
+    }
+    assert got[1] == (1, "")
+    assert got[2] == (0, "duplicate")
+    assert got[3] == (1, "")

@@ -27,3 +27,20 @@ def test_summary_statistic_golden(spark):
     )
     for i, (a, e) in enumerate(zip(actual, expected)):
         assert a == e, f"line {i} differs:\n  actual:   {a!r}\n  expected: {e!r}"
+
+
+def test_exact_stats_guard_rejects_oversized_file(spark, monkeypatch):
+    """The exact-median kernel is contract-bounded: a file larger than
+    MAX_EXACT_STAT_ROWS fails fast with LoadValidationError instead of
+    materializing a giant collect_list buffer."""
+    import pytest
+
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+    from tmdataloader_spark.sources.mapping import parse_mapping_file
+    from tmdataloader_spark.statistic import summary
+    from pathlib import Path
+
+    monkeypatch.setattr(summary, "MAX_EXACT_STAT_ROWS", 5)
+    fname, fm = next(iter(parse_mapping_file(Path(MAPPING)).items()))
+    with pytest.raises(LoadValidationError, match="exact-statistics"):
+        summary.collect_file_statistics(spark, Path(MAPPING).parent / fname, fm)

@@ -21,6 +21,7 @@ import sys
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from tmdataloader_spark.operators.dedup import LoadValidationError
 from tmdataloader_spark.plans.operations import (
     StudyWarehouse,
     delete_all_data,
@@ -103,10 +104,14 @@ def write_warehouse(wh: StudyWarehouse, wh_dir: str) -> None:
 
 def _drop_study(wh: StudyWarehouse, trial_id: str) -> StudyWarehouse:
     """Best-effort delete before re-insert (the upload upsert); unlike
-    delete_all_data this must not raise when the study is absent."""
+    delete_all_data this must not raise when the study is absent.
+    Only the study-absent signal (LoadValidationError) is swallowed —
+    a genuine Spark failure must propagate into the job's failure
+    path, not silently turn the replace-upload into a duplicate
+    append."""
     try:
         return delete_all_data(wh, trial_id=trial_id)
-    except Exception:
+    except LoadValidationError:
         return wh
 
 
@@ -124,13 +129,22 @@ def merge_study_into_warehouse(
     """Fold one StudyLoadResult's frames into the warehouse."""
     from tmdataloader_spark.plans.study import _HDD_ROUTE, _SERIAL_HDD_ROUTE
 
-    for ptype, res in loaded.results.items():
+    # Drop each trial at most once, BEFORE merging any data type: a
+    # study usually ships several ptypes (Expression + Clinical is the
+    # standard layout) and HDD results also carry observation_fact
+    # rows tagged with the trial — dropping inside the per-ptype loop
+    # would wipe the frames the previous ptype just merged, leaving
+    # only the last data type loaded.
+    dropped: set[str] = set()
+    for res in loaded.results.values():
         trial = None
         if hasattr(res, "observation_fact") and res.observation_fact is not None:
             row = res.observation_fact.select("sourcesystem_cd").first()
             trial = row[0] if row else None
-        if trial:
+        if trial and trial not in dropped:
             wh = _drop_study(wh, trial)
+            dropped.add(trial)
+    for ptype, res in loaded.results.items():
         for attr, target in [
             ("observation_fact", "observation_fact"),
             ("patient_dimension", "patient_dimension"),

@@ -63,7 +63,14 @@ def curate(
     rep = repetition_signals(df, text_col, id_col).select(
         id_col, F.col("top_word_frac").alias("_topw")
     )
-    pairs = minhash_lsh_pairs(df, num_perms=16, bands=4, threshold=jaccard_threshold)
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_perms=16,
+        bands=4,
+        threshold=jaccard_threshold,
+    )
     clusters = dedup_clusters(df, pairs, id_col=id_col).select(
         id_col, F.col("cluster_id").alias("_cluster")
     )

@@ -287,9 +287,18 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = df.select(id_col).distinct().count()
-    idf = tf.groupBy("term").agg(
-        (F.log((n_docs + 1) / (F.count("*") + 1)) + 1).alias("idf")
+    # N stays IN-PLAN: a one-row countDistinct aggregate broadcast into
+    # the IDF expression — a driver-side df.count() here would cost an
+    # extra Spark job (and a second scan) every invocation
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("_df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("_n_docs") + 1) / (F.col("_df_t") + 1)) + 1).alias("idf"),
+        )
     )
     scored = tf.join(idf, "term").select(
         id_col,

@@ -617,8 +617,17 @@ def merge_hdd_samples(
     merged_mapping = old_mapping.join(new_keys, keys, "left_anti").unionByName(
         new_mapping
     )
-    new_assays = new_mapping.select("assay_id").distinct()
-    merged_data = old_data.join(new_assays, "assay_id", "left_anti").unionByName(
+    # data rows to drop: the OLD assays of replaced samples (looked up
+    # through old_mapping — assay ids are content-hashes and normally
+    # stable across reloads, but the delete must not depend on that)
+    # plus any old rows already carrying an incoming assay id
+    replaced_assays = (
+        old_mapping.join(new_keys, keys)
+        .select("assay_id")
+        .unionByName(new_mapping.select("assay_id"))
+        .distinct()
+    )
+    merged_data = old_data.join(replaced_assays, "assay_id", "left_anti").unionByName(
         new_data
     )
     merged_patients = (
@@ -629,10 +638,20 @@ def merge_hdd_samples(
     merged_facts = None
     if old_facts is not None:
         # facts of replaced samples go away with the sample; refreshed
-        # facts come from the merged mapping (same concept per sample)
-        new_fact_keys = new_mapping.select("sample_cd").distinct()
+        # facts come from the merged mapping (same concept per sample).
+        # The delete is SCOPED the way the reference scopes it
+        # (I2B2_LOAD_SAMPLES.sql:269-275: concept_cd + patient within
+        # the incoming trial/source/platform) — anti-joining on bare
+        # sample_cd would wipe the same sample_cd's facts belonging to
+        # OTHER trials, platforms, and source_cds, which
+        # sample_facts(new_mapping) does not restore.
+        new_fact_keys = new_mapping.select(
+            F.col("trial_name").alias("sourcesystem_cd"),
+            "sample_cd",
+            F.col("concept_code").alias("concept_cd"),
+        ).distinct()
         merged_facts = old_facts.join(
-            new_fact_keys, "sample_cd", "left_anti"
+            new_fact_keys, ["sourcesystem_cd", "sample_cd", "concept_cd"], "left_anti"
         ).unionByName(sample_facts(new_mapping))
     return HddMergeResult(merged_data, merged_mapping, merged_patients, merged_facts)
 

@@ -26,8 +26,17 @@ from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from tmdataloader_spark.operators.dedup import LoadValidationError
 from tmdataloader_spark.sources.mapping import FileMapping, parse_mapping_file
 from tmdataloader_spark.sources.tsv import read_tsv
+
+#: Hard cap on input rows for the EXACT median/Tukey-hinge kernel: its
+#: sorted collect_list materializes one variable's full value list in a
+#: single aggregation buffer, which is the documented contract for
+#: clinical-file-sized inputs but an executor-OOM trap if someone
+#: points it at an HDD-scale frame. Misuse fails fast with a pointer
+#: at percentile_approx instead of taking the executor down.
+MAX_EXACT_STAT_ROWS = 2_000_000
 from tmdataloader_spark.statistic.validation import Rule, parse_rules, violation_expr
 
 HEADER = [
@@ -123,8 +132,20 @@ def collect_file_statistics(
     data_path: str | os.PathLike,
     fm: FileMapping,
 ) -> list[dict]:
-    """Compute every variable's statistics row for one data file."""
+    """Compute every variable's statistics row for one data file.
+
+    Raises :class:`LoadValidationError` when the file exceeds
+    ``MAX_EXACT_STAT_ROWS`` — the exact-median kernel is contract-
+    bounded to clinical-file-sized inputs (see the module docstring).
+    """
     df = read_tsv(spark, data_path, header=True, comment="#")
+    n_input = df.limit(MAX_EXACT_STAT_ROWS + 1).count()
+    if n_input > MAX_EXACT_STAT_ROWS:
+        raise LoadValidationError(
+            f"{data_path}: {n_input}+ rows exceeds the exact-statistics "
+            f"contract ({MAX_EXACT_STAT_ROWS} rows); use approximate "
+            "percentiles (percentile_approx) for frames this large"
+        )
     cols = df.columns
     specs = _variable_specs(fm, cols)
     by_name = {s.name: s for s in specs}
