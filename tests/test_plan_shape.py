@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the properties that make these
+operators survive a 1000-executor / 100 TB deployment (SURVEY.md §9)
+are asserted mechanically — a broadcast hint lost in a refactor, a
+filter that stops reaching the parquet scan, or an inequality join
+that degenerates into a nested loop shows up here, not in a cluster
+incident.
+
+The checks read the pre-execution plan (``explainString``), so only
+EXPLICIT properties are asserted (broadcast hints, pushdown,
+join-operator class) — AQE runtime re-planning is out of scope.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode="formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    """Filters reach the scan (PushedFilters) and only referenced
+    columns are read (ReadSchema) — the two properties that turn a
+    100 TB scan into a fraction of itself."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = _plan(spark, q)
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read_schema, "column pruning lost"
+
+
+def test_fact_assembly_broadcasts_dimensions(spark):
+    """J1: observation-fact assembly joins facts against node/patient
+    dimensions via explicit broadcast — facts must never sort-merge
+    against a dimension (plans/clinical.py:324-346)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_fact_assembly(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    """A2/J3: the per-probe stats side (one row per probe) broadcasts
+    back onto the data (operators/zscore.py:78)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_zscore(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The eval-set side is distinct'd and broadcast; the corpus never
+    shuffles for the join (llmdata/text.py:249)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_decontamination(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temporal_joins_have_no_nested_loop(spark):
+    """asof_join (union + carry-forward window) and range_join
+    (bucketized equi-join) must plan WITHOUT an inequality join —
+    BroadcastNestedLoopJoin/CartesianProduct here means the operator
+    degenerated into the O(n*m) theta-join it exists to avoid."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_asof_join, entry.q_range_join):
+        plan = _plan(spark, q(spark, SF), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_tree_closure_is_equi_join(spark):
+    """T2: the transitive closure is a posexplode prefix equi-join —
+    no LIKE-prefix theta join (operators/tree.py:43)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_tree_closure(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wholestage_codegen_covers_cleansing(spark):
+    """F1-F9 cleansing is a pure-projection chain — it must stay
+    inside WholeStageCodegen (no Python/UDF boundary in the plan)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_cleansing(spark, SF))
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "[codegen id :" in plan, "cleansing projection fell out of codegen"
+    assert "EvalPython" not in plan, "a Python UDF crept into the cleansing chain"
