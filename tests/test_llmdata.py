@@ -488,3 +488,38 @@ def test_curate_custom_columns(spark):
     assert got[1] == (1, "")
     assert got[2] == (0, "duplicate")
     assert got[3] == (1, "")
+
+
+def test_pack_sequences_tiling_and_determinism(spark):
+    """Concat-and-chunk packing: global offsets tile the tape with no
+    gaps/overlaps, seq assignment is arithmetic over the offsets, and
+    the layout is identical under arbitrary input repartitioning."""
+    from tmdataloader_spark.llmdata.packing import pack_sequences, packing_stats
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(200)] + [(999, 0), (998, None)],
+        "doc_id long, n_tokens int",
+    )
+    packed = pack_sequences(docs, seq_len=512, num_buckets=8)
+    rows = sorted(packed.collect(), key=lambda r: r.global_offset)
+
+    assert len(rows) == 200, "zero/null token docs dropped"
+    # tape tiling: each doc starts exactly where the previous ended
+    pos = 0
+    for r in rows:
+        assert r.global_offset == pos, f"gap/overlap at {r.doc_id}"
+        assert r.seq_id == r.global_offset // 512
+        assert r.seq_offset == r.global_offset % 512
+        end = r.global_offset + r.n_tokens - 1
+        assert r.n_seqs == end // 512 - r.seq_id + 1
+        pos += r.n_tokens
+
+    # partitioning-invariance: same layout from a different physical shape
+    again = pack_sequences(docs.repartition(13, "n_tokens"), seq_len=512, num_buckets=8)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, packed.collect()))
+
+    st = packing_stats(packed, 512).collect()[0]
+    assert st.total_tokens == pos
+    assert st.n_sequences == (pos + 511) // 512
+    assert st.n_docs == 200
+    assert st.n_spanning == sum(1 for r in rows if r.n_seqs > 1)

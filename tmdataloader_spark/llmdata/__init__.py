@@ -12,4 +12,9 @@ for 100 TB first:
 - ``multimodal`` : opaque binary columns + typed metadata, Arrow-
                    batched decode / resize / frame-sample plumbing
                    (real codecs stubbed)
+- ``sampling``   : deterministic hash splits / Bernoulli / stratified
+                   samples — pure per-row expressions, engine-portable
+- ``packing``    : concat-and-chunk sequence packing onto a fixed
+                   token budget via a two-phase distributed prefix sum
+- ``curate``     : the composed keep/drop verdict pipeline
 """
