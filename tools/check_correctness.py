@@ -48,6 +48,45 @@ def normalize(rows, columns):
     return [columns[i] for i in order], out
 
 
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the standard table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> str | None:
+    """Run one gate query on Spark and its oracle on DuckDB, compare
+    (columns, rowcount, order-insensitive values). Returns None on
+    match, else a failure description. Importable — pytest uses this
+    to oracle-check the queries outside the driver's window."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()[name]
+    oracles = entry.oracle_sql()
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in oracles:
+        return None  # rows-only query
+    res = con.execute(oracles[name])
+    drows = res.fetchall()
+    dcols = [d[0] for d in res.description]
+    sc, sv = normalize([tuple(r) for r in srows], scols)
+    dc, dv = normalize(drows, dcols)
+    if sc != dc:
+        return f"columns {sc} != {dc}"
+    if len(sv) != len(dv):
+        return f"rowcount {len(sv)} != {len(dv)}"
+    if sv != dv:
+        diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        return f"values differ, first diffs: {diff}"
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -56,52 +95,21 @@ def main():
     from tmdataloader_spark.session import get_spark
 
     spark = get_spark("check-correctness")
+    con = oracle_connection(sf_dir)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
     failed = []
-    for name, fn in qs.items():
+    for name in entry.queries():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            err = check_query(spark, con, name, sf_dir)
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failed.append(name)
-            continue
-        if name not in oracles:
-            print(f"nooracle {name}: rows={len(srows)} (rows-only check)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failed.append(name)
-            continue
-        sc, sv = normalize([tuple(r) for r in srows], scols)
-        dc, dv = normalize(drows, dcols)
-        if sc != dc:
-            print(f"FAIL  {name}: columns {sc} != {dc}")
-            failed.append(name)
-        elif len(sv) != len(dv):
-            print(f"FAIL  {name}: rowcount {len(sv)} != {len(dv)}")
-            failed.append(name)
-        elif sv != dv:
-            diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            print(f"FAIL  {name}: values differ, first diffs: {diff}")
+            err = f"error: {e}"
+        if err:
+            print(f"FAIL  {name}: {err}")
             failed.append(name)
         else:
-            print(f"ok    {name}: {len(sv)} rows")
+            print(f"ok    {name}")
     print()
     if failed:
         print(f"FAILED ({len(failed)}): {', '.join(failed)}")
