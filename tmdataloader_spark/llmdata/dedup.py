@@ -560,10 +560,16 @@ def connected_components(
                 new_val.alias("component"),
                 (new_val < F.col("component")).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("u", "component")
-        if stepped.filter(F.col("_changed")).limit(1).count() == 0:
+        # the UNFILTERED count both materializes the lazy checkpoint
+        # (every partition computes exactly once) and reads the
+        # convergence flag — one job per round, not checkpoint + check
+        changed = stepped.groupBy().agg(
+            F.sum(F.col("_changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
+        if not changed:
             break
     return labels.select(F.col("u").alias("node"), "component")
 
