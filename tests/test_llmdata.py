@@ -523,3 +523,97 @@ def test_pack_sequences_tiling_and_determinism(spark):
     assert st.n_sequences == (pos + 511) // 512
     assert st.n_docs == 200
     assert st.n_spanning == sum(1 for r in rows if r.n_seqs > 1)
+
+
+def test_kmeans_deterministic_and_partitioning_invariant(spark, embeddings):
+    """Integer-exact Lloyd: same assignments regardless of input
+    partitioning, every row assigned, clusters within [0, k)."""
+    from tmdataloader_spark.llmdata.clustering import kmeans_fit
+
+    a = {r.vec_id: r.cluster for r in kmeans_fit(embeddings, k=4, iters=2).collect()}
+    b = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit(embeddings.repartition(7), k=4, iters=2).collect()
+    }
+    assert a == b
+    assert len(a) == embeddings.count()
+    assert set(a.values()) <= set(range(4))
+    # label column in the synthetic data marks planted structure: the
+    # fit must place at least 2 distinct clusters (not all-collapsed)
+    assert len(set(a.values())) >= 2
+
+
+def test_kmeans_improves_over_init(spark, embeddings):
+    """Fixed-iteration Lloyd must not increase total within-cluster
+    distance vs the init assignment (monotone descent property)."""
+    import numpy as np
+
+    from tmdataloader_spark.llmdata.clustering import QUANT, kmeans_fit
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * QUANT) for r in rows}
+
+    def cost(assign):
+        cells = {}
+        for vid, c in assign.items():
+            cells.setdefault(c, []).append(vecs[vid])
+        total = 0.0
+        for mem in cells.values():
+            m = np.mean(mem, axis=0)
+            total += sum(((v - m) ** 2).sum() for v in mem)
+        return total
+
+    a0 = {r.vec_id: r.cluster for r in kmeans_fit(embeddings, k=4, iters=0).collect()}
+    a3 = {r.vec_id: r.cluster for r in kmeans_fit(embeddings, k=4, iters=3).collect()}
+    assert cost(a3) <= cost(a0) + 1e-6
+
+
+def test_semantic_dedup_marks_planted_duplicates(spark, embeddings):
+    """A planted near-identical copy of an existing vector must be
+    dropped (keep=false), and the original (lower id) kept."""
+    from tmdataloader_spark.llmdata.clustering import semantic_dedup
+
+    base = embeddings.select("vec_id", "embedding")
+    clone = (
+        base.filter(F.col("vec_id") == 3)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup(base.union(clone), k=4, iters=2, threshold=0.95).collect()
+    }
+    assert out[100003][1] is False, "clone must be dropped"
+    assert out[3][1] is True, "original (lower id) is the keeper"
+    assert out[100003][0] == out[3][0], "identical vectors share a cell"
+    # near-orthogonal originals survive at a 0.95 threshold
+    keeps = [k for (_, k) in out.values()]
+    assert sum(keeps) >= len(out) - 1
+
+
+def test_quota_sample_cap_and_stability(spark, docs):
+    """Per-stratum cap respected; selection is the global lowest-cap
+    by hash (two-phase == single-window answer); appending rows never
+    reshuffles survivors beyond displacement."""
+    from tmdataloader_spark.llmdata.sampling import _bucket, quota_sample
+
+    out = quota_sample(docs, "source", cap=3).select("doc_id", "source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) <= 3 for v in by_src.values())
+    # oracle: single-window top-3 per stratum by (bucket, id)
+    ranked = (
+        docs.select("doc_id", "source", _bucket(F.col("doc_id"), "quota").alias("b"))
+        .collect()
+    )
+    want = {}
+    for r in sorted(ranked, key=lambda r: (r.b, r.doc_id)):
+        want.setdefault(r.source, [])
+        if len(want[r.source]) < 3:
+            want[r.source].append(r.doc_id)
+    assert {s: sorted(v) for s, v in by_src.items()} == {
+        s: sorted(v) for s, v in want.items()
+    }
+    # partitioning invariance
+    out2 = quota_sample(docs.repartition(13), "source", cap=3).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)

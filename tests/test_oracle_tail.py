@@ -1,6 +1,6 @@
 """DuckDB-oracle checks for the gate queries OUTSIDE the driver's
 50-entry correctness window (__spark_entry__.queries() positions
-51-60). The driver never re-verifies these ten — this test keeps them
+51+). The driver never re-verifies these — this test keeps them
 oracle-checked on every pytest run (at sf0.001, so the whole batch
 stays fast) instead of merely pytest-covered.
 """
@@ -16,6 +16,9 @@ SF = "/root/testdata/sf0.001"
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "token_count",
+    "fingerprint",
+    "langid",
     "anti_join",
     "semi_join",
     "except_dropped",

@@ -14,6 +14,9 @@ for 100 TB first:
                    (real codecs stubbed)
 - ``sampling``   : deterministic hash splits / Bernoulli / stratified
                    samples — pure per-row expressions, engine-portable
+                   — plus two-phase per-stratum quota (top-k) sampling
+- ``clustering`` : integer-exact distributed k-means and
+                   SemDeDup-style cluster-bounded semantic dedup
 - ``packing``    : concat-and-chunk sequence packing onto a fixed
                    token budget via a two-phase distributed prefix sum
 - ``curate``     : the composed keep/drop verdict pipeline

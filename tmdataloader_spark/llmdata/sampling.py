@@ -94,3 +94,47 @@ def stratified_hash_sample(
         else F.lit(int(round(default_fraction * _BUCKETS)))
     )
     return df.filter(b < thresh)
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the quota/budget shape
+    of stratified sampling ("at most N documents per domain"), where
+    :func:`stratified_hash_sample`'s FRACTION shape can't bound heavy
+    strata without a population scan to size the fractions.
+
+    Selection within a stratum is by ascending md5 bucket (id as the
+    tie-break), so the chosen subset is deterministic across runs,
+    engines, and partitionings, and is STABLE under appends: a new row
+    only enters the quota by displacing the current highest-hash
+    member, never by reshuffling the rest.
+
+    100 TB shape: two-phase top-k. A naive per-stratum window sorts
+    every row of a stratum on ONE task — a web-crawl "domain = blogspot
+    .com" stratum would be a straggler. Instead phase 1 windows over
+    (stratum, hash-shard) keeping each shard's local top-``cap``
+    (≤ cap·shards survivors per stratum, dropped before any global
+    move), and phase 2 re-ranks only those survivors per stratum.
+    Selecting the global lowest-``cap`` by (bucket, id) is a
+    selection problem, so the two phases return exactly the
+    single-window answer."""
+    from pyspark.sql import Window
+
+    b = _bucket(F.col(id_col), salt)
+    shards = 16
+    w_local = Window.partitionBy(stratum_col, "_qshard").orderBy("_qb", id_col)
+    w_global = Window.partitionBy(stratum_col).orderBy("_qb", id_col)
+    return (
+        df.withColumn("_qb", b)
+        .withColumn("_qshard", F.pmod(F.col("_qb"), F.lit(shards)))
+        .withColumn("_qr", F.row_number().over(w_local))
+        .filter(F.col("_qr") <= cap)
+        .withColumn("_qr", F.row_number().over(w_global))
+        .filter(F.col("_qr") <= cap)
+        .drop("_qr", "_qb", "_qshard")
+    )
