@@ -1049,10 +1049,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column —
     integer-exact (floor(x*1000) quantization, integer distances and
     floor-mean centroid updates), fixed 3 iterations, deterministic
-    init (vec_id < k). Assignment is a pure codegen projection with
-    literal centroids (zero shuffle); the update aggregate map-side
-    combines to k*dim rows. Oracle = the same iterations unrolled as
-    DuckDB CTEs."""
+    init (vec_id < k). Assignment is one int64 Arrow-batch matmul
+    against the shipped centroid table (zero shuffle); the update
+    shuffles only per-batch k*dim partial sums. Oracle = the same
+    iterations unrolled as DuckDB CTEs."""
     from tmdataloader_spark.llmdata.clustering import kmeans_fit
 
     return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, iters=3)

@@ -178,3 +178,46 @@ def test_stream_exact_dedup(spark, tmp_path):
     finally:
         q.stop()
     assert kept == {1, 3}, "first occurrence per fingerprint survives"
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (view → purchase within
+    30 min per user) must agree with the batch twin over the same
+    closed log once all micro-batches drain."""
+    from tmdataloader_spark.streaming import (
+        interval_join_batch,
+        interval_join_stream,
+        read_event_stream,
+    )
+
+    batch = _events_batch(spark)
+    src = str(tmp_path / "sj_in")
+    batch.write.parquet(src)
+
+    views_b = batch.filter(F.col("event_type") == "view")
+    buys_b = batch.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_join_batch(views_b, buys_b, within_seconds=1800).collect()
+    }
+    assert expected, "fixture must produce at least one attributed pair"
+
+    stream = read_event_stream(spark, src)
+    views_s = stream.filter(F.col("event_type") == "view")
+    buys_s = stream.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(views_s, buys_s, within_seconds=1800)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.sql("select * from sj_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

@@ -12,15 +12,14 @@
   pairs ONLY within a cluster — the O(n²) global compare becomes
   O(Σ cell²), sub-quadratic when k scales with n.
 
-100 TB shape (kmeans): assignment is pure codegen — the k×dim
-centroid table rides along as literal expressions (a broadcast in
-spirit; k·dim ≪ executor memory), so the scoring stage is one narrow
-projection with NO shuffle and no Python. The update is
-``posexplode`` → ``groupBy(cluster, pos)`` — k·dim distinct keys, so
-the map-side combine collapses each task's contribution to at most
-k·dim rows and the shuffle is tiny regardless of corpus size. The
-only driver traffic is the k·dim centroid rows per iteration
-(control plane, same as MLlib's KMeans).
+100 TB shape (kmeans): the k×dim centroid table ships inside the
+Arrow task closure (a broadcast in spirit; k·dim ≪ executor memory),
+so scoring is one vectorized int64 matmul per Arrow batch with NO
+shuffle. The update emits per-batch PARTIAL (cluster, pos) sums —
+≤ k·dim rows per batch — so the shuffle into the final aggregate
+moves codebook-sized partials regardless of corpus size. The only
+driver traffic is the k·dim centroid rows per iteration (control
+plane, same as MLlib's KMeans).
 """
 
 from __future__ import annotations
@@ -38,26 +37,70 @@ def _quantized(vec_col: str) -> F.Column:
     )
 
 
-def _int_dot(x, y):
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def _assign_batches(centroids: list[list[int]], id_col: str):
+    """mapInPandas kernel: per Arrow batch, one int64 NumPy matmul
+    scores every row against every centroid (dist_j = x·x − 2·x·c_j +
+    c_j·c_j) and emits (id, argmin). ``np.argmin`` returns the FIRST
+    minimum ⇒ ties break to the lowest cluster index — the same
+    lexicographic (dist, j) order the SQL oracle's
+    ``ORDER BY d, cell`` uses. All magnitudes stay far inside int64
+    (|qv_i| ≤ QUANT·|x|, dots ≤ dim·QUANT²·max|x|²), so this is exact
+    integer arithmetic, not a float approximation."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            d = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + cc
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": np.argmin(d, axis=1).astype("int32")}
+            )
+
+    return fn
 
 
-def _assign_expr(centroids: list[list[int]]) -> F.Column:
-    """argmin_j ||qv - c_j||² as a pure expression over the literal
-    centroid table: dist_j = qv·qv − 2·qv·c_j + c_j·c_j, min taken by
-    lexicographic (dist, j) struct ordering — deterministic ties."""
-    xx = _int_dot(F.col("qv"), F.col("qv"))
-    cands = []
-    for j, c in enumerate(centroids):
-        lit = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cc = sum(int(v) * int(v) for v in c)
-        d = xx - F.lit(2).cast("long") * _int_dot(F.col("qv"), lit) + F.lit(cc).cast("long")
-        cands.append(F.struct(d.alias("d"), F.lit(j).cast("int").alias("j")))
-    return F.array_min(F.array(*cands))["j"]
+def _partial_sum_batches(centroids: list[list[int]], id_col: str):
+    """mapInPandas kernel for the update step: assign each batch row
+    (same exact arithmetic as :func:`_assign_batches`) and emit the
+    batch's PARTIAL per-(cluster, pos) sums — ≤ k·dim rows per Arrow
+    batch, so the shuffle into the final groupBy moves k·dim-sized
+    partials instead of an n·dim posexplode."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            d = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + cc
+            a = np.argmin(d, axis=1)
+            rows = []
+            for j in np.unique(a):
+                mem = X[a == j]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.int32(j),
+                            "pos": np.arange(dim, dtype=np.int32),
+                            "s": mem.sum(axis=0),
+                            "n": np.int64(len(mem)),
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    return fn
 
 
 def kmeans_fit(
@@ -72,14 +115,14 @@ def kmeans_fit(
     Init: the rows with ``id_col < k`` (deterministic; production
     swaps in k-means|| seeds — seed QUALITY only moves cluster
     quality, never the plan shape). Each of the fixed ``iters``
-    rounds scores every row against the current centroids (codegen
-    projection, zero shuffle) and rebuilds centroids as the
-    element-wise ``floor(mean)`` of the quantized members (one
-    map-side-combined aggregate with k·dim output rows). Empty cells
-    keep their previous centroid.
+    rounds scores every row against the current centroids (one int64
+    NumPy matmul per Arrow batch, zero shuffle) and rebuilds
+    centroids as the element-wise ``floor(mean)`` of the quantized
+    members (per-batch k·dim partial sums → one tiny aggregate).
+    Empty cells keep their previous centroid.
 
     Returns ``(id_col, cluster int)`` for every input row."""
-    base = df.select(F.col(id_col), _quantized(vec_col).alias("qv"))
+    base = df.select(F.col(id_col), _quantized(vec_col).alias("qv")).cache()
     init = (
         base.filter(F.col(id_col) < k)
         .orderBy(id_col)
@@ -90,11 +133,13 @@ def kmeans_fit(
     centroids = [list(r["qv"]) for r in init]
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = base.withColumn("cluster", _assign_expr(centroids))
         sums = (
-            assigned.select("cluster", F.posexplode("qv").alias("pos", "v"))
+            base.mapInPandas(
+                _partial_sum_batches(centroids, id_col),
+                schema="cluster int, pos int, s long, n long",
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select(
                 "cluster",
                 "pos",
@@ -107,7 +152,9 @@ def kmeans_fit(
             new[r["cluster"]][r["pos"]] = r["cv"]
         centroids = [new[j] for j in range(k)]
         assert all(len(c) == dim for c in centroids)
-    return base.select(id_col, _assign_expr(centroids).alias("cluster"))
+    return base.mapInPandas(
+        _assign_batches(centroids, id_col), schema=f"{id_col} long, cluster int"
+    )
 
 
 def kmeans_oracle_sql(
@@ -186,54 +233,81 @@ def semantic_dedup(
     cosine ≥ ``threshold`` is marked ``keep = false`` (lowest id is
     the canonical keeper, matching ``embedding_dup_pairs``' policy).
 
-    100 TB shape: the only pairwise work is the within-cell self-join
-    — an equi-join on ``cluster`` whose candidate count is Σ cell²
-    instead of n²; cosine is evaluated only on co-clustered pairs.
-    Skewed (oversized) cells are the knob: raise ``k`` so cells track
-    n/k, exactly the paper's regime (k ≈ n/100 at web scale).
+    100 TB shape: pairwise work only happens INSIDE a cell — and each
+    cell is further hash-split into ``num_blocks`` blocks, so the
+    compare runs as one NumPy matmul per (cell, block-pair) cogroup:
+    candidates are Σ cell² instead of n², tiles stay executor-sized
+    even for skewed cells (×(B+1) bounded replication, same pattern
+    as ``dedup.embedding_dup_pairs``), and there is no driver-side
+    collect. Raise ``k`` so cells track n/k — exactly the paper's
+    regime (k ≈ n/100 at web scale).
 
     Returns ``(id_col, cluster int, keep boolean)`` for every row."""
+    import numpy as np
+    import pandas as pd
+
+    num_blocks = 4
+    spark = df.sparkSession
     clusters = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     member = clusters.join(vecs, id_col).select(
-        F.col(id_col).alias("mid"), F.col("cluster").alias("mcell"), F.col("v").alias("mv")
+        F.col(id_col).alias("mid"),
+        F.col("cluster").alias("cell"),
+        F.col("v").alias("mv"),
+        F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int").alias("blk"),
     )
-    other = member.select(
-        F.col("mid").alias("oid"), F.col("mcell").alias("ocell"), F.col("mv").alias("ov")
+    bpairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "ba int, bb int",
+    )
+    left = (
+        member.alias("tl")
+        .join(F.broadcast(bpairs.alias("pl")), F.col("tl.blk") == F.col("pl.ba"))
+        .select("tl.cell", "pl.ba", "pl.bb", "tl.mid", "tl.mv")
+    )
+    right = (
+        member.alias("tr")
+        .join(F.broadcast(bpairs.alias("pr")), F.col("tr.blk") == F.col("pr.bb"))
+        .select(
+            F.col("tr.cell").alias("rcell"),
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("tr.mid").alias("rmid"),
+            F.col("tr.mv").alias("rmv"),
+        )
     )
 
-    def _cos(a, b):
-        num = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-            )
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-            )
-        )
-        return F.round(num / (na * nb), 6)
+    def tile(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"did": pd.Series([], dtype="int64")})
+        lm = np.array(list(lpdf["mv"]), dtype=np.float64)
+        rm = np.array(list(rpdf["rmv"]), dtype=np.float64)
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, 6)
+        li, ri = np.nonzero(sims >= threshold)
+        lids = lpdf["mid"].to_numpy()[li]
+        rids = rpdf["rmid"].to_numpy()[ri]
+        keep = lids != rids
+        if key[1] == key[2]:
+            # same block both sides: unordered pairs appear twice
+            keep &= lids < rids
+        return pd.DataFrame({"did": np.maximum(lids[keep], rids[keep])})
 
     dropped = (
-        member.join(
-            other,
-            (F.col("mcell") == F.col("ocell")) & (F.col("oid") < F.col("mid")),
-        )
-        .filter(_cos(F.col("mv"), F.col("ov")) >= threshold)
-        .select(F.col("mid").alias(id_col))
+        left.groupby("cell", "ba", "bb")
+        .cogroup(right.groupby("rcell", "rba", "rbb"))
+        .applyInPandas(tile, schema="did long")
         .distinct()
     )
-    return (
-        clusters.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
-        )
+    return clusters.join(
+        dropped.withColumnRenamed("did", id_col).withColumn("_drop", F.lit(True)),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
     )
 
 

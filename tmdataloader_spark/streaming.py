@@ -236,3 +236,86 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within_seconds: int = 3600,
+) -> DataFrame:
+    """Batch twin of :func:`interval_join_stream`: pair each left event
+    with the right events of the same key whose timestamp falls in
+    ``[left.ts, left.ts + within_seconds]`` — the attribution shape
+    (view → purchase within an hour). Same column contract as the
+    streaming form so the two reconcile row-for-row."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    us = F.unix_micros
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (us(F.col("r_ts")) >= us(F.col("l_ts")))
+        & (us(F.col("r_ts")) <= us(F.col("l_ts")) + within_seconds * 1_000_000)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return l.join(r, cond).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        F.date_format("l_ts", fmt).alias("l_time"),
+        F.date_format("r_ts", fmt).alias("r_time"),
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within_seconds: int = 3600,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: equality on ``key``
+    plus the event-time range ``r_ts ∈ [l_ts, l_ts + within]``.
+
+    The range condition + both-side watermarks are what BOUND the join
+    state: a buffered left row can only ever match right rows up to
+    ``within`` ahead of it, so once the right watermark passes
+    ``l_ts + within`` the row is evicted — state is (watermark horizon
+    × arrival rate), not history, on both sides. Without the time
+    bound Spark would have to keep every row forever (and rejects the
+    plan in append mode). Same output contract as
+    :func:`interval_join_batch`, so a batch backfill over the full log
+    is the reconciliation path (the lambda contract used by every
+    streaming twin in this module)."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", right_watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return l.join(r, cond).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        F.date_format("l_ts", fmt).alias("l_time"),
+        F.date_format("r_ts", fmt).alias("r_time"),
+    )
