@@ -617,3 +617,31 @@ def test_quota_sample_cap_and_stability(spark, docs):
     # partitioning invariance
     out2 = quota_sample(docs.repartition(13), "source", cap=3).select("doc_id").collect()
     assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+
+
+def test_ivf_trained_codebook_contract(spark, embeddings):
+    """ivf_ann(train_iters>0) swaps in k-means centroids: output
+    contract (k ranked rows per query, exact rerank order) and
+    determinism across partitionings must hold exactly as for the
+    untrained codebook. (No recall assertion: the synthetic labels
+    are not geometrically separated, so trained ~= untrained here.)"""
+    from tmdataloader_spark.llmdata.similarity import ivf_ann
+
+    q = embeddings.filter(F.col("vec_id") < 8)
+    rows = ivf_ann(q, embeddings, k=5, ncentroids=16, nprobe=4, train_iters=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.cosine_sim))
+    assert set(by_q) == set(range(8))
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert [t[0] for t in lst] == list(range(1, len(lst) + 1))
+        sims = [t[2] for t in lst]
+        assert sims == sorted(sims, reverse=True)
+    rows2 = ivf_ann(
+        q.repartition(5), embeddings.repartition(7), k=5, ncentroids=16, nprobe=4,
+        train_iters=2,
+    ).collect()
+    assert {(r.query_id, r.rank, r.cand_id) for r in rows2} == {
+        (r.query_id, r.rank, r.cand_id) for r in rows
+    }

@@ -97,3 +97,42 @@ def test_wholestage_codegen_covers_cleansing(spark):
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "[codegen id :" in plan, "cleansing projection fell out of codegen"
     assert "EvalPython" not in plan, "a Python UDF crept into the cleansing chain"
+
+
+def test_quota_sample_single_exchange_reuse(spark):
+    """Quota sampling's two windows must not degenerate into a
+    cartesian/nested-loop, and the local (sharded) rank must run
+    BEFORE the global one so skewed strata are pre-thinned."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from tmdataloader_spark.llmdata.sampling import quota_sample
+
+    plan = _plan(spark, quota_sample(docs, "source", cap=5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # two window operators: per-(stratum, shard) then per-stratum
+    assert plan.count("Window") >= 2
+    # the shard column participates in the first window's partitioning
+    assert "_qshard" in plan
+
+
+def test_semantic_dedup_pairs_only_within_cell(spark):
+    """SemDeDup's pair stage must be an equi-cogroup keyed by
+    (cell, block-pair) — no cross join, no theta join — and the
+    block-pair table must broadcast."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from tmdataloader_spark.llmdata.clustering import semantic_dedup
+
+    plan = _plan(spark, semantic_dedup(emb, k=4, iters=1, threshold=0.4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "FlatMapCoGroupsIn" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_assignment_has_no_shuffle(spark):
+    """The final k-means assignment is a mapInPandas over the cached
+    quantized frame — scoring must add no Exchange beyond the scan."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from tmdataloader_spark.llmdata.clustering import kmeans_fit
+
+    plan = _plan(spark, kmeans_fit(emb, k=4, iters=1))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, "assignment stage must not shuffle"

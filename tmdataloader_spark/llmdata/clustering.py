@@ -122,6 +122,27 @@ def kmeans_fit(
     Empty cells keep their previous centroid.
 
     Returns ``(id_col, cluster int)`` for every input row."""
+    base, centroids = _fit(df, k, iters, id_col, vec_col)
+    return base.mapInPandas(
+        _assign_batches(centroids, id_col), schema=f"{id_col} long, cluster int"
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The trained quantized centroid table (k lists of ints) —
+    same fit as :func:`kmeans_fit`; consumed by callers that need the
+    codebook itself (e.g. ``similarity.ivf_ann`` centroid training)."""
+    _, centroids = _fit(df, k, iters, id_col, vec_col)
+    return centroids
+
+
+def _fit(df, k, iters, id_col, vec_col):
     base = df.select(F.col(id_col), _quantized(vec_col).alias("qv")).cache()
     init = (
         base.filter(F.col(id_col) < k)
@@ -152,9 +173,7 @@ def kmeans_fit(
             new[r["cluster"]][r["pos"]] = r["cv"]
         centroids = [new[j] for j in range(k)]
         assert all(len(c) == dim for c in centroids)
-    return base.mapInPandas(
-        _assign_batches(centroids, id_col), schema=f"{id_col} long, cluster int"
-    )
+    return base, centroids
 
 
 def kmeans_oracle_sql(

@@ -132,18 +132,22 @@ def ivf_ann(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a tiny coarse-quantizer codebook
     partitions the corpus into ``ncentroids`` cells; each query probes
     only its ``nprobe`` best cells and exact-reranks the vectors found
     there — the classic Faiss IVF-Flat shape, distributed.
 
-    Codebook: the corpus rows with ``id < ncentroids`` (deterministic;
-    production would plug MLlib KMeans centroids here — centroid
-    QUALITY only moves recall, never the plan shape or cost model).
-    Cell assignment is argmax integer inner product on floor(x·QUANT)
-    quantized vectors — exact in any engine (sums ≪ 2^53), so the
-    DuckDB oracle rebuilds the same cells from the same table.
+    Codebook: with ``train_iters == 0`` (the gate-query default) the
+    corpus rows with ``id < ncentroids`` — deterministic and oracle-
+    reproducible. With ``train_iters > 0`` the codebook is trained by
+    ``clustering.kmeans_centroids`` (integer-exact distributed Lloyd,
+    still deterministic) — centroid QUALITY only moves recall, never
+    the plan shape or cost model. Cell assignment is argmax integer
+    inner product on floor(x·QUANT) quantized vectors — exact in any
+    engine (sums ≪ 2^53), so the DuckDB oracle rebuilds the same
+    cells from the same table (untrained path).
 
     100 TB shape: one broadcast of a 16-row codebook; assignment is a
     narrow (id, cell) frame out of an Arrow-batched int matmul (no
@@ -154,15 +158,24 @@ def ivf_ann(
     import pandas as pd
 
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.filter(F.col(id_col) < ncentroids)
-        .select(id_col, vec_col)
-        .collect()  # codebook only: ncentroids rows, intentionally tiny
-    )
-    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    cmat = np.floor(np.array([r[1] for r in cent_rows], dtype=np.float64) * QUANT).astype(
-        np.int64
-    )
+    if train_iters > 0:
+        from tmdataloader_spark.llmdata.clustering import kmeans_centroids
+
+        cents = kmeans_centroids(
+            corpus, k=ncentroids, iters=train_iters, id_col=id_col, vec_col=vec_col
+        )
+        cids = np.arange(ncentroids, dtype=np.int64)
+        cmat = np.asarray(cents, dtype=np.int64)
+    else:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < ncentroids)
+            .select(id_col, vec_col)
+            .collect()  # codebook only: ncentroids rows, intentionally tiny
+        )
+        cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+        cmat = np.floor(
+            np.array([r[1] for r in cent_rows], dtype=np.float64) * QUANT
+        ).astype(np.int64)
     b_cent = spark.sparkContext.broadcast((cids, cmat))
 
     def assign(nbest: int):
