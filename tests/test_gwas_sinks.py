@@ -14,15 +14,30 @@ TOP = "\\Test Studies\\Test GWAS Study\\"
 
 
 def test_gwas_plink_load(spark):
+    from tmdataloader_spark.functions.lzo import decompress
+
     res = load_gwas_plink(spark, FIX, TOP)
     assert res.study_id == "GSE0GWASPLINK"
     row = res.plink_data.collect()[0]
     assert row["study_id"] == "GSE0GWASPLINK"
-    assert len(row["bed"]) > 0 and len(row["bim"]) > 0 and len(row["fam"]) > 0
+    assert row["codec"] == "lzo"
+    # blobs are raw LZO1X streams (the reference's bytea format) that
+    # decode back to the on-disk file bytes
+    import os
+
+    for col, ext in (("bed", ".bed"), ("bim", ".bim"), ("fam", ".fam")):
+        src = next(
+            os.path.join(FIX, f) for f in sorted(os.listdir(FIX)) if f.endswith(ext)
+        )
+        with open(src, "rb") as fh:
+            assert decompress(bytes(row[col])) == fh.read()
     samples = res.sample_mapping.collect()
     assert len(samples) > 0
     paths = {r["concept_path"] for r in samples}
     assert all(p.startswith(TOP + "GWAS\\") for p in paths)
+
+    verbatim = load_gwas_plink(spark, FIX, TOP, codec="none").plink_data.collect()[0]
+    assert decompress(bytes(row["bed"])) == bytes(verbatim["bed"])
 
 
 def test_fam_validation(tmp_path):

@@ -8,9 +8,13 @@ sex ∈ {0,1,2}), blobs into ``gwas_plink.plink_data``, and every fam
 subject through the shared samples loader under ``GWAS+GWAS Plink``.
 
 Spark shape: the binary files ride as ``binaryFile`` rows (BinaryType
-column). The reference LZO-compresses into bytea; Parquet's own codec
-compresses the written page instead, so bytes are stored verbatim
-with codec='none' recorded."""
+column). The reference LZO-compresses into bytea
+(GWASPlinkDataProcessor.groovy:130-142, raw LZO1X via
+org.anarres.lzo); the default ``codec='lzo'`` stores the same raw
+LZO1X stream format through the pure-Python codec in
+``functions.lzo``, so a consumer holding the reference's blobs (or
+ours) decodes either; ``codec='none'`` stores verbatim bytes and
+leaves compression to the parquet page codec."""
 
 from __future__ import annotations
 
@@ -72,8 +76,19 @@ def validate_fam(path: str) -> list[str]:
 
 
 def load_gwas_plink(
-    spark: SparkSession, data_dir: str | os.PathLike, top_node: str
+    spark: SparkSession,
+    data_dir: str | os.PathLike,
+    top_node: str,
+    codec: str = "lzo",
 ) -> GwasPlinkLoadResult:
+    """``codec='lzo'`` (default) stores the bed/bim/fam bytes as raw
+    LZO1X streams — the byte format the reference writes into
+    ``gwas_plink.plink_data`` (GWASPlinkDataProcessor.groovy:130-142)
+    — via the pure-Python codec in ``functions.lzo``;
+    ``codec='none'`` stores verbatim bytes (parquet page compression
+    still applies)."""
+    if codec not in ("lzo", "none"):
+        raise ValueError(f"unknown codec {codec!r}")
     data_dir = str(data_dir)
     mapping_files = [
         f for f in sorted(os.listdir(data_dir)) if re.search(r"(?:^|_)MappingFile\.txt$", f)
@@ -102,12 +117,15 @@ def load_gwas_plink(
 
     subject_ids = validate_fam(fam)
 
+    from tmdataloader_spark.functions.lzo import compress
+
     def blob(p: str) -> bytes:
         with open(p, "rb") as fh:
-            return fh.read()
+            data = fh.read()
+        return compress(data) if codec == "lzo" else data
 
     plink = spark.createDataFrame(
-        [(study_id, blob(bed), blob(bim), blob(fam), "none")],
+        [(study_id, blob(bed), blob(bim), blob(fam), codec)],
         "study_id string, bed binary, bim binary, fam binary, codec string",
     )
 
