@@ -1081,6 +1081,69 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(d, "source", cap=10).select("doc_id", "source")
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llmdata/packing.py): concat-and-chunk layout
+    of documents onto a fixed 2048-token tape via a two-phase
+    distributed prefix sum (per-bucket window + broadcast bucket
+    bases) — never a global single-partition sort. Deterministic
+    md5-derived tape order, so the DuckDB oracle reproduces the exact
+    layout. Token counts stand in as ``n_chars`` (the layout machinery
+    under test is count-agnostic)."""
+    from tmdataloader_spark.llmdata.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=2048, token_col="n_chars", id_col="doc_id")
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming.py interval_join_batch —
+    batch twin of the watermarked stream-stream join): every view
+    paired with the same user's purchases within the next 30 minutes.
+    Equi-join on user_id with the time range as residual — never a
+    pure theta-join."""
+    from tmdataloader_spark.streaming import interval_join_batch
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return interval_join_batch(views, buys, within_seconds=1800)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters (llmdata/vocab.py): global top-50
+    tokens by corpus frequency with document frequency — explode +
+    one map-side-combined agg, selection via per-task k-heaps
+    (TakeOrderedAndProject), never a global sort."""
+    from tmdataloader_spark.llmdata.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length census (llmdata/vocab.py): per-source log2-bucket
+    document-length histogram — integer-exact bucketing via binary
+    string length (no float log), one tiny keyed agg."""
+    from tmdataloader_spark.llmdata.vocab import length_profile
+
+    return length_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (llmdata/layout.py): integer-exact quantize
+    + Morton bit-interleave of (l_partkey, l_suppkey) — the key
+    repartitionByRange clusters on before a write so parquet min/max
+    stats prune scans on EITHER column. Pure per-row long arithmetic;
+    the oracle replays the identical shift/mask algebra."""
+    from tmdataloader_spark.llmdata.layout import quantize, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    qa = quantize(F.col("l_partkey"), 0, 19999, 8)
+    qb = quantize(F.col("l_suppkey"), 0, 999, 8)
+    return li.select(
+        "l_orderkey", "l_linenumber", zorder_key([qa, qb], 8).alias("zkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1124,9 +1187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_in_tree": q_fill_in_tree,
         "tree_closure": q_tree_closure,
         "concept_counts": q_concept_counts,
-        "cleansing": q_cleansing,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
+        "seq_pack": q_seq_pack,
+        "interval_join": q_interval_join,
+        "vocab_topk": q_vocab_topk,
+        "length_profile": q_length_profile,
+        "zorder": q_zorder,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "winnow": q_winnow,
@@ -1138,8 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
-        "pii_redaction": q_pii_redaction,
-        "decontamination": q_decontamination,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1155,7 +1218,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_tail.py; outside the driver's 50-row
         # window. token_count/fingerprint/langid rotated here in r4
         # (green r02+r03) to make window room for the never-checked
-        # kmeans/semantic_dedup/quota_sample.
+        # kmeans/semantic_dedup/quota_sample; cleansing/dedup_exact/
+        # text_quality/pii_redaction/decontamination (green r03,
+        # pure-expression plans) rotated for the never-checked
+        # seq_pack/interval_join/vocab_topk/length_profile/zorder.
+        "cleansing": q_cleansing,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -1328,6 +1399,35 @@ def _ann_lsh_oracle(
             PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB twin of llmdata.layout: the same integer quantization
+    (floor division, clamped) and Morton shift/mask interleave,
+    generated term-by-term so both engines evaluate identical
+    algebra."""
+
+    def quant(col: str, lo: int, hi: int) -> str:
+        span = hi - lo + 1
+        return (
+            f"least(greatest((({col} - {lo}) * {1 << bits}) // {span}, 0), "
+            f"{(1 << bits) - 1})"
+        )
+
+    terms = []
+    for c, col in enumerate(("qa", "qb")):
+        for b in range(bits):
+            terms.append(f"((({col} >> {b}) & 1) * {1 << (b * 2 + c)})")
+    key = " + ".join(terms)
+    return f"""
+        WITH q AS (
+          SELECT l_orderkey, l_linenumber,
+                 {quant('l_partkey', 0, 19999)} AS qa,
+                 {quant('l_suppkey', 0, 999)} AS qb
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, CAST({key} AS BIGINT) AS zkey FROM q
     """
 
 
@@ -1661,6 +1761,75 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             ) WHERE r <= 10
         """,
+        "seq_pack": """
+            WITH base AS (
+              SELECT doc_id, n_chars AS n_tok,
+                     ('0x'||left(md5('pack-bkt:'||CAST(doc_id AS VARCHAR)),8))::bigint
+                       % 256 AS bkt,
+                     ('0x'||left(md5('pack-ord:'||CAST(doc_id AS VARCHAR)),8))::bigint
+                       AS ordk
+              FROM documents WHERE n_chars > 0
+            ), loc AS (
+              SELECT doc_id, n_tok, bkt,
+                     COALESCE(sum(n_tok) OVER (
+                       PARTITION BY bkt ORDER BY ordk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS local_off
+              FROM base
+            ), bt AS (
+              SELECT bkt, sum(n_tok) AS total FROM base GROUP BY bkt
+            ), bb AS (
+              SELECT bkt,
+                     COALESCE(sum(total) OVER (ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS bkt_base
+              FROM bt
+            )
+            SELECT l.doc_id,
+                   CAST(l.n_tok AS BIGINT) AS n_chars,
+                   CAST(b.bkt_base + l.local_off AS BIGINT) AS global_offset,
+                   CAST((b.bkt_base + l.local_off) // 2048 AS BIGINT) AS seq_id,
+                   CAST((b.bkt_base + l.local_off) % 2048 AS BIGINT) AS seq_offset,
+                   CAST((b.bkt_base + l.local_off + l.n_tok - 1) // 2048
+                        - (b.bkt_base + l.local_off) // 2048 + 1 AS BIGINT) AS n_seqs
+            FROM loc l JOIN bb b USING (bkt)
+        """,
+        "interval_join": """
+            SELECT v.user_id,
+                   v.event_id AS l_event_id,
+                   b.event_id AS r_event_id,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS l_time,
+                   strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS r_time
+            FROM events v JOIN events b
+              ON v.user_id = b.user_id
+             AND b.ts >= v.ts
+             AND b.ts <= v.ts + INTERVAL 1800 SECOND
+            WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+        """,
+        "vocab_topk": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+              FROM documents
+            ), v AS (
+              SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM ex GROUP BY term
+            )
+            SELECT term, tf, df,
+                   CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS rank
+            FROM v ORDER BY tf DESC, term LIMIT 50
+        """,
+        "length_profile": """
+            SELECT source AS source_group,
+                   CAST(length(bin(n_chars)) - 1 AS INT) AS length_bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents WHERE n_chars > 0
+            GROUP BY 1, 2
+        """,
+        "zorder": _zorder_oracle(),
         "ngram_jaccard": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks

@@ -16,6 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "cleansing",
+    "dedup_exact",
+    "text_quality",
+    "pii_redaction",
+    "decontamination",
     "token_count",
     "fingerprint",
     "langid",

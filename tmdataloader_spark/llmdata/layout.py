@@ -1,0 +1,83 @@
+"""Multi-dimensional data layout (Z-order) for 100 TB parquet tables.
+
+At cluster scale the dominant cost of most queries is the SCAN, and
+the scan is only cheap if file-level min/max statistics let the
+reader skip files. Sorting by one column optimizes exactly one
+predicate; interleaving the bits of several quantized columns
+(Morton / Z-order) gives every interleaved column partial locality,
+so parquet row-group stats prune on ANY of them — the technique
+Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``.
+
+Everything here is pure per-row integer arithmetic (shift/mask/or) —
+no shuffle, no UDF, bit-identical across engines, so a DuckDB oracle
+can verify the key and a Trino reader computes the same layout.
+The only shuffle is the final ``repartitionByRange`` that actually
+clusters rows before the write, which is the point of the exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map an integer column in ``[lo, hi]`` onto ``[0, 2**bits)`` with
+    pure integer arithmetic: ``(x - lo) * 2**bits // (hi - lo + 1)``,
+    clamped. Integer-exact — identical in any engine with 64-bit
+    integer division (floating-point quantizers disagree at cell
+    boundaries across engines).
+
+    Bounds are caller-supplied (domain knowledge or a prior stats
+    scan) so the key is a pure expression; recomputing bounds in-plan
+    would make every row's key depend on a global aggregate and the
+    layout unstable under appends."""
+    span = hi - lo + 1
+    a = (col.cast("long") - F.lit(lo)) * F.lit(1 << bits)
+    # exact floor division: subtracting pmod makes the numerator an
+    # exact multiple of span, so the double division is exact — `/` on
+    # longs is double division in Spark and raw floor(a/span) could
+    # misround near cell boundaries on other engines
+    q = ((a - F.pmod(a, F.lit(span))) / F.lit(span)).cast("long")
+    return F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1))
+
+
+def zorder_key(quantized: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each already-quantized
+    column into one Morton key: bit ``b`` of column ``c`` lands at
+    position ``b * ncols + c``. ``ncols * bits`` must be ≤ 63.
+
+    The expression is a flat OR-chain of shift/mask terms — whole-stage
+    codegen folds it into straight-line long arithmetic."""
+    ncols = len(quantized)
+    if ncols * bits > 63:
+        raise ValueError(f"{ncols} cols x {bits} bits exceeds a 63-bit key")
+    key = F.lit(0).cast("long")
+    for c, col in enumerate(quantized):
+        for b in range(bits):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + bit * F.lit(1 << (b * ncols + c))
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bounds: dict[str, tuple[int, int]],
+    bits: int = 8,
+    num_files: int | None = None,
+    key_name: str = "zkey",
+) -> DataFrame:
+    """Attach the Z-order key and range-partition rows by it so a
+    subsequent ``.write.parquet`` emits files whose per-column min/max
+    stats are tight on EVERY interleaved column.
+
+    ``repartitionByRange`` samples the key distribution (AQE-sized
+    reservoir) and assigns contiguous key ranges to partitions — the
+    one shuffle this operator performs, and the one that buys scan
+    pruning for every future reader. ``num_files`` defaults to the
+    session shuffle parallelism."""
+    q = [quantize(F.col(c), *bounds[c], bits) for c in cols]
+    keyed = df.withColumn(key_name, zorder_key(q, bits))
+    if num_files:
+        return keyed.repartitionByRange(num_files, key_name)
+    return keyed.repartitionByRange(key_name)
