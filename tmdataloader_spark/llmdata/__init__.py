@@ -19,5 +19,10 @@ for 100 TB first:
                    SemDeDup-style cluster-bounded semantic dedup
 - ``packing``    : concat-and-chunk sequence packing onto a fixed
                    token budget via a two-phase distributed prefix sum
+- ``vocab``      : vocabulary census (tf/df), heavy-hitter top-k via
+                   per-task k-heaps, per-source log2 length profile
+- ``layout``     : Z-order (Morton) data layout — integer-exact
+                   quantize + bit interleave + repartitionByRange for
+                   scan-pruning parquet file stats
 - ``curate``     : the composed keep/drop verdict pipeline
 """
