@@ -54,6 +54,12 @@ def main() -> None:
     _wf(smoke).count()
 
     for name, fn in qs.items():
+        # per-query isolation: drop cached frames left by the previous
+        # query (each query's own .cache() calls still serve its own
+        # execution) — without this the session accumulates every
+        # prior query's cached shingle/signature frames and late
+        # queries measure GC pressure, not their plan
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
