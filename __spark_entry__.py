@@ -1144,6 +1144,49 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-history near-dedup (llmdata/incremental.py):
+    odd-id documents arrive as the new batch, even-id documents are the
+    persisted signature store. Verdict per batch doc: novel unless an
+    LSH band collision with history exact-verifies to Jaccard >= 0.8.
+    History text is never rescanned — the store carries shingle hashes
+    + MinHash columns only."""
+    from tmdataloader_spark.llmdata.incremental import (
+        incremental_novelty,
+        signature_store,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    store = signature_store(history, num_perms=16, ngram=3)
+    return incremental_novelty(
+        batch, store, num_perms=16, bands=4, threshold=0.8, ngram=3
+    )
+
+
+def q_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured flattening (operators/semistructured.py): typed
+    extraction of the events JSON props column — ONE from_json parse
+    per row (never per-field re-parsing) — then a map-side-combined
+    grouped agg. The reference analogue is typed values in XML blobs
+    (I2B2_BUILD_METADATA_XML.sql:57-70)."""
+    from tmdataloader_spark.operators.semistructured import json_props_rollup
+
+    return json_props_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (llmdata/chunking.py): 400-char windows with
+    100-char overlap, offsets + ids, via sequence + posexplode +
+    substring — pure codegen expressions, zero extra scans."""
+    from tmdataloader_spark.llmdata.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=400, overlap_chars=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1195,7 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "winnow": q_winnow,
-        "hash_split": q_hash_split,
+        "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1203,10 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
-        "simhash": q_simhash,
+        "json_rollup": q_json_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
-        "multimodal_meta": q_multimodal_meta,
+        "chunk_docs": q_chunk_docs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1221,7 +1264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans/semantic_dedup/quota_sample; cleansing/dedup_exact/
         # text_quality/pii_redaction/decontamination (green r03,
         # pure-expression plans) rotated for the never-checked
-        # seq_pack/interval_join/vocab_topk/length_profile/zorder.
+        # seq_pack/interval_join/vocab_topk/length_profile/zorder;
+        # hash_split/simhash/multimodal_meta (green r03) rotated for
+        # the never-checked incremental_dedup/json_rollup/chunk_docs.
+        "hash_split": q_hash_split,
+        "simhash": q_simhash,
+        "multimodal_meta": q_multimodal_meta,
         "cleansing": q_cleansing,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1325,6 +1373,69 @@ def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8)
                round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
         FROM inter
         WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= {threshold}
+    """
+
+
+def _incremental_oracle(
+    num_perms: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of llmdata.incremental.incremental_novelty on the
+    odd-ids-batch / even-ids-history split: same md5 shingle hashes,
+    same affine MinHash permutations and band keys, candidates only
+    across the batch/history boundary, exact-Jaccard verification,
+    per-batch-doc novelty verdict."""
+    from tmdataloader_spark.llmdata.dedup import MINHASH_PRIME, minhash_params
+
+    rows = num_perms // bands
+    mh_cols = ",\n".join(
+        f"min(({a} * shingle + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perms))
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, n_shingles, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key="||','||".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents
+        ), sh0 AS (
+          SELECT doc_id, list_distinct(list_transform(list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+            s -> ('0x'||left(md5('0:'||s),8))::bigint)) AS shingles
+          FROM t
+        ), sh AS (
+          SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh0
+        ), sig AS (
+          SELECT doc_id, any_value(n_shingles) AS n_shingles, {mh_cols}
+          FROM sh GROUP BY doc_id
+        ), bands AS (
+          {band_selects}
+        ), cand AS (
+          SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid,
+                 b.n_shingles AS n_b, h.n_shingles AS n_h
+          FROM bands b JOIN bands h
+            ON b.band = h.band AND b.band_key = h.band_key
+          WHERE b.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+        ), inter AS (
+          SELECT c.bid, c.hid, c.n_b, c.n_h, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sb ON sb.doc_id = c.bid
+          JOIN sh sh2 ON sh2.doc_id = c.hid AND sh2.shingle = sb.shingle
+          GROUP BY 1, 2, 3, 4
+        ), dups AS (
+          SELECT DISTINCT bid FROM inter
+          WHERE round(CAST(n_inter AS DOUBLE) / (n_b + n_h - n_inter), 6)
+                >= {threshold}
+        )
+        SELECT d.doc_id, (dups.bid IS NULL) AS novel
+        FROM documents d LEFT JOIN dups ON d.doc_id = dups.bid
+        WHERE d.doc_id % 2 = 1
     """
 
 
@@ -1830,6 +1941,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "zorder": _zorder_oracle(),
+        "incremental_dedup": _incremental_oracle(),
+        "json_rollup": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(CAST(props->>'k' AS BIGINT)) AS n_with_prop,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(CAST(props->>'k' AS BIGINT)) AS min_k,
+                   max(CAST(props->>'k' AS BIGINT)) AS max_k,
+                   round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "chunk_docs": """
+            WITH ex AS (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(length(text) AS BIGINT), 300)) AS s
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id,
+                   CAST(s // 300 AS INT) AS chunk_id,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   substr(text, CAST(s + 1 AS INT), 400) AS chunk_text,
+                   CAST(length(substr(text, CAST(s + 1 AS INT), 400)) AS BIGINT)
+                     AS chunk_len
+            FROM ex
+        """,
         "ngram_jaccard": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks

@@ -1,0 +1,77 @@
+"""Unit tests for incremental (batch-vs-history) deduplication
+(llmdata/incremental.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.llmdata.incremental import incremental_novelty, signature_store
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    history = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated history text about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact re-crawl of doc 0
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            # near-dup of doc 0 (one word changed)
+            (3, "the quick brown fox jumps over the lazy cat again and again"),
+            # genuinely new
+            (5, "a brand new document that matches nothing in the store"),
+        ],
+        "doc_id long, text string",
+    )
+    return history, batch
+
+
+def test_signature_store_schema(spark, corpus):
+    history, _ = corpus
+    store = signature_store(history, num_perms=8)
+    cols = store.columns
+    assert cols[:3] == ["doc_id", "n_shingles", "shingle_set"]
+    assert [c for c in cols if c.startswith("mh_")] == [f"mh_{i}" for i in range(8)]
+    assert store.count() == 2
+
+
+def test_incremental_verdicts(spark, corpus):
+    history, batch = corpus
+    store = signature_store(history, num_perms=16, ngram=2)
+    out = {
+        r["doc_id"]: r["novel"]
+        for r in incremental_novelty(
+            batch, store, num_perms=16, bands=4, threshold=0.8, ngram=2
+        ).collect()
+    }
+    assert out[1] is False  # exact re-crawl caught
+    assert out[5] is True  # new doc passes
+    assert set(out) == {1, 3, 5}  # every batch doc gets a verdict
+
+
+def test_incremental_does_not_scan_history_text(spark, corpus):
+    """The history side of the novelty join must come from the stored
+    signature frame — dropping history's text column must not break
+    anything (proves no hidden dependency on history text)."""
+    history, batch = corpus
+    store = signature_store(history, num_perms=16, ngram=2).select(
+        "doc_id", "n_shingles", "shingle_set", *[f"mh_{i}" for i in range(16)]
+    )
+    # materialize the store, then hand over ONLY the store
+    rows = store.collect()
+    store2 = spark.createDataFrame(rows, store.schema)
+    out = incremental_novelty(
+        batch, store2, num_perms=16, bands=4, threshold=0.8, ngram=2
+    )
+    assert out.count() == 3
+
+
+def test_incremental_novel_when_store_empty(spark, corpus):
+    _, batch = corpus
+    empty = signature_store(batch.limit(0), num_perms=16, ngram=2)
+    out = incremental_novelty(batch, empty, num_perms=16, bands=4, ngram=2)
+    assert all(r["novel"] for r in out.collect())

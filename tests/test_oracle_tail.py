@@ -16,6 +16,9 @@ SF = "/root/testdata/sf0.001"
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "hash_split",
+    "simhash",
+    "multimodal_meta",
     "cleansing",
     "dedup_exact",
     "text_quality",

@@ -136,3 +136,77 @@ def test_kmeans_assignment_has_no_shuffle(spark):
     plan = _plan(spark, kmeans_fit(emb, k=4, iters=1))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, "assignment stage must not shuffle"
+
+
+def test_chunk_docs_no_exchange(spark):
+    """Chunking is a per-row flatMap (sequence + posexplode +
+    substring) — the plan must contain NO Exchange and no Python
+    boundary: chunks are emitted in the same scan that reads text."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_chunk_docs(spark, SF), "simple")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_json_rollup_single_parse_single_exchange(spark):
+    """Typed JSON extraction parses once (from_json) and aggregates
+    with one shuffle on the small group key; only the referenced
+    columns reach the scan."""
+    import __spark_entry__ as entry
+
+    df = entry.q_json_rollup(spark, SF)
+    plan = _plan(spark, df)
+    assert plan.count("from_json") <= 2, "per-field re-parsing crept in"
+    simple = _plan(spark, df, "simple")
+    assert simple.count("Exchange") <= 2  # partial agg + AQE final
+    read_schema = next(l for l in _plan(spark, df).splitlines() if "ReadSchema" in l)
+    assert "user_id" not in read_schema, "column pruning lost"
+
+
+def test_vocab_topk_uses_heap_selection(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-task
+    k-heaps), never a global Sort of the vocabulary."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_vocab_topk(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Z-order key is straight-line long arithmetic — no shuffle,
+    no UDF, single codegen'd projection over the scan."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_zorder(spark, SF), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    read_schema = next(
+        l
+        for l in _plan(spark, entry.q_zorder(spark, SF)).splitlines()
+        if "ReadSchema" in l
+    )
+    assert "l_extendedprice" not in read_schema
+
+
+def test_seq_pack_broadcasts_bucket_bases(spark):
+    """Sequence packing phase 2 joins per-bucket base offsets (a
+    num_buckets-row frame) back via explicit broadcast — the corpus
+    side must never sort-merge against it."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_seq_pack(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_novelty_joins_are_equi(spark):
+    """Batch-vs-history candidate generation is an equi-join on
+    (band, band_key); verification is an equi-join on ids — no
+    cartesian anywhere, and history text columns never reach a scan."""
+    import __spark_entry__ as entry
+
+    df = entry.q_incremental_dedup(spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

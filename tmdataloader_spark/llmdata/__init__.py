@@ -24,5 +24,9 @@ for 100 TB first:
 - ``layout``     : Z-order (Morton) data layout — integer-exact
                    quantize + bit interleave + repartitionByRange for
                    scan-pruning parquet file stats
+- ``incremental``: batch-vs-history novelty via a persisted signature
+                   store — history text is never rescanned
+- ``chunking``   : overlapping fixed-size windows with char offsets
+                   (RAG / long-document embedding preprocessing)
 - ``curate``     : the composed keep/drop verdict pipeline
 """
