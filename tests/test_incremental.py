@@ -75,3 +75,46 @@ def test_incremental_novel_when_store_empty(spark, corpus):
     empty = signature_store(batch.limit(0), num_perms=16, ngram=2)
     out = incremental_novelty(batch, empty, num_perms=16, bands=4, ngram=2)
     assert all(r["novel"] for r in out.collect())
+
+
+def test_incremental_duplicates_stream_matches_batch(spark, tmp_path, corpus):
+    """The streaming hit feed must flag exactly the batch docs the
+    batch twin marks non-novel, with the same matched history doc."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.incremental import incremental_duplicates_stream
+
+    history, batch = corpus
+    store = signature_store(history, num_perms=16, ngram=2)
+
+    batch_ts = batch.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:00")))
+    src = str(tmp_path / "inc_in")
+    batch_ts.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        src
+    )
+    out = incremental_duplicates_stream(
+        stream, store, num_perms=16, bands=4, threshold=0.8, ngram=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_hits")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hits = spark.sql("select * from inc_hits").collect()
+    finally:
+        q.stop()
+    flagged = {(r["doc_id"], r["matched_id"]) for r in hits}
+    assert flagged == {(1, 0)}  # the exact re-crawl, matched to history doc 0
+    assert all(r["jaccard"] >= 0.8 for r in hits)
+    # batch twin agreement: non-novel set == flagged doc ids
+    verdicts = {
+        r["doc_id"]: r["novel"]
+        for r in incremental_novelty(
+            batch, store, num_perms=16, bands=4, threshold=0.8, ngram=2
+        ).collect()
+    }
+    assert {d for d, novel in verdicts.items() if not novel} == {d for d, _ in flagged}

@@ -44,3 +44,35 @@ def test_exact_stats_guard_rejects_oversized_file(spark, monkeypatch):
     fname, fm = next(iter(parse_mapping_file(Path(MAPPING)).items()))
     with pytest.raises(LoadValidationError, match="exact-statistics"):
         summary.collect_file_statistics(spark, Path(MAPPING).parent / fname, fm)
+
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize(
+    "values,lower,upper,iqr",
+    [
+        ([100.0], 100.0, 100.0, 0.0),
+        ([100.0, 500.0], 100.0, 500.0, 400.0),
+        ([100.0, 500.0, 300.0], 200.0, 400.0, 200.0),
+        ([100.0, 500.0, 300.0, 200.0, 400.0], 200.0, 400.0, 200.0),
+        ([100.0, 500.0, 300.0, 200.0, 400.0, 600.0], 200.0, 500.0, 300.0),
+    ],
+)
+def test_tukey_hinges_mirror_reference_iqr(spark, values, lower, upper, iqr):
+    """Mirrors StatisticCollectorTest.groovy 'it should calculate IQR'
+    step by step: the hinge slices must reproduce the reference's
+    incremental lower/upper quartiles exactly."""
+    from tmdataloader_spark.statistic.summary import _median_of_slice
+
+    df = spark.createDataFrame([(v,) for v in values], "value_d double")
+    arr = F.sort_array(F.collect_list("value_d"))
+    n = F.size(arr)
+    row = df.agg(
+        _median_of_slice(arr, F.lit(1), F.floor((n + 1) / 2).cast("int")).alias("lo"),
+        _median_of_slice(
+            arr, (F.floor(n / 2) + 1).cast("int"), (n - F.floor(n / 2)).cast("int")
+        ).alias("hi"),
+    ).first()
+    assert (row["lo"], row["hi"], row["hi"] - row["lo"]) == (lower, upper, iqr)

@@ -73,13 +73,21 @@ def shingle_sets(
     join then carries one bigint per shingle instead of an n-word
     string. Hashes are engine-portable (md5), so SQL oracles reproduce
     them; collisions are deterministic and mirrored."""
+    return _spread(df, id_col).select(
+        F.col(id_col), shingle_set_expr(text_col, n, hashed).alias("shingle_set")
+    )
+
+
+def shingle_set_expr(text_col: str, n: int = 3, hashed: bool = True) -> Column:
+    """The distinct-shingle ARRAY as a single Column expression —
+    usable anywhere a per-row projection is (including streaming
+    DataFrames, where :func:`shingle_sets`' repartition spread does
+    not apply)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
     grams = _word_ngrams(toks, n)
     if hashed:
         grams = F.transform(grams, lambda s: _hash32(s, 0))
-    return _spread(df, id_col).select(
-        F.col(id_col), F.array_distinct(grams).alias("shingle_set")
-    )
+    return F.array_distinct(grams)
 
 
 def shingles(
@@ -150,6 +158,37 @@ def minhash_signatures(
     return sh.groupBy(id_col, "n_shingles").agg(*aggs)
 
 
+def signatures_from_sets(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    keep_set: bool = False,
+) -> DataFrame:
+    """MinHash signatures computed PER ROW from the shingle-hash array
+    — ``mh_i = array_min(transform(shingle_set, h → (aᵢ·h+bᵢ) mod P))``
+    — with no explode and no groupBy.
+
+    Same values as :func:`minhash_signatures` (the oracle SQL is
+    unchanged), but the corpus-sized explode→shuffle→min-agg of the
+    token stream disappears: at 100 TB the signature stage becomes a
+    pure projection inside the same scan that shingled the text, and
+    the first shuffle of the whole MinHash pipeline is the (tiny)
+    band-key self-join. Documents with no shingles produce no
+    signature row (mirroring the grouped form, where they have no
+    exploded rows)."""
+    arr = F.col("shingle_set")
+    mh_cols = [
+        F.array_min(
+            F.transform(arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perms))
+    ]
+    keep = [arr] if keep_set else []
+    return sets.filter(F.size(arr) > 0).select(
+        F.col(id_col), F.size(arr).alias("n_shingles"), *keep, *mh_cols
+    )
+
+
 def lsh_band_keys(
     sigs: DataFrame, id_col: str = "doc_id", num_perms: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -192,12 +231,8 @@ def minhash_lsh_pairs(
     # same cached base subplan as ngram_jaccard_pairs — in a warm
     # session whichever runs first feeds the other
     sets = shingle_sets(df, text_col, id_col, n=ngram).cache()
-    sh = sets.select(
-        F.col(id_col),
-        F.size("shingle_set").alias("n_shingles"),
-        F.explode("shingle_set").alias("shingle"),
-    )
-    sigs = minhash_signatures(sh, id_col, num_perms)
+    # per-row signatures: no explode, no shuffle (signatures_from_sets)
+    sigs = signatures_from_sets(sets, id_col, num_perms)
     bandkeys = lsh_band_keys(sigs, id_col, num_perms, bands)
     a = bandkeys.alias("a")
     b = bandkeys.alias("b")

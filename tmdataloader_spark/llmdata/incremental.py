@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from tmdataloader_spark.llmdata.dedup import (
     lsh_band_keys,
-    minhash_signatures,
     shingle_sets,
+    signatures_from_sets,
 )
 
 
@@ -44,14 +44,13 @@ def signature_store(
     evidence) and MinHash columns ``mh_*``. Computed in one pass over
     the text; everything downstream joins this, not the corpus."""
     sets = shingle_sets(df, text_col, id_col, n=ngram)
-    sh = sets.select(
-        F.col(id_col),
-        F.size("shingle_set").alias("n_shingles"),
-        F.explode("shingle_set").alias("shingle"),
-    )
-    sigs = minhash_signatures(sh, id_col, num_perms)
-    return sets.join(sigs, id_col).select(
-        id_col, "n_shingles", "shingle_set", *[c for c in sigs.columns if c.startswith("mh_")]
+    # per-row signatures (no explode/shuffle) computed in the SAME
+    # projection that carries the shingle array — one scan, one pass
+    return signatures_from_sets(sets, id_col, num_perms, keep_set=True).select(
+        id_col,
+        "n_shingles",
+        "shingle_set",
+        *[f"mh_{i}" for i in range(num_perms)],
     )
 
 
@@ -117,4 +116,106 @@ def incremental_novelty(
         batch.select(id_col)
         .join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
         .select(id_col, F.coalesce(~F.col("_dup"), F.lit(True)).alias("novel"))
+    )
+
+
+def incremental_duplicates_stream(
+    stream_docs: DataFrame,
+    history_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`incremental_novelty`: an append-mode
+    stream of CONFIRMED duplicate hits ``(id, ts, matched_id,
+    jaccard)`` against the static history store, emitted as documents
+    arrive.
+
+    Everything on the stream side is per-row (array-expression
+    signatures, band-key explode) and both joins are STREAM-STATIC
+    equi-joins — no stream state at all until the final
+    ``dropDuplicatesWithinWatermark`` that collapses multi-band
+    collisions of the same (doc, history) pair, whose state is bounded
+    by hits-per-watermark-window. Novelty (the absence of any hit) is
+    not decidable mid-stream without closing a window; the batch twin
+    over the drained log is the reconciliation path, per this suite's
+    lambda contract."""
+    from tmdataloader_spark.llmdata.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+        shingle_set_expr,
+    )
+
+    # everything per-row: shingle array, MinHash mins over the array,
+    # band-key structs — no repartition spread, no groupBy, so the
+    # SAME projection works on a streaming DataFrame
+    arr = shingle_set_expr(text_col, ngram)
+    keyed = stream_docs.select(
+        F.col(id_col), F.col(ts_col), arr.alias("arr_b")
+    ).filter(F.size("arr_b") > 0)
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("arr_b"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
+        )
+        for (a, b) in minhash_params(num_perms)
+    ]
+    rows = num_perms // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[mh[b * rows + r].cast("string") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    joined = keyed.select(
+        id_col,
+        ts_col,
+        F.size("arr_b").alias("n_b"),
+        "arr_b",
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        id_col,
+        ts_col,
+        "n_b",
+        "arr_b",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    h_bands = lsh_band_keys(history_store, id_col, num_perms, bands).select(
+        F.col(id_col).alias("_hid"),
+        F.col("n_shingles").alias("n_h"),
+        "band",
+        "band_key",
+    )
+    h_arrays = history_store.select(
+        F.col(id_col).alias("_hid"), F.col("shingle_set").alias("arr_h")
+    )
+    hits = (
+        joined.join(h_bands, ["band", "band_key"])
+        .join(h_arrays, "_hid")
+        .withColumn("_inter", F.size(F.array_intersect("arr_b", "arr_h")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("n_b") + F.col("n_h") - F.col("_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            id_col, ts_col, F.col("_hid").alias("matched_id"), "jaccard"
+        )
+    )
+    return hits.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col, "matched_id"]
     )
