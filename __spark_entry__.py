@@ -1187,6 +1187,27 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/eventflow.py): view → click →
+    purchase, step k gated on an event at-or-after the user's earliest
+    qualifying step-(k-1) event. One lazy plan: per-step per-user min
+    aggregates chained by equi-joins on user_id; counts + conversion
+    assembled by union + a broadcast one-row base."""
+    from tmdataloader_spark.operators.eventflow import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/eventflow.py): users
+    cohorted by first-seen week; distinct active users per (cohort,
+    week offset). One per-user min agg + one equi-join back + one
+    count-distinct."""
+    from tmdataloader_spark.operators.eventflow import retention
+
+    return retention(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1253,9 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "vcf_genotypes": q_vcf_genotypes,
+        "funnel": q_funnel,
         "merge_update": q_merge_update,
-        "visit_suppression": q_visit_suppression,
+        "retention": q_retention,
         # --- tail (positions 51+): stable since r01/r02, also covered
         # by pytest e2e AND oracle-checked per pytest run by
         # tests/test_oracle_tail.py; outside the driver's 50-row
@@ -1266,7 +1287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-expression plans) rotated for the never-checked
         # seq_pack/interval_join/vocab_topk/length_profile/zorder;
         # hash_split/simhash/multimodal_meta (green r03) rotated for
-        # the never-checked incremental_dedup/json_rollup/chunk_docs.
+        # the never-checked incremental_dedup/json_rollup/chunk_docs;
+        # vcf_genotypes/visit_suppression (green r03, deep pytest
+        # e2e coverage) rotated for the never-checked funnel/retention.
+        "vcf_genotypes": q_vcf_genotypes,
+        "visit_suppression": q_visit_suppression,
         "hash_split": q_hash_split,
         "simhash": q_simhash,
         "multimodal_meta": q_multimodal_meta,
@@ -1942,6 +1967,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder": _zorder_oracle(),
         "incremental_dedup": _incremental_oracle(),
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), counts AS (
+              SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3
+            ), base AS (SELECT count(*) AS b FROM s1)
+            SELECT CAST(step AS INT) AS step, step_name, n_users,
+                   round(CAST(n_users AS DOUBLE) / b, 6) AS conversion
+            FROM counts, base
+        """,
+        "retention": """
+            WITH first AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS c
+              FROM events GROUP BY user_id
+            ), act AS (
+              SELECT user_id, date_trunc('week', ts) AS w FROM events
+            )
+            SELECT strftime(f.c, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', f.c, a.w) // 7 AS INT) AS period_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "json_rollup": """
             SELECT event_type,
                    count(*) AS n_events,

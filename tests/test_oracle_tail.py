@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "vcf_genotypes",
+    "visit_suppression",
     "hash_split",
     "simhash",
     "multimodal_meta",
