@@ -1208,6 +1208,19 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_t(spark, sf_dir, "events"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (llmdata/sampling.py
+    stratified_hash_sample): downsample boilerplate languages, keep
+    rare ones — one pure per-row expression, no shuffle, no
+    per-stratum population scan; stable across runs/engines/appends."""
+    from tmdataloader_spark.llmdata.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, {"en": 0.2, "zh": 1.0}, "lang", default_fraction=0.5
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1293,6 +1306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vcf_genotypes": q_vcf_genotypes,
         "visit_suppression": q_visit_suppression,
         "hash_split": q_hash_split,
+        # stratified_sample shares hash_split's md5-bucket arithmetic
+        # (hash-proven in r02/r03); tail = pytest-oracle-checked
+        "stratified_sample": q_stratified_sample,
         "simhash": q_simhash,
         "multimodal_meta": q_multimodal_meta,
         "cleansing": q_cleansing,
@@ -1855,6 +1871,18 @@ def oracle_sql() -> dict[str, str]:
               FROM s2
             )
             SELECT doc_id, unnest(fps) AS fp_hash FROM s3
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ('0x'||left(md5('sample:'||CAST(doc_id AS VARCHAR)),8))::bigint
+                       % 1000000 AS sb
+              FROM documents
+            )
+            SELECT doc_id, lang FROM b
+            WHERE sb < (CASE lang WHEN 'en' THEN 200000
+                                  WHEN 'zh' THEN 1000000
+                                  ELSE 500000 END)
         """,
         "hash_split": """
             WITH b AS (

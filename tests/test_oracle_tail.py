@@ -19,6 +19,7 @@ TAIL = [
     "vcf_genotypes",
     "visit_suppression",
     "hash_split",
+    "stratified_sample",
     "simhash",
     "multimodal_meta",
     "cleansing",

@@ -29,4 +29,6 @@ for 100 TB first:
 - ``chunking``   : overlapping fixed-size windows with char offsets
                    (RAG / long-document embedding preprocessing)
 - ``curate``     : the composed keep/drop verdict pipeline
+- ``pipeline``   : the full assembly line — curate → token count +
+                   deterministic splits → packed train tape
 """
