@@ -37,11 +37,15 @@ def funnel(
         raise ValueError("steps must be non-empty")
     t, ts = F.col(type_col), F.col(ts_col)
 
-    # survivors of each step, built lazily (no driver-side counting:
-    # the whole funnel is ONE plan; identical step subplans dedupe via
-    # exchange reuse)
+    # survivors of each step: small per-user frames, each consumed by
+    # the next step AND its own count (and step 1 by the conversion
+    # base) — cached so the type-filtered event scans run once per
+    # step instead of once per downstream consumer
     survivors = [
-        events.filter(t == steps[0]).groupBy(user_col).agg(F.min(ts).alias("_t"))
+        events.filter(t == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("_t"))
+        .cache()
     ]
     for s in steps[1:]:
         survivors.append(
@@ -51,6 +55,7 @@ def funnel(
             .filter(F.col("_ts") >= F.col("_t"))
             .groupBy(user_col)
             .agg(F.min("_ts").alias("_t"))
+            .cache()
         )
 
     per_step = [
