@@ -118,3 +118,32 @@ def test_incremental_duplicates_stream_matches_batch(spark, tmp_path, corpus):
         ).collect()
     }
     assert {d for d, novel in verdicts.items() if not novel} == {d for d, _ in flagged}
+
+
+def test_grouped_and_perrow_signatures_agree(spark, corpus):
+    """The exploded groupBy form (minhash_signatures) and the per-row
+    array form (signatures_from_sets) must produce identical
+    signatures — the per-row form is the production path; the grouped
+    form documents/verifies the classic formulation."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.dedup import (
+        minhash_signatures,
+        shingle_sets,
+        signatures_from_sets,
+    )
+
+    history, batch = corpus
+    docs = history.unionByName(batch)
+    sets = shingle_sets(docs, n=2)
+    sh = sets.select(
+        "doc_id",
+        F.size("shingle_set").alias("n_shingles"),
+        F.explode("shingle_set").alias("shingle"),
+    )
+    grouped = {r["doc_id"]: r for r in minhash_signatures(sh, num_perms=8).collect()}
+    perrow = {r["doc_id"]: r for r in signatures_from_sets(sets, num_perms=8).collect()}
+    assert set(grouped) == set(perrow)
+    for d in grouped:
+        for i in range(8):
+            assert grouped[d][f"mh_{i}"] == perrow[d][f"mh_{i}"], (d, i)
