@@ -194,6 +194,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--replace-study", action="store_true")
     p.add_argument("--warehouse", default="warehouse", help="parquet warehouse directory (default ./warehouse)")
     p.add_argument("--parent-node", default="\\Public Studies", help="ontology parent for uploaded studies")
+    # accepted for reference CLI parity (CommandLineTool.groovy flag
+    # surface); meaningless against a parquet warehouse — no Postgres
+    # schemas to redirect, no alternative stored procedures, and no
+    # ANSI console highlighting — so they parse and are ignored
+    p.add_argument("--schema", metavar="NAME", help="(accepted; parquet warehouse has no DB schema)")
+    p.add_argument("--alt-control-schema", metavar="NAME", help="(accepted; no-op)")
+    p.add_argument("--alt-clinical-proc", metavar="PROC", help="(accepted; single Spark clinical plan)")
+    p.add_argument("--highlight-clinical-data", action="store_true", help="(accepted; no-op)")
     return p
 
 
