@@ -30,6 +30,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     qs = entry.queries()
+    # optional subset (comma-separated names) — lets a smoke test walk
+    # the full bench code path in seconds
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
     # Warm one-time session costs outside the timed region — a
     # long-lived cluster pays these once, not per query:
     # JVM + parquet footers,
