@@ -1208,6 +1208,15 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_t(spark, sf_dir, "events"))
 
 
+def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate census (llmdata/vocab.py pair_counts):
+    top-100 adjacent-token pairs — per-row pair expression, one
+    map-side-combined agg, per-task k-heap selection."""
+    from tmdataloader_spark.llmdata.vocab import pair_counts
+
+    return pair_counts(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling (llmdata/sampling.py
     stratified_hash_sample): downsample boilerplate languages, keep
@@ -1309,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_sample shares hash_split's md5-bucket arithmetic
         # (hash-proven in r02/r03); tail = pytest-oracle-checked
         "stratified_sample": q_stratified_sample,
+        # pair_counts shares vocab_topk's verified census machinery
+        "pair_counts": q_pair_counts,
         "simhash": q_simhash,
         "multimodal_meta": q_multimodal_meta,
         "cleansing": q_cleansing,
@@ -1871,6 +1882,22 @@ def oracle_sql() -> dict[str, str]:
               FROM s2
             )
             SELECT doc_id, unnest(fps) AS fp_hash FROM s3
+        """,
+        "pair_counts": """
+            WITH t AS (
+              SELECT string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), p AS (
+              SELECT unnest(list_transform(
+                range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i+1])) AS pair
+              FROM t WHERE len(toks) >= 2
+            ), c AS (
+              SELECT pair, count(*) AS n FROM p GROUP BY pair
+            )
+            SELECT pair, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+            FROM c ORDER BY n DESC, pair LIMIT 100
         """,
         "stratified_sample": """
             WITH b AS (

@@ -20,6 +20,7 @@ TAIL = [
     "visit_suppression",
     "hash_split",
     "stratified_sample",
+    "pair_counts",
     "simhash",
     "multimodal_meta",
     "cleansing",

@@ -123,3 +123,23 @@ def test_zorder_layout_clusters_files(spark):
     )
     for prev, cur in zip(spans, spans[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_pair_counts_bpe_census(spark):
+    from tmdataloader_spark.llmdata.vocab import pair_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pair_counts(df, k=10).collect()
+    got = [(r["pair"], r["n"], r["rank"]) for r in rows]
+    # pairs: doc1 -> (a b), (b a), (a b), (b c); doc2 -> (a b)
+    assert got[0] == ("a b", 3, 1)
+    assert set(got[1:]) == {("b a", 1, 2), ("b c", 1, 3)}  # tie: pair asc
+    assert got[1] == ("b a", 1, 2)

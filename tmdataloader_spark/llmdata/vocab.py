@@ -66,6 +66,44 @@ def vocab_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def pair_counts(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-token pair frequencies, top-``k`` — the merge-candidate
+    census at the heart of BPE tokenizer training (the highest-count
+    pair is the next merge).
+
+    Shape mirrors :func:`vocab_topk`: the pair expression is a pure
+    per-row transform over the token array (sequence + slice, no
+    self-join of the token stream), then one map-side-combined agg and
+    per-task k-heap selection. Deterministic order (count desc, pair
+    asc)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    # sequence(1, 0) would generate DESCENDING [1, 0] — guard
+    # single-token docs to an empty pair array instead
+    pairs = F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = df.select(F.explode(pairs).alias("pair"))
+    top = (
+        exploded.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def length_profile(
     df: DataFrame,
     group_col: str = "source",
