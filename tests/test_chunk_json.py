@@ -86,3 +86,31 @@ def test_json_props_rollup(spark):
     assert out["a"]["n_events"] == 3 and out["a"]["n_with_prop"] == 2
     assert out["a"]["sum_k"] == 4 and out["a"]["avg_k"] == 2.0
     assert out["b"]["min_k"] == out["b"]["max_k"] == 10
+
+
+def test_normalize_unicode_nfc(spark):
+    """Decomposed e+combining-acute must normalize to composed é —
+    and agree with DuckDB's nfc_normalize on the same input."""
+    import duckdb
+
+    from tmdataloader_spark.llmdata.text import normalize_unicode
+
+    decomposed = "café"  # e + COMBINING ACUTE ACCENT
+    df = spark.createDataFrame([(1, decomposed), (2, "plain"), (3, None)],
+                               "id long, text string")
+    out = {r["id"]: r["n"] for r in
+           df.select("id", normalize_unicode("text").alias("n")).collect()}
+    assert out[1] == "café" and len(out[1]) == 4
+    assert out[2] == "plain" and out[3] is None
+    (duck,) = duckdb.sql(
+        "SELECT nfc_normalize('cafe' || chr(769))").fetchone()
+    assert out[1] == duck
+
+
+def test_normalize_unicode_bad_form():
+    import pytest as _pytest
+
+    from tmdataloader_spark.llmdata.text import normalize_unicode
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("text", form="NFX")

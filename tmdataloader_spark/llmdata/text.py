@@ -312,3 +312,34 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) — the
+    canonicalization step multilingual dedup needs before hashing
+    (composed é and e+combining-accent must fingerprint identically).
+
+    Spark has no built-in Unicode normalizer, so this is the module's
+    one deliberate Pandas-UDF: Arrow-batched, zero-copy in, applied
+    string-at-a-time via the stdlib. DuckDB's ``nfc_normalize``
+    reproduces the NFC form for cross-engine verification."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unsupported normalization form {form!r}")
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # annotations set as real objects: pandas is imported locally, so
+    # string hints would not resolve in this module's globals
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _norm(c)
