@@ -229,3 +229,58 @@ def test_move_over_existing_with_keep_security(spark):
     assert "\\R\\B\\y\\" not in got, "old target study deleted"
     fact_paths = paths(out.observation_fact, "concept_path")
     assert fact_paths == {"\\R\\B\\x\\"}
+
+
+def test_delete_lowercase_id(wh):
+    """DeleteOperationTestCase.testItDeleteDataSensitiveCase: a
+    lowercase study id still deletes (DeleteDataProcessor.groovy:21
+    upper-cases before the call)."""
+    out = delete_all_data(wh, trial_id="gse0")
+    assert out.observation_fact.count() == 0
+    assert not paths(out.i2b2, "c_fullname") & paths(wh.i2b2, "c_fullname") or \
+        ORIGINAL not in paths(out.i2b2, "c_fullname")
+
+
+def test_delete_path_without_trailing_slash(wh):
+    """testDeleteDataByNameWOSlash: the path normalizes to the
+    slash-terminated form before matching."""
+    out = delete_all_data(wh, path=f"\\{ROOT}\\Test Study")
+    assert out.observation_fact.count() == 0
+    assert ORIGINAL not in paths(out.i2b2, "c_fullname")
+
+
+def test_delete_last_study_removes_empty_top_node(wh):
+    """testItDeleteTopNode: removing the only study under a program
+    folder removes the folder node too
+    (I2B2_DELETE_ALL_DATA.sql:300-331)."""
+    out = delete_all_data(wh, trial_id="GSE0", path=ORIGINAL)
+    remaining = paths(out.i2b2, "c_fullname")
+    assert f"\\{ROOT}\\" not in remaining, "childless top node must be deleted"
+    assert out.table_access.filter(
+        F.col("c_fullname") == f"\\{ROOT}\\"
+    ).count() == 0
+
+
+def test_delete_keeps_top_node_with_sibling(spark, wh):
+    """testItNotDeleteTopNode: the program folder survives while a
+    second study still lives under it."""
+    from pyspark.sql import Row
+
+    sibling = spark.createDataFrame(
+        [Row(c_fullname=f"\\{ROOT}\\Other Study\\", c_hlevel=1,
+             c_name="Other Study", sourcesystem_cd="GSE1")]
+    )
+    wh2 = StudyWarehouse(
+        i2b2=wh.i2b2.unionByName(sibling, allowMissingColumns=True),
+        concept_dimension=wh.concept_dimension,
+        observation_fact=wh.observation_fact,
+        patient_dimension=wh.patient_dimension,
+        concept_counts=wh.concept_counts,
+        table_access=wh.table_access,
+        deapp=wh.deapp,
+        variants=wh.variants,
+    )
+    out = delete_all_data(wh2, trial_id="GSE0", path=ORIGINAL)
+    remaining = paths(out.i2b2, "c_fullname")
+    assert f"\\{ROOT}\\" in remaining, "top node with a sibling must survive"
+    assert f"\\{ROOT}\\Other Study\\" in remaining

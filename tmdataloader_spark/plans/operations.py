@@ -75,13 +75,30 @@ def _paths_in(df: DataFrame, col: str, paths: list[str]) -> set[str]:
     return {r[0] for r in rows}
 
 
+def _parent_path(path: str) -> str | None:
+    r"""``\A\B\`` → ``\A\``; ``\A\`` → None (no parent below root)."""
+    parts = [p for p in path.split("\\") if p]
+    if len(parts) <= 1:
+        return None
+    return "\\" + "\\".join(parts[:-1]) + "\\"
+
+
 def delete_all_data(
     wh: StudyWarehouse, trial_id: str | None = None, path: str | None = None
 ) -> StudyWarehouse:
     """T9 (I2B2_DELETE_ALL_DATA.sql:108-310): remove a study
     everywhere — ontology/counts/tags by path prefix, facts + patients
     by trial, every registered deapp frame by trial_name, variant
-    frames by ``trial:`` dataset prefix."""
+    frames by ``trial:`` dataset prefix.
+
+    Reference parity details: the trial id matches case-insensitively
+    (DeleteDataProcessor.groovy:21 upper-cases it before the call),
+    and after the subtree is gone, now-childless ancestor nodes are
+    deleted too (the 'check and delete top node, if removed node is
+    last' recursion at I2B2_DELETE_ALL_DATA.sql:300-331) — deleting
+    the last study under a program folder removes the folder."""
+    if trial_id is not None:
+        trial_id = trial_id.upper()
     if path is not None:
         path = normalize_path(path)
         if trial_id is None:
@@ -94,7 +111,7 @@ def delete_all_data(
             trial_id = hit[0][0] if hit else None
     if path is None and trial_id is not None:
         hit = (
-            wh.i2b2.filter(F.col("sourcesystem_cd") == trial_id)
+            wh.i2b2.filter(F.upper(F.col("sourcesystem_cd")) == trial_id)
             .agg(F.min("c_fullname"))
             .collect()
         )
@@ -121,22 +138,26 @@ def delete_all_data(
         else None
     )
     if trial_id is not None:
-        facts = wh.observation_fact.filter(F.col("sourcesystem_cd") != trial_id)
+        facts = wh.observation_fact.filter(
+            F.upper(F.col("sourcesystem_cd")) != trial_id
+        )
         patients = wh.patient_dimension.filter(
-            ~F.col("sourcesystem_cd").startswith(f"{trial_id}:")
+            ~F.upper(F.col("sourcesystem_cd")).startswith(f"{trial_id}:")
         )
         deapp = {
-            name: frame.filter(F.col("trial_name") != trial_id)
+            name: frame.filter(F.upper(F.col("trial_name")) != trial_id)
             for name, frame in wh.deapp.items()
         }
         variants = {
-            name: frame.filter(~F.col("dataset_id").startswith(f"{trial_id}:"))
+            name: frame.filter(
+                ~F.upper(F.col("dataset_id")).startswith(f"{trial_id}:")
+            )
             for name, frame in wh.variants.items()
         }
     else:
         facts = wh.observation_fact.filter(not_under("concept_path"))
         patients, deapp, variants = wh.patient_dimension, wh.deapp, wh.variants
-    return dc_replace(
+    out = dc_replace(
         wh,
         i2b2=i2b2,
         concept_dimension=concept_dim,
@@ -148,6 +169,45 @@ def delete_all_data(
         deapp=deapp,
         variants=variants,
     )
+
+    # ascend: delete ancestor nodes left childless by this removal
+    # (bounded by path depth; two limit-1 probes per level — control
+    # plane, like the trial-resolution probes above)
+    top = _parent_path(path) if path else None
+    while top is not None:
+        exists = out.i2b2.filter(F.col("c_fullname") == top).limit(1).count()
+        has_children = (
+            out.i2b2.filter(
+                F.col("c_fullname").startswith(top) & (F.col("c_fullname") != top)
+            )
+            .limit(1)
+            .count()
+        )
+        if not exists or has_children:
+            break
+        drop = lambda col: F.col(col) != top  # noqa: E731
+        out = dc_replace(
+            out,
+            i2b2=out.i2b2.filter(drop("c_fullname")),
+            concept_dimension=out.concept_dimension.filter(drop("concept_path")),
+            concept_counts=(
+                out.concept_counts.filter(drop("concept_path"))
+                if out.concept_counts is not None
+                else None
+            ),
+            i2b2_tags=(
+                out.i2b2_tags.filter(drop("path"))
+                if out.i2b2_tags is not None
+                else None
+            ),
+            table_access=(
+                out.table_access.filter(drop("c_fullname"))
+                if out.table_access is not None
+                else None
+            ),
+        )
+        top = _parent_path(top)
+    return out
 
 
 def move_study_by_path(
