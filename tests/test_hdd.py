@@ -257,3 +257,38 @@ def test_merge_hdd_samples_facts_scoped_to_trial(spark):
     # data side: the foreign trial's assay survives, the replaced one is gone
     assays = {r.assay_id for r in merged.data.collect()}
     assert assays == {2, 3}
+
+
+def test_load_samples_node_templating_mirrors_reference(spark):
+    """Mirrors I2B2LoadSamplesTest.testItLoadSamples: PLATFORM resolves
+    to the per-row gpl title (empty for a null platform), TISSUETYPE to
+    the tissue or its default, and the two samples' subtrees never
+    cross (no combined platform+Blood node)."""
+    from tmdataloader_spark.plans.hdd import build_hdd_nodes
+
+    top = "\\Test Studies\\Loader Test\\"
+    mapping = spark.createDataFrame(
+        [
+            ("GSE_TST_LDR", "LDR_TST_SUBJ_001", "LDR_TST_SMP_001",
+             "LDR_TST", None, None, None, "LDR+PLATFORM+TISSUETYPE"),
+            ("GSE_TST_LDR", "LDR_TST_SUBJ_002", "LDR_TST_SMP_002",
+             None, "Blood", None, None, "LDR+PLATFORM+TISSUETYPE"),
+        ],
+        "trial_name string, subject_id string, sample_cd string, "
+        "platform string, tissue_type string, attribute_1 string, "
+        "attribute_2 string, category_cd string",
+    )
+    gpl = spark.createDataFrame(
+        [("LDR_TST", "Loader Test Platform")], "platform string, title string"
+    )
+    nodes = {
+        r["c_fullname"]
+        for r in build_hdd_nodes(mapping, top, "", gpl_info=gpl).collect()
+    }
+    # reference assertions (hasNode / not(hasNode))
+    assert f"{top}LDR\\Loader Test Platform\\" in nodes
+    assert f"{top}LDR\\Blood\\" in nodes
+    assert f"{top}LDR\\Loader Test Platform\\Blood\\" not in nodes
+    # null tissue follows the 'Unspecified Tissue Type' default
+    # (I2B2_LOAD_SAMPLES.sql:330) under the resolved platform title
+    assert f"{top}LDR\\Loader Test Platform\\Unspecified Tissue Type\\" in nodes

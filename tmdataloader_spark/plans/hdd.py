@@ -180,12 +180,31 @@ def read_subject_sample_mapping(
     return out
 
 
-def build_hdd_nodes(mapping: DataFrame, top_node: str, platform_title: str) -> DataFrame:
+def build_hdd_nodes(
+    mapping: DataFrame,
+    top_node: str,
+    platform_title: str,
+    gpl_info: DataFrame | None = None,
+) -> DataFrame:
     r"""Leaf-node templating (I2B2_LOAD_SAMPLES.sql:318-366):
     PLATFORM→gpl title, TISSUETYPE/ATTR1/ATTR2 substituted, ``+``→``\``,
-    ``_``→space, backslash-runs collapsed; folders filled in."""
+    ``_``→space, backslash-runs collapsed; folders filled in.
+
+    With ``gpl_info`` (platform, title) the title is resolved PER ROW
+    via a broadcast left join — the reference's shape (:334-336), which
+    a mixed-platform or null-platform mapping needs (null platform →
+    empty substitution, collapsing the path segment). Without it the
+    scalar ``platform_title`` applies to every row (the single-platform
+    loaders' path)."""
+    if gpl_info is not None:
+        mapping = mapping.join(
+            F.broadcast(gpl_info.select("platform", "title")), "platform", "left"
+        )
+        title_col = F.coalesce(F.col("title"), F.lit(""))
+    else:
+        title_col = F.lit(platform_title)
     subst = F.col("category_cd")
-    subst = F.replace(subst, F.lit("PLATFORM"), F.lit(platform_title))
+    subst = F.replace(subst, F.lit("PLATFORM"), title_col)
     subst = F.replace(subst, F.lit("ATTR1"), F.coalesce(F.col("attribute_1"), F.lit("")))
     subst = F.replace(subst, F.lit("ATTR2"), F.coalesce(F.col("attribute_2"), F.lit("")))
     subst = F.replace(
