@@ -1230,6 +1230,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: subtotal + grand-total rows via GROUPING SETS
+    (Spark ``rollup`` ≡ SQL GROUP BY ROLLUP) — single shuffle, the
+    grouping-set expansion happens inside the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed moving average: per-user 4-row trailing mean over
+    event time — one shuffle on user_id serves the ordered frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.avg("value").over(w), 6).alias("avg_value_4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1320,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # pair_counts shares vocab_topk's verified census machinery
         "pair_counts": q_pair_counts,
+        "rollup_agg": q_rollup_agg,
+        "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "multimodal_meta": q_multimodal_meta,
         "cleansing": q_cleansing,
@@ -1882,6 +1921,23 @@ def oracle_sql() -> dict[str, str]:
               FROM s2
             )
             SELECT doc_id, unnest(fps) AS fp_hash FROM s3
+        """,
+        "rollup_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "moving_avg": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                     AS avg_value_4
+            FROM events
         """,
         "pair_counts": """
             WITH t AS (

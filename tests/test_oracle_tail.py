@@ -21,6 +21,8 @@ TAIL = [
     "hash_split",
     "stratified_sample",
     "pair_counts",
+    "rollup_agg",
+    "moving_avg",
     "simhash",
     "multimodal_meta",
     "cleansing",
