@@ -72,3 +72,26 @@ def test_reproducible_across_runs(spark, result):
         (r["doc_id"], r["split"]) for r in again.corpus.select("doc_id", "split").collect()
     )
     assert a == b
+
+
+def test_curate_semantic_dedup_option(spark):
+    """curate(embeddings=...) folds the SemDeDup verdict in as a
+    'semantic_duplicate' reason; docs without an embedding row pass;
+    the default (None) output is unchanged."""
+    from tmdataloader_spark.llmdata.curate import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = {r["doc_id"]: r["reasons"] for r in curate(docs).collect()}
+    with_sem = {
+        r["doc_id"]: r["reasons"]
+        for r in curate(docs, embeddings=emb, embedding_threshold=0.4).collect()
+    }
+    assert set(base) == set(with_sem)
+    # only difference allowed: semantic_duplicate inserted in order
+    changed = {d for d in base if base[d] != with_sem[d]}
+    for d in changed:
+        assert "semantic_duplicate" in with_sem[d]
+        assert with_sem[d].replace("semantic_duplicate", "").strip(",").replace(
+            ",,", ","
+        ) == base[d] or base[d] == ""

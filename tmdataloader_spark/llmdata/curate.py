@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, functions as F
 
 #: fixed reason order — the output ``reasons`` string is the
 #: comma-join of the violated subset in THIS order (engine-stable)
-REASONS = ("lang", "short", "long", "repetitive", "duplicate", "contaminated")
+REASONS = (
+    "lang",
+    "short",
+    "long",
+    "repetitive",
+    "duplicate",
+    "semantic_duplicate",
+    "contaminated",
+)
 
 
 def curate(
@@ -29,6 +37,9 @@ def curate(
     max_top_word_frac: float = 0.15,
     jaccard_threshold: float = 0.8,
     contamination_min_shared: int = 2,
+    embeddings: DataFrame | None = None,
+    embedding_threshold: float = 0.4,
+    embedding_k: int = 8,
 ) -> DataFrame:
     """One verdict row per document: ``(id, kept, reasons)`` where
     ``reasons`` is the comma-joined violated-rule subset (fixed
@@ -44,6 +55,10 @@ def curate(
     - duplicate: member of a MinHash-LSH near-dup component
       (Jaccard ≥ ``jaccard_threshold``) that is NOT the min-id
       canonical (``dedup.dedup_clusters`` keep-one policy)
+    - semantic_duplicate: SemDeDup verdict from ``embeddings`` — a
+      ``(vec_id ≙ id, embedding)`` frame; within-k-means-cell cosine
+      ≥ ``embedding_threshold`` marks the non-canonical member
+      (skipped when None; docs without an embedding row pass)
     - contaminated: shares ≥ ``contamination_min_shared`` distinct
       word 3-grams with ``benchmark`` (skipped when None)
     """
@@ -75,6 +90,19 @@ def curate(
         id_col, F.col("cluster_id").alias("_cluster")
     )
     out = base.join(rep, id_col).join(clusters, id_col)
+    if embeddings is not None:
+        from tmdataloader_spark.llmdata.clustering import semantic_dedup
+
+        sem = semantic_dedup(
+            embeddings, k=embedding_k, iters=3, threshold=embedding_threshold
+        ).select(
+            F.col("vec_id").alias(id_col), (~F.col("keep")).alias("_semdup")
+        )
+        out = out.join(sem, id_col, "left").withColumn(
+            "_semdup", F.coalesce(F.col("_semdup"), F.lit(False))
+        )
+    else:
+        out = out.withColumn("_semdup", F.lit(False))
     if benchmark is not None:
         cont = benchmark_contamination(
             df, benchmark, text_col, id_col, n=3, min_shared=contamination_min_shared
@@ -90,6 +118,7 @@ def curate(
         F.when(F.col("_n_tokens") > max_tokens, F.lit("long")),
         F.when(F.col("_topw") > max_top_word_frac, F.lit("repetitive")),
         F.when(F.col("_cluster") != F.col(id_col), F.lit("duplicate")),
+        F.when(F.col("_semdup"), F.lit("semantic_duplicate")),
         F.when(F.col("_cont"), F.lit("contaminated")),
     )
     return out.select(
