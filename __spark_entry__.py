@@ -1267,6 +1267,48 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "shuffle", "vector", "customer"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k retrieval (llmdata/retrieval.py): rank the
+    corpus against a bounded query-term set with NO explode of the
+    token stream — per-term tf as per-row array expressions, corpus
+    stats (N, avgdl, per-term df) as ONE one-row broadcast aggregate,
+    selection via per-task k-heaps. Scores rounded to 6 decimals
+    BEFORE ranking so the ordering itself is engine-portable."""
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=25)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture resampling (llmdata/sampling.py
+    mixture_sample): per-language keep fractions ∝ n^0.5 (rare
+    languages upsampled relative to their natural share), scaled to a
+    300-row expected total, clamped at 1.0, applied via the portable
+    md5 bucket. One tiny agg broadcast back; the corpus never
+    shuffles."""
+    from tmdataloader_spark.llmdata.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, "lang", alpha=0.5, target_rows=300).select(
+        "doc_id", "lang"
+    )
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram fraction (llmdata/dedup.py
+    dup_ngram_fraction): per-document share of distinct 3-gram
+    shingles seen in ≥2 documents corpus-wide — the CCNet
+    duplicated-line / C4 repeated-content signal at n-gram
+    granularity. One df agg over the shared shingle subplan + a
+    left-semi join against the duplicated-gram minority."""
+    from tmdataloader_spark.llmdata.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), n=3, min_df=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1379,6 +1421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_study": q_delete_study,
         "visual_attributes": q_visual_attributes,
         "timepoints": q_timepoints,
+        # round-4 late additions (this session): oracle-checked in the
+        # pytest tail now, rotated into the driver window next round
+        "bm25": q_bm25,
+        "mixture_sample": q_mixture_sample,
+        "dup_ngrams": q_dup_ngrams,
     }
 
 
@@ -1643,6 +1690,12 @@ def _semantic_dedup_oracle() -> str:
     from tmdataloader_spark.llmdata.clustering import semantic_dedup_oracle_sql
 
     return semantic_dedup_oracle_sql("embeddings", k=8, iters=3, threshold=0.4, dim=64)
+
+
+def _bm25_oracle() -> str:
+    from tmdataloader_spark.llmdata.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=25)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2744,5 +2797,57 @@ def oracle_sql() -> dict[str, str]:
                      ELSE NULL
                    END AS BIGINT) AS minutes
             FROM lineitem
+        """,
+        # BM25: the oracle is generated from the SAME (terms, k, k1, b)
+        # constants so the arithmetic shape matches expression-for-
+        # expression; scores rounded to 6dp before ranking on both sides.
+        "bm25": _bm25_oracle(),
+        "mixture_sample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM counts
+            ), tot AS (
+              SELECT sum(wt) AS wsum FROM w
+            ), thr AS (
+              SELECT lang,
+                     CAST(round(
+                       round(least(1.0, 300.0 * (wt / wsum) / CAST(n AS DOUBLE)), 6)
+                       * 1000000) AS BIGINT) AS t
+              FROM w CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE ('0x'||left(md5('mixture:'||CAST(d.doc_id AS VARCHAR)),8))::bigint
+                  % 1000000 < thr.t
+        """,
+        # 3-gram shingles: DuckDB list slice l[i:i+2] is INCLUSIVE
+        # (3 elements); range(1, greatest(L-1, 1)) yields the L-2
+        # trigram positions — same machinery the minhash oracle proves.
+        "dup_ngrams": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), sh0 AS (
+              SELECT doc_id, list_distinct(list_transform(list_transform(
+                range(1, greatest(len(toks) - 1, 1)),
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+                s -> ('0x'||left(md5('0:'||s),8))::bigint)) AS shingles
+              FROM t
+            ), stream AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+            ), dup AS (
+              SELECT shingle FROM stream GROUP BY shingle HAVING count(*) >= 2
+            ), dupc AS (
+              SELECT s.doc_id, count(*) AS n_dup
+              FROM stream s JOIN dup USING (shingle) GROUP BY s.doc_id
+            )
+            SELECT sh0.doc_id,
+                   CAST(len(sh0.shingles) AS INT) AS n_shingles,
+                   CAST(coalesce(dupc.n_dup, 0) AS BIGINT) AS n_dup,
+                   round(CASE WHEN len(sh0.shingles) > 0
+                         THEN CAST(coalesce(dupc.n_dup, 0) AS DOUBLE) / len(sh0.shingles)
+                         ELSE 0.0 END, 6) AS dup_fraction
+            FROM sh0 LEFT JOIN dupc USING (doc_id)
         """,
     }

@@ -43,6 +43,9 @@ TAIL = [
     "delete_study",
     "visual_attributes",
     "timepoints",
+    "bm25",
+    "mixture_sample",
+    "dup_ngrams",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Unit tests for the round-4 late additions: BM25 lexical top-k
+(llmdata/retrieval.py), temperature-mixture resampling
+(llmdata/sampling.py mixture_sample) and the duplicated-n-gram
+fraction signal (llmdata/dedup.py dup_ngram_fraction).
+
+The gate queries for all three are oracle-checked per pytest run by
+tests/test_oracle_tail.py; these tests pin the semantic invariants on
+constructed inputs where the expected answer is derivable by hand.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "quantum flux and the common word", "en"),
+            (2, "the common word appears here too", "en"),
+            (3, "another common word document", "en"),
+            (4, "common word yet again common", "en"),
+        ],
+    )
+    out = bm25_topk(df, ["quantum"], k=10).collect()
+    # only the one document containing the rare term survives the
+    # hit filter, and it ranks first
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].rank == 1 and out[0].n_terms_hit == 1
+    assert out[0].score > 0
+
+
+def test_bm25_tf_saturation_and_idf_ordering(spark):
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple apple apple", "en"),
+            (2, "apple pear pear pear", "en"),
+            (3, "pear pear pear pear", "en"),
+            (4, "kiwi kiwi kiwi kiwi", "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in bm25_topk(df, ["apple", "pear"], k=10).collect()}
+    # doc 2 hits both terms and outranks single-term docs of the same length
+    assert out[2].n_terms_hit == 2
+    assert out[2].score > out[1].score
+    assert out[2].score > out[3].score
+    assert 4 not in out  # no query term -> filtered before the k-heap
+
+
+def test_bm25_matches_hand_computed_score(spark):
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk
+
+    df = _docs(spark, [(1, "a b c d", "en"), (2, "a a e f", "en")])
+    out = {r.doc_id: r.score for r in bm25_topk(df, ["a"], k=10).collect()}
+    # N=2, df=2, avgdl=4, dl=4 -> norm term = tf + k1*(1-b+b*1)
+    k1, b = 1.2, 0.75
+    idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    for doc, tf in ((1, 1.0), (2, 2.0)):
+        expected = round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * 1.0)), 6)
+        assert out[doc] == pytest.approx(expected, abs=1e-9)
+
+
+def test_bm25_rejects_empty_query(spark):
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "x", "en")]), [])
+
+
+# ------------------------------------------------------- mixture_sample
+
+
+def test_mixture_fractions_temperature_upsamples_rare(spark):
+    from tmdataloader_spark.llmdata.sampling import mixture_fractions
+
+    rows = [(i, f"doc {i}", "en" if i < 90 else "zh") for i in range(100)]
+    fr = {
+        r.stratum: r
+        for r in mixture_fractions(
+            _docs(spark, rows), "lang", alpha=0.5, target_rows=30
+        ).collect()
+    }
+    # weights proportional to sqrt(n), normalized
+    wsum = math.sqrt(90) + math.sqrt(10)
+    assert fr["en"].weight == pytest.approx(math.sqrt(90) / wsum, abs=1e-6)
+    assert fr["zh"].weight == pytest.approx(math.sqrt(10) / wsum, abs=1e-6)
+    # alpha=0.5 shifts share toward the rare stratum: zh keep-fraction
+    # exceeds en's
+    assert fr["zh"].fraction > fr["en"].fraction
+    # expected kept total ~= target (sqrt(10)/wsum * 30 / 10 = 0.75,
+    # under the 1.0 clamp, so no mass is lost)
+    expected_total = fr["en"].fraction * 90 + fr["zh"].fraction * 10
+    assert expected_total == pytest.approx(30, abs=0.01)
+
+
+def test_mixture_fraction_clamped_at_population(spark):
+    from tmdataloader_spark.llmdata.sampling import mixture_fractions
+
+    rows = [(i, f"doc {i}", "en" if i < 98 else "zh") for i in range(100)]
+    fr = {
+        r.stratum: r.fraction
+        for r in mixture_fractions(
+            _docs(spark, rows), "lang", alpha=0.0, target_rows=1000
+        ).collect()
+    }
+    # alpha=0 -> equal weights; target 1000 over 2 strata would need
+    # 500 rows from a 2-row stratum -> clamp to 1.0
+    assert fr["zh"] == 1.0
+
+
+def test_mixture_sample_deterministic_and_subset(spark):
+    from tmdataloader_spark.llmdata.sampling import mixture_sample
+
+    rows = [(i, f"doc {i}", ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = _docs(spark, rows)
+    a = sorted(
+        r.doc_id
+        for r in mixture_sample(df, "lang", alpha=0.5, target_rows=100).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(7), "lang", alpha=0.5, target_rows=100
+        ).collect()
+    )
+    assert a == b  # partitioning-invariant
+    assert set(a) <= {i for i in range(300)}
+    assert 0 < len(a) < 300
+
+
+# ----------------------------------------------------- dup_ngram_fraction
+
+
+def test_dup_ngram_fraction_identical_and_unique_docs(spark):
+    from tmdataloader_spark.llmdata.dedup import dup_ngram_fraction
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+            (3, "completely different words appear in this document here", "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, n=3, min_df=2).collect()}
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+    assert out[3].dup_fraction == 0.0
+    assert out[1].n_shingles == 7  # 9 tokens -> 7 trigrams, all distinct
+
+
+def test_dup_ngram_fraction_partial_overlap(spark):
+    from tmdataloader_spark.llmdata.dedup import dup_ngram_fraction
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d unique tail one x1 y1 z1", "en"),
+            (2, "a b c d unique tail two x2 y2 z2", "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, n=3, min_df=2).collect()}
+    # shared prefix "a b c d unique tail" gives trigrams: abc, bcd,
+    # "c d unique", "d unique tail" = 4 shared of 8 total per doc
+    assert out[1].n_shingles == 8
+    assert out[1].n_dup == 4 and out[2].n_dup == 4
+    assert out[1].dup_fraction == 0.5
+
+
+def test_dup_ngram_short_doc_reports_zero(spark):
+    from tmdataloader_spark.llmdata.dedup import dup_ngram_fraction
+
+    df = _docs(spark, [(1, "one two", "en"), (2, "one two", "en")])
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, n=3, min_df=2).collect()}
+    # fewer tokens than n -> zero shingles -> fraction 0, row retained
+    assert out[1].n_shingles == 0 and out[1].dup_fraction == 0.0
+    assert len(out) == 2

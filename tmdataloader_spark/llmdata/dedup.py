@@ -392,6 +392,64 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-content signal: the fraction of a
+    document's DISTINCT word ``n``-grams that also occur in at least
+    ``min_df`` documents corpus-wide (itself included) — the n-gram
+    granularity analogue of CCNet's duplicated-line fraction and C4's
+    repeated-content filters. High values flag boilerplate, mirror
+    and template pages that near-dup pair mining (which needs a
+    matching PARTNER document above the Jaccard threshold) can miss.
+
+    Output: ``(id, n_shingles, n_dup, round(dup_fraction, 6))``, one
+    row per input document (0-shingle docs report fraction 0.0).
+
+    100 TB shape: reuses the shared :func:`shingle_sets` subplan (one
+    bigint per shingle in every shuffle), then ONE map-side-combined
+    df aggregate over the gram stream, a LEFT SEMI equi-join of the
+    stream against the duplicated-gram keys (the small side by
+    construction — duplicated grams are the minority in a deduped
+    crawl; AQE broadcasts it when it fits), and one per-doc count.
+    No windows, no driver state, no quadratic candidate step.
+    """
+    sets = shingle_sets(df, text_col, id_col, n).cache()
+    stream = sets.select(id_col, F.explode("shingle_set").alias("shingle"))
+    dup_grams = (
+        stream.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("shingle")
+    )
+    dup_counts = (
+        stream.join(dup_grams, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        sets.select(id_col, F.size("shingle_set").alias("n_shingles"))
+        .join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over whitespace tokens (md5-derived token
     hashes): bit b of the signature is the sign of the sum of

@@ -1,0 +1,178 @@
+"""Lexical retrieval over the document corpus — BM25 top-k scoring
+(Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
+and Beyond", Foundations and Trends in IR 2009; the Lucene-style
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf variant).
+
+The lexical counterpart of the ANN operators in
+``llmdata/similarity.py``: given a handful of query terms, rank the
+corpus and keep the top-k. Extension beyond the reference surface
+(BASELINE.json north-star "similarity search" family).
+
+100 TB shape — the key design decision is that for a BOUNDED query
+(tens of terms, the interactive/eval-harness case) no inverted index
+and no explode of the token stream is needed:
+
+* per-term term frequencies are pure per-row expressions over the
+  token array (``size(filter(toks, t == term))``) — no shuffle;
+* corpus statistics (N, avgdl, and each query term's document
+  frequency) collapse into ONE one-row aggregate over the same scan,
+  broadcast back via a literal cross join — no second keyed shuffle;
+* top-k selection is ``orderBy().limit(k)`` (TakeOrderedAndProject:
+  per-task k-heaps, driver merges k·tasks rows) — never a global
+  sort of the scored corpus.
+
+Total cost: two scans of the corpus (stats + scoring), zero wide
+shuffles. Every arithmetic step is plain double math on counts, so a
+SQL oracle reproduces scores bit-for-bit up to the documented
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tmdataloader_spark.llmdata.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``query_terms``.
+
+    Returns ``(id_col, n_terms_hit, score, rank)`` ordered by
+    (score desc, id asc); ``score`` is rounded to 6 decimals BEFORE
+    ranking so the ordering — not just the printed value — is
+    engine-portable. Documents matching no query term are dropped
+    before selection (their score is exactly 0), so the k-heaps only
+    ever see the hit set.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.strip().lower() for t in query_terms))
+
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+
+    # One row per corpus: N, avgdl, df per query term — a single
+    # map-side-combined aggregate over one scan.
+    stats_aggs = [
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    ] + [
+        F.sum(F.array_contains(toks, t).cast("long"))
+        .cast("double")
+        .alias(f"_df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = df.agg(*stats_aggs)
+
+    def _eq(term: str):
+        # single-arg lambda — a two-parameter function would be handed
+        # (element, index) by F.filter
+        return lambda x: x == F.lit(term)
+
+    scored = df.select(
+        F.col(id_col),
+        dl.alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("double").alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf_{i}")
+        dfreq = F.col(f"_df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / norm
+
+    score = None
+    hits = None
+    for i in range(len(terms)):
+        s = term_score(i)
+        h = (F.col(f"_tf_{i}") > 0).cast("int")
+        score = s if score is None else score + s
+        hits = h if hits is None else hits + h
+
+    ranked = (
+        scored.select(
+            F.col(id_col),
+            hits.alias("n_terms_hit"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    # rank over k rows only — the window input is already bounded by k
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle replaying :func:`bm25_topk`'s exact arithmetic
+    (same expression shape, same 6-decimal pre-rank rounding) on the
+    pre-registered ``documents`` view."""
+    terms = sorted(set(t.strip().lower() for t in query_terms))
+    tf_cols = ",\n".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_sum = "\n + ".join(
+        f"(ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * d.tf_{i} * {k1 + 1.0!r}"
+        f" / (d.tf_{i} + {k1!r} * (1.0 - {b!r} + {b!r} * d.dl / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    hit_sum = " + ".join(
+        f"CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), ' +') AS toks
+          FROM documents
+        ), d AS (
+          SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                 {tf_cols}
+          FROM t
+        ), s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl,
+                 {df_cols}
+          FROM t
+        ), scored AS (
+          SELECT d.doc_id,
+                 CAST({hit_sum} AS INT) AS n_terms_hit,
+                 round({score_sum}, 6) AS score
+          FROM d CROSS JOIN s
+        )
+        SELECT doc_id, n_terms_hit, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored WHERE n_terms_hit > 0
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """

@@ -96,6 +96,84 @@ def stratified_hash_sample(
     return df.filter(b < thresh)
 
 
+def mixture_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+) -> DataFrame:
+    """Per-stratum keep fractions for temperature-based mixture
+    resampling: stratum ``s`` with ``n_s`` rows gets sampling weight
+    ``n_s**alpha / Σ_t n_t**alpha`` (the multilingual-training
+    "temperature" reweighting — ``alpha < 1`` upsamples rare strata
+    relative to their natural share, ``alpha = 1`` keeps the natural
+    mixture), scaled so the expected kept total is ``target_rows`` and
+    clamped at 1.0 (a stratum is never upsampled beyond its
+    population; the lost mass is reported, not silently reassigned).
+
+    Output: ``(stratum, n_rows, round(weight, 6), round(fraction, 6))``
+    — stratum-cardinality sized (tiny). One keyed agg + a one-row
+    total broadcast back; fractions are rounded to 6 decimals so the
+    downstream hash thresholds are engine-portable.
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_rows")
+    )
+    wexpr = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    weighted = counts.select("stratum", "n_rows", wexpr.alias("_w"))
+    total = weighted.agg(F.sum("_w").alias("_wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_rows",
+            F.round(F.col("_w") / F.col("_wsum"), 6).alias("weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * (F.col("_w") / F.col("_wsum"))
+                    / F.col("n_rows").cast("double"),
+                ),
+                6,
+            ).alias("fraction"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic temperature-mixture resample: compute
+    :func:`mixture_fractions` (one tiny agg), broadcast-join the
+    per-stratum fraction back, and keep the rows whose md5 bucket
+    falls under ``round(fraction * 1e6)``.
+
+    100 TB shape: the corpus is scanned twice (counts + filter) and
+    never shuffled — the fraction table is stratum-sized and
+    broadcast. Same-salt determinism means re-runs, engine swaps, and
+    backfills keep the identical row set; appends only ADD rows (an
+    existing row's bucket never moves, though fractions drift as
+    counts grow — pin the fraction table for strict append-stability).
+    """
+    fracs = mixture_fractions(df, stratum_col, alpha, target_rows).select(
+        "stratum", (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_thr")
+    )
+    b = _bucket(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(fracs), F.col(stratum_col) == F.col("stratum"), "inner"
+        )
+        .filter(b < F.col("_thr"))
+        .drop("stratum", "_thr")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     stratum_col: str,
