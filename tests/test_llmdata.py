@@ -408,6 +408,38 @@ def test_curate_pipeline_reasons(spark):
     assert got[5] == (0, "long")
 
 
+def test_curate_boilerplate_signal(spark):
+    """With max_dup_ngram_fraction set, template pages that share most
+    of their 3-grams corpus-wide are flagged 'boilerplate' even though
+    no PAIR clears the near-dup Jaccard threshold; the default (None)
+    leaves such docs kept, preserving existing callers' output."""
+    from tmdataloader_spark.llmdata.curate import curate
+
+    template = "the alpha and beta of gamma to delta in epsilon"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{template} tail{i}a tail{i}b tail{i}c tail{i}d tail{i}e tail{i}f")
+            for i in (1, 2, 3)
+        ],
+        "doc_id long, text string",
+    )
+    # 16 tokens -> 14 trigrams; the 8 template-internal trigrams occur
+    # in all three docs -> dup fraction 8/14 ~ 0.571; pairwise Jaccard
+    # 8/20 = 0.4 stays under the 0.8 near-dup threshold
+    flagged = {
+        r.doc_id: (r.kept, r.reasons)
+        for r in curate(
+            docs, min_tokens=10, max_tokens=60, max_dup_ngram_fraction=0.5
+        ).collect()
+    }
+    assert all(v == (0, "boilerplate") for v in flagged.values())
+    default = {
+        r.doc_id: (r.kept, r.reasons)
+        for r in curate(docs, min_tokens=10, max_tokens=60).collect()
+    }
+    assert all(v == (1, "") for v in default.values())
+
+
 def test_range_join_subsecond_end(spark):
     """Buckets are computed from epoch micros: a point inside the final
     FRACTIONAL second of an interval whose end crosses a bucket

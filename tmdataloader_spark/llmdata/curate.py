@@ -21,6 +21,7 @@ REASONS = (
     "short",
     "long",
     "repetitive",
+    "boilerplate",
     "duplicate",
     "semantic_duplicate",
     "contaminated",
@@ -40,11 +41,11 @@ def curate(
     embeddings: DataFrame | None = None,
     embedding_threshold: float = 0.4,
     embedding_k: int = 8,
+    max_dup_ngram_fraction: float | None = None,
 ) -> DataFrame:
     """One verdict row per document: ``(id, kept, reasons)`` where
     ``reasons`` is the comma-joined violated-rule subset (fixed
-    order: lang, short, long, repetitive, duplicate, contaminated)
-    and ``kept = 1`` iff it is empty. ``filter(kept = 1)`` joined
+    order: see :data:`REASONS`) and ``kept = 1`` iff it is empty. ``filter(kept = 1)`` joined
     back to the corpus is the curated training set.
 
     - lang: English stopword hit-rate < 5% (``text.language_id``)
@@ -52,6 +53,11 @@ def curate(
       [``min_tokens``, ``max_tokens``]
     - repetitive: most frequent token above ``max_top_word_frac``
       of all tokens (``text.repetition_signals``)
+    - boilerplate: duplicated-3-gram fraction above
+      ``max_dup_ngram_fraction`` (``dedup.dup_ngram_fraction`` — the
+      CCNet-style repeated-content signal, catching template pages
+      with no single near-dup partner; skipped when None, the
+      default, so existing callers' output is unchanged)
     - duplicate: member of a MinHash-LSH near-dup component
       (Jaccard ≥ ``jaccard_threshold``) that is NOT the min-id
       canonical (``dedup.dedup_clusters`` keep-one policy)
@@ -62,7 +68,11 @@ def curate(
     - contaminated: shares ≥ ``contamination_min_shared`` distinct
       word 3-grams with ``benchmark`` (skipped when None)
     """
-    from tmdataloader_spark.llmdata.dedup import dedup_clusters, minhash_lsh_pairs
+    from tmdataloader_spark.llmdata.dedup import (
+        dedup_clusters,
+        dup_ngram_fraction,
+        minhash_lsh_pairs,
+    )
     from tmdataloader_spark.llmdata.text import (
         benchmark_contamination,
         language_id,
@@ -90,6 +100,14 @@ def curate(
         id_col, F.col("cluster_id").alias("_cluster")
     )
     out = base.join(rep, id_col).join(clusters, id_col)
+    if max_dup_ngram_fraction is not None:
+        boil = dup_ngram_fraction(df, text_col, id_col, n=3, min_df=2).select(
+            id_col,
+            (F.col("dup_fraction") > max_dup_ngram_fraction).alias("_boil"),
+        )
+        out = out.join(boil, id_col)
+    else:
+        out = out.withColumn("_boil", F.lit(False))
     if embeddings is not None:
         from tmdataloader_spark.llmdata.clustering import semantic_dedup
 
@@ -117,6 +135,7 @@ def curate(
         F.when(F.col("_n_tokens") < min_tokens, F.lit("short")),
         F.when(F.col("_n_tokens") > max_tokens, F.lit("long")),
         F.when(F.col("_topw") > max_top_word_frac, F.lit("repetitive")),
+        F.when(F.col("_boil"), F.lit("boilerplate")),
         F.when(F.col("_cluster") != F.col(id_col), F.lit("duplicate")),
         F.when(F.col("_semdup"), F.lit("semantic_duplicate")),
         F.when(F.col("_cont"), F.lit("contaminated")),
