@@ -200,6 +200,45 @@ def test_seq_pack_broadcasts_bucket_bases(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_no_explode_heap_selection(spark):
+    """BM25 for a bounded query must NOT explode the token stream:
+    per-term tfs are per-row array expressions, corpus stats arrive
+    via a broadcast one-row aggregate, and top-k selection plans as
+    TakeOrderedAndProject (per-task k-heaps, no global sort)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_bm25(spark, SF), "simple")
+    assert "Generate" not in plan, "token-stream explode crept into BM25"
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_fractions(spark):
+    """The per-stratum fraction table (stratum-cardinality rows)
+    broadcasts back onto the corpus; the corpus itself must never
+    sort-merge or nested-loop for the join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_mixture_sample(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_ngrams_semi_join_no_cartesian(spark):
+    """The duplicated-gram filter is a LEFT SEMI equi-join of the
+    gram stream against the duplicated-gram keys — no cartesian, no
+    nested loop, no Python boundary."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_dup_ngrams(spark, SF), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_incremental_novelty_joins_are_equi(spark):
     """Batch-vs-history candidate generation is an equi-join on
     (band, band_key); verification is an equi-join on ids — no
