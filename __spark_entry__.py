@@ -2817,7 +2817,8 @@ def oracle_sql() -> dict[str, str]:
               FROM w CROSS JOIN tot
             )
             SELECT d.doc_id, d.lang
-            FROM documents d JOIN thr USING (lang)
+            FROM documents d
+            JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
             WHERE ('0x'||left(md5('mixture:'||CAST(d.doc_id AS VARCHAR)),8))::bigint
                   % 1000000 < thr.t
         """,

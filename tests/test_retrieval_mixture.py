@@ -142,6 +142,21 @@ def test_mixture_sample_deterministic_and_subset(spark):
     assert 0 < len(a) < 300
 
 
+def test_mixture_sample_null_stratum_rows_are_sampled(spark):
+    """A NULL stratum is a legitimate group (GROUP BY keeps it); the
+    fraction join must be null-safe so those rows are sampled at
+    their own stratum's fraction instead of silently dropped."""
+    from tmdataloader_spark.llmdata.sampling import mixture_sample
+
+    rows = [(i, f"doc {i}", None if i % 2 else "en") for i in range(100)]
+    df = _docs(spark, rows)
+    kept = mixture_sample(df, "lang", alpha=1.0, target_rows=100).collect()
+    # alpha=1, target=total -> every stratum's fraction is 1.0: all
+    # 100 rows survive, including the 50 NULL-stratum ones
+    assert len(kept) == 100
+    assert sum(1 for r in kept if r.lang is None) == 50
+
+
 # ----------------------------------------------------- dup_ngram_fraction
 
 

@@ -165,9 +165,14 @@ def mixture_sample(
         "stratum", (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_thr")
     )
     b = _bucket(F.col(id_col), salt)
+    # null-safe equality: a NULL stratum is a legitimate group (both
+    # Spark and SQL GROUP BY keep it) — a plain equi-join would
+    # silently drop those rows instead of sampling them
     return (
         df.join(
-            F.broadcast(fracs), F.col(stratum_col) == F.col("stratum"), "inner"
+            F.broadcast(fracs),
+            F.col(stratum_col).eqNullSafe(F.col("stratum")),
+            "inner",
         )
         .filter(b < F.col("_thr"))
         .drop("stratum", "_thr")
