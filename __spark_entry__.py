@@ -1282,6 +1282,31 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=25)
 
 
+#: (query_id, term) batch for the indexed-retrieval gate query —
+#: mirrored verbatim by the oracle's VALUES list
+_BM25_BATCH = [
+    (1, "spark"),
+    (1, "shuffle"),
+    (2, "vector"),
+    (3, "customer"),
+    (3, "row"),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed BM25 batch retrieval (llmdata/retrieval.py
+    bm25_batch_topk): many queries scored at once over inverted-index
+    postings — postings LEFT SEMI pruned to the query vocabulary,
+    per-term dfs from one agg over the pruned slice, broadcast query
+    set, per-query top-10 window over bounded candidate lists. Same
+    arithmetic as the single-query form."""
+    from tmdataloader_spark.llmdata.retrieval import bm25_batch_topk, bm25_index
+
+    postings, stats = bm25_index(_t(spark, sf_dir, "documents"))
+    queries_df = spark.createDataFrame(_BM25_BATCH, "query_id int, term string")
+    return bm25_batch_topk(postings, stats, queries_df, k=10)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixture resampling (llmdata/sampling.py
     mixture_sample): per-language keep fractions ∝ n^0.5 (rare
@@ -1424,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 late additions (this session): oracle-checked in the
         # pytest tail now, rotated into the driver window next round
         "bm25": q_bm25,
+        "bm25_batch": q_bm25_batch,
         "mixture_sample": q_mixture_sample,
         "dup_ngrams": q_dup_ngrams,
     }
@@ -2802,6 +2828,49 @@ def oracle_sql() -> dict[str, str]:
         # constants so the arithmetic shape matches expression-for-
         # expression; scores rounded to 6dp before ranking on both sides.
         "bm25": _bm25_oracle(),
+        # Indexed batch form: tf/df from unnested postings; identical
+        # score arithmetic (k1=1.2, b=0.75 -> k1+1=2.2), 6dp pre-rank
+        # rounding, per-query rank window.
+        "bm25_batch": """
+            WITH q(query_id, term) AS (VALUES
+              (1,'spark'),(1,'shuffle'),(2,'vector'),(3,'customer'),(3,'row')
+            ), t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+            ), p AS (
+              SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf,
+                     CAST(any_value(dl) AS DOUBLE) AS dl
+              FROM e GROUP BY term, doc_id
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(len(toks)) AS avgdl
+              FROM t
+            ), pq AS (
+              SELECT * FROM p WHERE term IN (SELECT term FROM q)
+            ), d AS (
+              SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM pq GROUP BY term
+            ), sc AS (
+              SELECT q.query_id, pq.doc_id,
+                     CAST(count(*) AS INT) AS n_terms_hit,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5))
+                       * pq.tf * 2.2
+                       / (pq.tf + 1.2 * (1.0 - 0.75 + 0.75 * pq.dl / s.avgdl))
+                     ), 6) AS score
+              FROM pq JOIN d USING (term) JOIN q USING (term) CROSS JOIN s
+              GROUP BY q.query_id, pq.doc_id
+            )
+            SELECT * FROM (
+              SELECT query_id, doc_id, n_terms_hit, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                     ) AS INT) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """,
         "mixture_sample": """
             WITH counts AS (
               SELECT lang, count(*) AS n FROM documents GROUP BY lang

@@ -44,6 +44,7 @@ TAIL = [
     "visual_attributes",
     "timepoints",
     "bm25",
+    "bm25_batch",
     "mixture_sample",
     "dup_ngrams",
 ]

@@ -81,6 +81,62 @@ def test_bm25_rejects_empty_query(spark):
         bm25_topk(_docs(spark, [(1, "x", "en")]), [])
 
 
+def test_bm25_batch_agrees_with_single_query_form(spark):
+    """The indexed many-queries form and the per-row-expression
+    single-query form compute identical (doc, hits, score, rank)
+    lists for the same terms — the lambda-architecture agreement
+    contract."""
+    from tmdataloader_spark.llmdata.retrieval import (
+        bm25_batch_topk,
+        bm25_index,
+        bm25_topk,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "spark shuffle moves rows between executors", "en"),
+            (2, "a vector is a row of numbers", "en"),
+            (3, "spark broadcasts the small side", "en"),
+            (4, "nothing relevant here at all", "en"),
+            (5, "shuffle spark shuffle spark shuffle", "en"),
+        ],
+    )
+    terms = ["spark", "shuffle"]
+    single = [
+        (r.doc_id, r.n_terms_hit, r.score, r.rank)
+        for r in bm25_topk(df, terms, k=10).collect()
+    ]
+    postings, stats = bm25_index(df)
+    queries_df = spark.createDataFrame(
+        [(7, t) for t in terms], "query_id int, term string"
+    )
+    batch = [
+        (r.doc_id, r.n_terms_hit, r.score, r.rank)
+        for r in sorted(
+            bm25_batch_topk(postings, stats, queries_df, k=10).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert single == batch
+
+
+def test_bm25_batch_duplicate_query_rows_ignored(spark):
+    """Duplicate (query_id, term) rows must not double-count a term's
+    contribution."""
+    from tmdataloader_spark.llmdata.retrieval import bm25_batch_topk, bm25_index
+
+    df = _docs(spark, [(1, "apple pear", "en"), (2, "pear plum", "en")])
+    postings, stats = bm25_index(df)
+    once = spark.createDataFrame([(1, "pear")], "query_id int, term string")
+    twice = spark.createDataFrame(
+        [(1, "pear"), (1, "pear")], "query_id int, term string"
+    )
+    a = sorted(map(tuple, bm25_batch_topk(postings, stats, once, k=5).collect()))
+    b = sorted(map(tuple, bm25_batch_topk(postings, stats, twice, k=5).collect()))
+    assert a == b
+
+
 # ------------------------------------------------------- mixture_sample
 
 

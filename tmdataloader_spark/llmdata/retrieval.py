@@ -123,6 +123,107 @@ def bm25_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index frames for :func:`bm25_batch_topk`:
+    ``postings (term, id, tf, dl)`` — one row per distinct (document,
+    term) with the term's occurrence count and the document length —
+    and ``stats`` — ONE row ``(n_docs, avgdl)``.
+
+    100 TB shape: one explode + one map-side-combined (doc, term) agg
+    builds the postings; persisted partitioned/bucketed BY TERM they
+    serve every future query batch with a term-pruned scan (the
+    standard search-engine layout, here as plain DataFrames). The
+    stats frame is a one-row aggregate over the postings' per-doc
+    lengths — no second scan of the text."""
+    toks = tokens(F.col(text_col))
+    # spread ahead of the tokenize+explode stage: a small corpus
+    # parquet arrives as ONE input split, which would serialize the
+    # CPU-heavy stage onto a single core (same rationale as
+    # dedup._spread); the shuffle moves only the raw rows
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    exploded = spread.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    postings = exploded.groupBy(F.col(id_col), F.col("term")).agg(
+        F.count("*").cast("double").alias("tf"),
+        F.first("dl").cast("double").alias("dl"),
+    )
+    docs = df.select(F.size(toks).alias("_dl"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_batch_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query over a :func:`bm25_index` — the
+    MANY-queries retrieval shape (eval-harness batches, hard-negative
+    mining), where :func:`bm25_topk`'s per-row-expression form would
+    rescan the corpus once per query.
+
+    ``queries`` is long form ``(query_id, term)``. Returns
+    ``(query_id, id, n_terms_hit, score, rank)``; scoring arithmetic
+    and the 6-decimal pre-rank rounding match :func:`bm25_topk`
+    exactly, so the two forms agree query-for-query.
+
+    100 TB shape: postings are LEFT SEMI pruned to the query-term
+    vocabulary before anything else (with term-partitioned postings
+    that is partition pruning, not a scan), per-term document
+    frequencies come from one agg over the pruned slice, the query
+    set broadcasts (it is the small side by construction), and the
+    per-query top-k window runs over candidate lists already bounded
+    by the pruned postings. A stopword-only query degrades to its
+    true candidate mass — document queries, not the engine, decide
+    that cost."""
+    q = queries.select("query_id", "term").distinct()
+    qterms = q.select(F.col("term")).distinct()
+    p = postings.join(F.broadcast(qterms), "term", "left_semi")
+    dfreq = p.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.count("*").cast("int").alias("n_terms_hit"),
+        F.round(F.sum(term_score), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 20,
