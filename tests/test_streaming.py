@@ -147,6 +147,46 @@ def test_stateless_quality_stream(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_mixture_sample_matches_batch(spark, tmp_path):
+    """The stream applying a batch-computed fraction table keeps
+    EXACTLY the batch twin's row set (content-hashed assignment, not
+    probabilistic)."""
+    from tmdataloader_spark.llmdata.sampling import (
+        mixture_fractions,
+        mixture_sample,
+    )
+    from tmdataloader_spark.streaming import stream_mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fracs = mixture_fractions(docs, "lang", alpha=0.5, target_rows=30)
+    expected = sorted(
+        r.doc_id
+        for r in mixture_sample(docs, "lang", alpha=0.5, target_rows=30).collect()
+    )
+    src = str(tmp_path / "docs_mix_in")
+    docs.select("doc_id", "text", "lang").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(
+        src
+    )
+    kept = stream_mixture_sample(stream, fracs, "lang")
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("mixture_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r.doc_id
+            for r in spark.sql("select * from mixture_stream_test").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+    assert 0 < len(got) < docs.count()
+
+
 def test_stream_exact_dedup(spark, tmp_path):
     """Within-watermark duplicate texts collapse to their first
     occurrence; distinct texts all survive."""

@@ -209,6 +209,43 @@ def stream_quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_mixture_sample(
+    docs: DataFrame,
+    fractions: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Streaming twin of ``llmdata.sampling.mixture_sample``: apply a
+    BATCH-COMPUTED per-stratum fraction table to a document stream.
+
+    The lambda split mirrors production reality — temperature
+    fractions depend on GLOBAL stratum counts, which a stream cannot
+    see, so the nightly batch computes/refreshes ``fractions``
+    (:func:`tmdataloader_spark.llmdata.sampling.mixture_fractions`
+    output) and the stream applies it as a stream-static broadcast
+    join plus the same md5-bucket threshold filter. Stateless ⇒ no
+    watermark, and because assignment is content-hashed the stream's
+    kept set is EXACTLY the batch twin's kept set for the same
+    fraction table (agreement pytest), not merely approximately."""
+    from tmdataloader_spark.llmdata.sampling import _BUCKETS, _bucket
+
+    thr = fractions.select(
+        F.col("stratum"),
+        (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_thr"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    return (
+        docs.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("stratum")),
+            "inner",
+        )
+        .filter(b < F.col("_thr"))
+        .drop("stratum", "_thr")
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
