@@ -214,6 +214,20 @@ def test_bm25_no_explode_heap_selection(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bm25_batch_joins_are_broadcast(spark):
+    """Indexed batch retrieval: every join against the postings slice
+    (query terms, per-term dfs, corpus stats, query set) must be a
+    broadcast — the postings side never sort-merges, and the only
+    nested-loop is the deliberate one-row stats cross join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_bm25_batch(spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row stats
+    assert "BroadcastHashJoin" in plan
+
+
 def test_mixture_sample_broadcasts_fractions(spark):
     """The per-stratum fraction table (stratum-cardinality rows)
     broadcasts back onto the corpus; the corpus itself must never
