@@ -121,6 +121,46 @@ def test_bm25_batch_agrees_with_single_query_form(spark):
     assert single == batch
 
 
+def test_bm25_batch_normalizes_query_terms(spark):
+    """Batch query terms are stripped/lowercased like the single-query
+    form — 'Spark ' must match the indexed lowercase token, and
+    case-variant duplicates collapse to one term."""
+    from tmdataloader_spark.llmdata.retrieval import (
+        bm25_batch_topk,
+        bm25_index,
+        bm25_topk,
+    )
+
+    df = _docs(spark, [(1, "Spark shuffle", "en"), (2, "pear plum", "en")])
+    postings, stats = bm25_index(df)
+    queries_df = spark.createDataFrame(
+        [(1, "Spark "), (1, "SPARK")], "query_id int, term string"
+    )
+    batch = [
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in bm25_batch_topk(postings, stats, queries_df, k=5).collect()
+    ]
+    single = [
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in bm25_topk(df, ["Spark ", "SPARK"], k=5).collect()
+    ]
+    assert batch == single
+    assert batch == [(1, 1, batch[0][2])] and batch[0][2] > 0
+
+
+def test_mixture_sample_caller_stratum_column_name(spark):
+    """A caller whose stratum column is literally named 'stratum' must
+    not hit an ambiguous-reference error or lose the column."""
+    from tmdataloader_spark.llmdata.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(40)], "doc_id long, stratum string"
+    )
+    kept = mixture_sample(df, "stratum", alpha=1.0, target_rows=40).collect()
+    assert len(kept) == 40
+    assert set(kept[0].asDict()) == {"doc_id", "stratum"}
+
+
 def test_bm25_batch_duplicate_query_rows_ignored(spark):
     """Duplicate (query_id, term) rows must not double-count a term's
     contribution."""

@@ -152,10 +152,18 @@ def bm25_index(
         F.count("*").cast("double").alias("tf"),
         F.first("dl").cast("double").alias("dl"),
     )
-    docs = df.select(F.size(toks).alias("_dl"))
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("_dl").alias("avgdl"),
+    # (n_docs, avgdl) from the postings' per-doc lengths — NOT a
+    # second tokenize scan of the text. Every document has ≥1 posting
+    # (an empty/whitespace text still tokenizes to [""]), so the
+    # per-doc first(dl) collapse is exact; the extra keyed agg is
+    # map-side combined and postings-sized, not token-stream-sized.
+    stats = (
+        postings.groupBy(id_col)
+        .agg(F.first("dl").alias("_dl"))
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("_dl").alias("avgdl"),
+        )
     )
     return postings, stats
 
@@ -188,7 +196,13 @@ def bm25_batch_topk(
     by the pruned postings. A stopword-only query degrades to its
     true candidate mass — document queries, not the engine, decide
     that cost."""
-    q = queries.select("query_id", "term").distinct()
+    # normalize terms exactly as bm25_topk does (strip/lower) so the
+    # two forms keep their agreement contract for any input casing;
+    # dedupe AFTER normalizing so case-variant duplicates collapse
+    q = (
+        queries.select("query_id", F.lower(F.trim(F.col("term"))).alias("term"))
+        .distinct()
+    )
     qterms = q.select(F.col("term")).distinct()
     p = postings.join(F.broadcast(qterms), "term", "left_semi")
     dfreq = p.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
@@ -233,7 +247,12 @@ def bm25_oracle_sql(
     """DuckDB oracle replaying :func:`bm25_topk`'s exact arithmetic
     (same expression shape, same 6-decimal pre-rank rounding) on the
     pre-registered ``documents`` view."""
-    terms = sorted(set(t.strip().lower() for t in query_terms))
+    # single quotes doubled so a term like "o'brien" stays a valid
+    # (and non-injectable) SQL string literal
+    terms = [
+        t.replace("'", "''")
+        for t in sorted(set(t.strip().lower() for t in query_terms))
+    ]
     tf_cols = ",\n".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
         for i, t in enumerate(terms)

@@ -161,8 +161,12 @@ def mixture_sample(
     existing row's bucket never moves, though fractions drift as
     counts grow — pin the fraction table for strict append-stability).
     """
+    # underscore-prefixed internal names (repo convention, see
+    # quota_sample's _qb/_qshard) so a caller column named "stratum"
+    # never makes the join condition ambiguous or gets dropped
     fracs = mixture_fractions(df, stratum_col, alpha, target_rows).select(
-        "stratum", (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_thr")
+        F.col("stratum").alias("_mix_stratum"),
+        (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_mix_thr"),
     )
     b = _bucket(F.col(id_col), salt)
     # null-safe equality: a NULL stratum is a legitimate group (both
@@ -171,11 +175,11 @@ def mixture_sample(
     return (
         df.join(
             F.broadcast(fracs),
-            F.col(stratum_col).eqNullSafe(F.col("stratum")),
+            F.col(stratum_col).eqNullSafe(F.col("_mix_stratum")),
             "inner",
         )
-        .filter(b < F.col("_thr"))
-        .drop("stratum", "_thr")
+        .filter(b < F.col("_mix_thr"))
+        .drop("_mix_stratum", "_mix_thr")
     )
 
 
