@@ -1307,6 +1307,25 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch_topk(postings, stats, queries_df, k=10)
 
 
+_RRF_TERMS_B = ["join", "window", "stream", "batch"]
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (llmdata/retrieval.py rrf_fuse,
+    SIGIR'09): hybrid-retrieval combiner over two BM25 top-25 lists —
+    union of 1/(60+rank) contributions, keyed sum, 6dp pre-rank
+    rounding. Input lists are top-k frames, so the fusion stage is
+    k·N-row work regardless of corpus size."""
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    return rrf_fuse(
+        [bm25_topk(d, _BM25_TERMS, k=25), bm25_topk(d, _RRF_TERMS_B, k=25)],
+        k0=60,
+        k=20,
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixture resampling (llmdata/sampling.py
     mixture_sample): per-language keep fractions ∝ n^0.5 (rare
@@ -1450,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest tail now, rotated into the driver window next round
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
+        "rrf_fuse": q_rrf_fuse,
         "mixture_sample": q_mixture_sample,
         "dup_ngrams": q_dup_ngrams,
     }
@@ -1722,6 +1742,12 @@ def _bm25_oracle() -> str:
     from tmdataloader_spark.llmdata.retrieval import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_TERMS, k=25)
+
+
+def _rrf_oracle() -> str:
+    from tmdataloader_spark.llmdata.retrieval import rrf_bm25_oracle_sql
+
+    return rrf_bm25_oracle_sql(_BM25_TERMS, _RRF_TERMS_B, k_in=25, k0=60, k=20)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2828,6 +2854,9 @@ def oracle_sql() -> dict[str, str]:
         # constants so the arithmetic shape matches expression-for-
         # expression; scores rounded to 6dp before ranking on both sides.
         "bm25": _bm25_oracle(),
+        # RRF hybrid fusion: the two generated BM25 oracles nest as
+        # CTEs; identical 1/(k0+rank) union-sum-rank algebra on top.
+        "rrf_fuse": _rrf_oracle(),
         # Indexed batch form: tf/df from unnested postings; identical
         # score arithmetic (k1=1.2, b=0.75 -> k1+1=2.2), 6dp pre-rank
         # rounding, per-query rank window.

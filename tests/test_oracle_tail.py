@@ -45,6 +45,7 @@ TAIL = [
     "timepoints",
     "bm25",
     "bm25_batch",
+    "rrf_fuse",
     "mixture_sample",
     "dup_ngrams",
 ]

@@ -177,6 +177,31 @@ def test_bm25_batch_duplicate_query_rows_ignored(spark):
     assert a == b
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two 2-row lists matches the 1/(k0+rank) sum by hand;
+    a doc present in both lists outranks single-list docs."""
+    from tmdataloader_spark.llmdata.retrieval import rrf_fuse
+
+    la = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    lb = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([la, lb], k0=60, k=10).collect()}
+    assert out[20].n_lists == 2 and out[20].rank == 1
+    assert out[20].rrf_score == pytest.approx(
+        round(1 / 61 + 1 / 62, 6), abs=1e-9
+    )
+    assert out[10].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    # equal single-list scores tie-break by id: doc 10 (rank 1 in A)
+    # and doc 30 (rank... 2 in B) differ; 10 > 30 by score
+    assert out[10].rank == 2 and out[30].rank == 3
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from tmdataloader_spark.llmdata.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
 # ------------------------------------------------------- mixture_sample
 
 

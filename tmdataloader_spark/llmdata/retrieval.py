@@ -238,6 +238,86 @@ def bm25_batch_topk(
     )
 
 
+def rrf_fuse(
+    lists: list[DataFrame],
+    k0: int = 60,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N ranked lists: ``rrf_score(d) = Σ_lists 1/(k0 + rank_d)`` —
+    the standard score-free combiner for hybrid retrieval (BM25 +
+    ANN, multiple query rewrites, cross-encoder ensembles), robust to
+    incomparable score scales because only RANKS enter the sum.
+
+    Each input needs ``(id_col, rank)``. Returns ``(id, n_lists,
+    rrf_score, rank)`` top-``k``, with the score rounded to 6
+    decimals BEFORE ranking (ties broken by id) so the fused order is
+    engine-portable.
+
+    100 TB shape: the inputs are top-k lists — k·N rows total — so
+    the union + keyed agg + TakeOrderedAndProject is driver-bounded
+    work no matter how large the corpora behind the lists are."""
+    if not lists:
+        raise ValueError("lists must be non-empty")
+    contribs = [
+        l.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for l in lists
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = (
+        u.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_lists"),
+            F.round(F.sum("_c"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return fused.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_bm25_oracle_sql(
+    terms_a: list[str],
+    terms_b: list[str],
+    k_in: int = 25,
+    k0: int = 60,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`rrf_fuse` over two :func:`bm25_topk`
+    lists — the generated BM25 oracles nest as CTE subqueries, then
+    the identical 1/(k0+rank) union-sum-rank algebra replays on top."""
+    a = bm25_oracle_sql(terms_a, k=k_in)
+    b = bm25_oracle_sql(terms_b, k=k_in)
+    return f"""
+        WITH la AS (SELECT doc_id, rank FROM ({a})),
+        lb AS (SELECT doc_id, rank FROM ({b})),
+        u AS (
+          SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM la
+          UNION ALL
+          SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM lb
+        ), f AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
+                 round(sum(c), 6) AS rrf_score
+          FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, n_lists, rrf_score,
+               CAST(row_number() OVER (
+                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+        FROM f ORDER BY rrf_score DESC, doc_id LIMIT {k}
+    """
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 20,
