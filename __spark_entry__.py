@@ -1341,6 +1341,19 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation summary (llmdata/curate.py
+    curation_report): keep counts/rates and per-reason tallies over
+    the same curate() run the `curate` gate query verifies — one
+    equi-join on doc_id + ONE map-side-combined agg down to
+    source-cardinality rows (the artifact mixture designers read)."""
+    from tmdataloader_spark.llmdata.curate import curate, curation_report
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return curation_report(curate(d, benchmark=bench), d, group_col="source")
+
+
 def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated n-gram fraction (llmdata/dedup.py
     dup_ngram_fraction): per-document share of distinct 3-gram
@@ -1472,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse": q_rrf_fuse,
         "mixture_sample": q_mixture_sample,
         "dup_ngrams": q_dup_ngrams,
+        "curation_report": q_curation_report,
     }
 
 
@@ -1742,6 +1756,90 @@ def _bm25_oracle() -> str:
     from tmdataloader_spark.llmdata.retrieval import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_TERMS, k=25)
+
+
+def _curate_oracle() -> str:
+    return f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_oracle()}
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), labels AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ), tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), wde AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM wde GROUP BY 1, 2
+            ), ws AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topw FROM wc GROUP BY 1
+            ), sh0 AS (
+              SELECT doc_id, list_distinct(list_transform(list_transform(
+                range(1, greatest(len(toks) - 1, 1)),
+                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
+                x -> ('0x'||left(md5('0:'||x),8))::bigint)) AS shingles
+              FROM tok
+            ), shl AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+            ), bench AS (
+              SELECT DISTINCT shingle FROM shl WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT s.doc_id, count(*) AS n_shared
+              FROM shl s JOIN bench b ON s.shingle = b.shingle GROUP BY 1
+            ), j AS (
+              SELECT t.doc_id,
+                     CASE WHEN CAST(len(list_filter(t.toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE)
+                          / len(t.toks) >= 0.05 THEN 'en' ELSE 'und' END AS lang,
+                     len(t.toks) AS n_tokens,
+                     ws.topw,
+                     coalesce(l.component, t.doc_id) AS cluster_id,
+                     coalesce(h.n_shared, 0) >= 2 AS cont
+              FROM tok t
+              JOIN ws ON ws.doc_id = t.doc_id
+              LEFT JOIN labels l ON l.node = t.doc_id
+              LEFT JOIN hits h ON h.doc_id = t.doc_id
+            )
+            SELECT doc_id, reasons, CAST(reasons = '' AS INT) AS kept FROM (
+              SELECT doc_id, concat_ws(',',
+                CASE WHEN lang != 'en' THEN 'lang' END,
+                CASE WHEN n_tokens < 20 THEN 'short' END,
+                CASE WHEN n_tokens > 90 THEN 'long' END,
+                CASE WHEN topw > 0.15 THEN 'repetitive' END,
+                CASE WHEN cluster_id != doc_id THEN 'duplicate' END,
+                CASE WHEN cont THEN 'contaminated' END) AS reasons
+              FROM j
+            )
+    """
+
+
+def _curation_report_oracle() -> str:
+    from tmdataloader_spark.llmdata.curate import REASONS
+
+    reason_cols = ",\n".join(
+        "CAST(sum(CASE WHEN list_contains(string_split(v.reasons, ','), "
+        f"'{r}') THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}"
+        for r in REASONS
+    )
+    return f"""
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(v.kept) AS BIGINT) AS n_kept,
+               round(CAST(sum(v.kept) AS DOUBLE) / count(*), 6) AS keep_rate,
+               {reason_cols}
+        FROM ({_curate_oracle()}) v
+        JOIN documents d ON d.doc_id = v.doc_id
+        GROUP BY d.source
+    """
 
 
 def _rrf_oracle() -> str:
@@ -2377,67 +2475,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_shared, 0) >= 2 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
-        "curate": f"""
-            WITH RECURSIVE pairs AS (
-              {_minhash_oracle()}
-            ), edges AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION
-              SELECT doc_b, doc_a FROM pairs
-            ), reach(u, v) AS (
-              SELECT u, v FROM edges
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-            ), labels AS (
-              SELECT u AS node, least(u, min(v)) AS component
-              FROM reach GROUP BY u
-            ), tok AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
-              FROM documents
-            ), wde AS (
-              SELECT doc_id, unnest(toks) AS w FROM tok
-            ), wc AS (
-              SELECT doc_id, w, count(*) AS c FROM wde GROUP BY 1, 2
-            ), ws AS (
-              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topw FROM wc GROUP BY 1
-            ), sh0 AS (
-              SELECT doc_id, list_distinct(list_transform(list_transform(
-                range(1, greatest(len(toks) - 1, 1)),
-                i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')),
-                x -> ('0x'||left(md5('0:'||x),8))::bigint)) AS shingles
-              FROM tok
-            ), shl AS (
-              SELECT doc_id, unnest(shingles) AS shingle FROM sh0
-            ), bench AS (
-              SELECT DISTINCT shingle FROM shl WHERE doc_id % 97 = 0
-            ), hits AS (
-              SELECT s.doc_id, count(*) AS n_shared
-              FROM shl s JOIN bench b ON s.shingle = b.shingle GROUP BY 1
-            ), j AS (
-              SELECT t.doc_id,
-                     CASE WHEN CAST(len(list_filter(t.toks, x -> list_contains(
-                       ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE)
-                          / len(t.toks) >= 0.05 THEN 'en' ELSE 'und' END AS lang,
-                     len(t.toks) AS n_tokens,
-                     ws.topw,
-                     coalesce(l.component, t.doc_id) AS cluster_id,
-                     coalesce(h.n_shared, 0) >= 2 AS cont
-              FROM tok t
-              JOIN ws ON ws.doc_id = t.doc_id
-              LEFT JOIN labels l ON l.node = t.doc_id
-              LEFT JOIN hits h ON h.doc_id = t.doc_id
-            )
-            SELECT doc_id, reasons, CAST(reasons = '' AS INT) AS kept FROM (
-              SELECT doc_id, concat_ws(',',
-                CASE WHEN lang != 'en' THEN 'lang' END,
-                CASE WHEN n_tokens < 20 THEN 'short' END,
-                CASE WHEN n_tokens > 90 THEN 'long' END,
-                CASE WHEN topw > 0.15 THEN 'repetitive' END,
-                CASE WHEN cluster_id != doc_id THEN 'duplicate' END,
-                CASE WHEN cont THEN 'contaminated' END) AS reasons
-              FROM j
-            )
-        """,
+        "curate": _curate_oracle(),
+        # Per-source rollup of the SAME curate verdicts: the full
+        # curate oracle nests as a derived table; reason membership
+        # splits the comma-joined string (so 'duplicate' never
+        # matches 'semantic_duplicate').
+        "curation_report": _curation_report_oracle(),
         # components via recursive reachability closure over the same
         # MinHash pairs; min reachable id (incl. self) = cluster id
         "dedup_clusters": f"""

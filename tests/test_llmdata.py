@@ -440,6 +440,36 @@ def test_curate_boilerplate_signal(spark):
     assert all(v == (1, "") for v in default.values())
 
 
+def test_curation_report_counts(spark):
+    """Per-group rollup of curate verdicts: keep counts, 6dp rate,
+    and per-reason tallies — 'duplicate' must not match
+    'semantic_duplicate' via substring."""
+    from tmdataloader_spark.llmdata.curate import REASONS, curation_report
+
+    verdicts = spark.createDataFrame(
+        [
+            (1, "", 1),
+            (2, "duplicate", 0),
+            (3, "lang,short", 0),
+            (4, "semantic_duplicate", 0),
+        ],
+        "doc_id long, reasons string, kept int",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a")], "doc_id long, source string"
+    )
+    out = {r.source: r for r in curation_report(verdicts, docs).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_kept) == (3, 1) and a.keep_rate == pytest.approx(
+        round(1 / 3, 6)
+    )
+    assert a.n_duplicate == 1 and a.n_semantic_duplicate == 1
+    assert (b.n_docs, b.n_kept, b.n_lang, b.n_short) == (1, 0, 1, 1)
+    assert set(out["a"].asDict()) == (
+        {"source", "n_docs", "n_kept", "keep_rate"} | {f"n_{r}" for r in REASONS}
+    )
+
+
 def test_range_join_subsecond_end(spark):
     """Buckets are computed from epoch micros: a point inside the final
     FRACTIONAL second of an interval whose end crosses a bucket

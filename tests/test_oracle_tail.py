@@ -48,6 +48,7 @@ TAIL = [
     "rrf_fuse",
     "mixture_sample",
     "dup_ngrams",
+    "curation_report",
 ]
 
 

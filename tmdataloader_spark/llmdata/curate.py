@@ -145,3 +145,40 @@ def curate(
         reasons.alias("reasons"),
         (reasons == "").cast("int").alias("kept"),
     )
+
+
+def curation_report(
+    verdicts: DataFrame,
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group curation summary — the artifact mixture designers
+    read after a curate run: for each value of ``group_col``
+    (source/domain/language), how many documents survived and which
+    rules removed the rest.
+
+    ``verdicts`` is :func:`curate` output ``(id, reasons, kept)``;
+    ``df`` supplies the grouping column. Output: one row per group
+    with ``n_docs``, ``n_kept``, ``keep_rate`` (6dp) and one
+    ``n_<reason>`` count per entry of :data:`REASONS` (a document
+    with two violations counts once under EACH — reason columns are
+    diagnostic tallies, not a partition of the drops). Reason
+    membership tests split the comma-joined string, so ``duplicate``
+    never accidentally matches ``semantic_duplicate``.
+
+    100 TB shape: one broadcast-friendly equi-join on the id plus ONE
+    map-side-combined agg to group-cardinality rows."""
+    tagged = verdicts.join(
+        df.select(F.col(id_col), F.col(group_col).alias("_grp")), id_col
+    )
+    rs = F.split(F.col("reasons"), ",")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.round(F.sum("kept").cast("double") / F.count("*"), 6).alias("keep_rate"),
+    ] + [
+        F.sum(F.array_contains(rs, r).cast("long")).cast("long").alias(f"n_{r}")
+        for r in REASONS
+    ]
+    return tagged.groupBy(F.col("_grp").alias(group_col)).agg(*aggs)
