@@ -1366,6 +1366,30 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_fraction(_t(spark, sf_dir, "documents"), n=3, min_df=2)
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (llmdata/dedup.py
+    exact_substring_dedup): every duplicated 10-token span is cut
+    from all but its corpus-first occurrence and the documents are
+    reassembled — Lee et al. 2021's suffix-array pass re-expressed
+    as one row_number window over n-gram occurrences plus a per-row
+    array span filter."""
+    from tmdataloader_spark.llmdata.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=10)
+
+
+def q_prototype_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance curation scores (llmdata/clustering.py
+    prototype_scores): per-label embedding centroid, each vector's
+    cosine to its label prototype — Sorscher et al. 2022's
+    self-supervised pruning metric. Centroid = one groups×dim
+    map-side-combined agg broadcast back; the corpus never
+    shuffles."""
+    from tmdataloader_spark.llmdata.clustering import prototype_scores
+
+    return prototype_scores(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1486,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "dup_ngrams": q_dup_ngrams,
         "curation_report": q_curation_report,
+        "substr_dedup": q_substr_dedup,
+        "prototype_scores": q_prototype_scores,
     }
 
 
@@ -2991,5 +3017,70 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(coalesce(dupc.n_dup, 0) AS DOUBLE) / len(sh0.shingles)
                          ELSE 0.0 END, 6) AS dup_fraction
             FROM sh0 LEFT JOIN dupc USING (doc_id)
+        """,
+        # ExactSubstr: duplicate 10-gram spans (any occurrence after
+        # the corpus-first in (doc_id, pos) order) are cut before the
+        # documents are re-joined from the surviving tokens. DuckDB
+        # list slice t[i:i+9] is INCLUSIVE (10 elements);
+        # generate_series(1, len-9) is empty when the doc is shorter
+        # than one span.
+        "substr_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, r.i - 1 AS pos,
+                     md5(array_to_string(t[r.i : r.i + 9], ' ')) AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) r
+            ), dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                FROM occ
+              ) WHERE rn > 1
+            ), tokpos AS (
+              SELECT doc_id, generate_subscripts(t, 1) - 1 AS i, unnest(t) AS tok
+              FROM toks
+            ), kept AS (
+              SELECT tp.doc_id, tp.i, tp.tok
+              FROM tokpos tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM dup d
+                WHERE d.doc_id = tp.doc_id AND d.pos <= tp.i AND tp.i < d.pos + 10
+              )
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   coalesce(r.text, '') AS text,
+                   CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   CAST(len(tk.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks tk LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # Prototype = per-label mean embedding; score = cosine(vec,
+        # prototype) rounded to 6 decimals on BOTH engines so
+        # unordered double summation can't flip the hash.
+        "prototype_scores": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), ex AS (
+              SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+              FROM e
+            ), cent AS (
+              SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+            ), cvec AS (
+              SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+            ), grp AS (
+              SELECT label, count(*) AS grp_n FROM e GROUP BY label
+            )
+            SELECT e.vec_id, e.label, grp.grp_n,
+                   round(list_dot_product(e.v, cvec.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cvec.cv, cvec.cv))), 6)
+                     AS proto_cos
+            FROM e JOIN cvec USING (label) JOIN grp ON grp.label = e.label
         """,
     }

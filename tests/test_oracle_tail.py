@@ -49,6 +49,8 @@ TAIL = [
     "mixture_sample",
     "dup_ngrams",
     "curation_report",
+    "substr_dedup",
+    "prototype_scores",
 ]
 
 

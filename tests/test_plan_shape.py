@@ -263,3 +263,27 @@ def test_incremental_novelty_joins_are_equi(spark):
     plan = _plan(spark, df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substr_dedup_single_window_no_cartesian(spark):
+    """ExactSubstr: the only shuffle-heavy step is the row_number
+    window keyed by the gram hash (high-cardinality — spreads
+    evenly); the span filter is a per-row array expression, so no
+    token-level join and certainly no cartesian product appears."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_substr_dedup(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") == 1, "expected exactly one window (gram first-occurrence)"
+
+
+def test_prototype_scores_broadcasts_centroids(spark):
+    """Prototype scores: the groups×dim centroid and group-count
+    sides broadcast back onto the corpus — the corpus never
+    sort-merges against its own aggregate."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_prototype_scores(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -126,3 +126,88 @@ def test_prop_dup_ngram_fraction_matches_python_reference(spark, texts):
         assert got[i][0] == expected[i][0]
         assert got[i][1] == expected[i][1]
         assert abs(got[i][2] - expected[i][2]) <= 1e-9
+
+
+def _py_substr_dedup(docs: dict[int, str], n: int):
+    """Reference ExactSubstr: duplicate n-gram occurrences (corpus
+    order by (doc_id, pos)) mark [pos, pos+n) for removal."""
+    toked = {i: t.split(" ") for i, t in docs.items()}
+    first: set[tuple[str, ...]] = set()
+    dup_starts: dict[int, list[int]] = {i: [] for i in toked}
+    for i in sorted(toked):
+        toks = toked[i]
+        for p in range(len(toks) - n + 1):
+            g = tuple(toks[p : p + n])
+            if g in first:
+                dup_starts[i].append(p)
+            else:
+                first.add(g)
+    out = {}
+    for i, toks in toked.items():
+        removed = set()
+        for s in dup_starts[i]:
+            removed.update(range(s, s + n))
+        kept = [t for j, t in enumerate(toks) if j not in removed]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.lists(word_st, min_size=1, max_size=30).map(" ".join),
+                      min_size=1, max_size=10))
+def test_prop_substr_dedup_matches_python_reference(spark, texts):
+    from tmdataloader_spark.llmdata.dedup import exact_substring_dedup
+
+    n = 4
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, n=n).collect()
+    }
+    assert got == _py_substr_dedup(docs, n)
+
+
+def test_substr_dedup_within_doc_repeat(spark):
+    """A repeat later in the SAME document is removed; the first
+    occurrence survives."""
+    from tmdataloader_spark.llmdata.dedup import exact_substring_dedup
+
+    text = "a b c d x a b c d"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = exact_substring_dedup(df, n=4).collect()[0]
+    assert row.text == "a b c d x"
+    assert row.n_tokens == 9 and row.n_removed == 4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prop_prototype_scores_match_numpy(spark, vecs):
+    import numpy as np
+
+    from tmdataloader_spark.llmdata.clustering import prototype_scores
+
+    rows = [(i, [float(np.float32(x)) for x in v], lab) for i, (lab, v) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.vec_id: (r.grp_n, r.proto_cos) for r in prototype_scores(df).collect()}
+    by_lab: dict[int, list] = {}
+    for i, v, lab in rows:
+        by_lab.setdefault(lab, []).append((i, np.array(v)))
+    for lab, members in by_lab.items():
+        cent = np.mean([v for _, v in members], axis=0)
+        cn = np.linalg.norm(cent)
+        for i, v in members:
+            vn = np.linalg.norm(v)
+            if vn == 0 or cn == 0:
+                continue  # NaN rows: only check grp_n below
+            assert got[i][0] == len(members)
+            assert abs(got[i][1] - round(float(v @ cent) / (vn * cn), 6)) <= 1e-6

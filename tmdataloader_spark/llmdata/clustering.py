@@ -360,3 +360,59 @@ def semantic_dedup_oracle_sql(
                (d.did IS NULL) AS keep
         FROM asn a LEFT JOIN dup d ON d.did = a.{id_col}
     """
+
+
+def prototype_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Prototype-distance curation scores (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning", arXiv:2206.14486 — the self-supervised prototype
+    metric): the prototype of a group is the mean of its embeddings,
+    and each example is scored by its cosine to its group's
+    prototype. High cosine = prototypical/easy (the prune candidates
+    when keeping hard examples); low cosine = outlier/hard.
+
+    Output: ``(id, group, grp_n, proto_cos)`` — one row per input
+    vector, ``proto_cos`` rounded to 6 decimals so the score is
+    engine-portable despite unordered float summation.
+
+    100 TB shape: the centroid is ONE map-side-combined
+    ``groupBy(group, pos)`` sum over the posexploded vectors — the
+    shuffle moves at most groups×dim partial rows regardless of
+    corpus size — and the groups×1 centroid table joins back via
+    broadcast, so the corpus itself never shuffles. The cosine is a
+    pure Catalyst ``zip_with``/``aggregate`` fold (no Python in the
+    hot path).
+    """
+    from tmdataloader_spark.llmdata.similarity import _cosine
+
+    v = df.select(
+        F.col(id_col), F.col(group_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cent = (
+        v.select(group_col, F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy(group_col, "_pos")
+        .agg(F.avg("_val").alias("_c"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cv")
+        )
+    )
+    grp_n = v.groupBy(group_col).agg(F.count("*").alias("grp_n"))
+    return (
+        v.join(F.broadcast(cent), group_col)
+        .join(F.broadcast(grp_n), group_col)
+        .select(
+            id_col,
+            group_col,
+            "grp_n",
+            _cosine(F.col("_v"), F.col("_cv")).alias("proto_cos"),
+        )
+    )

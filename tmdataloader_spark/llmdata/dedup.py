@@ -461,6 +461,75 @@ def dup_ngram_fraction(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """ExactSubstr deduplication: remove every duplicated ``n``-token
+    span from all but its corpus-first occurrence, then reassemble the
+    documents (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — the suffix-array ExactSubstr pass,
+    re-expressed relationally so it distributes).
+
+    Semantics: tokenization is a lossless single-space split (NOT the
+    normalizing :func:`tmdataloader_spark.llmdata.text.tokens` — the
+    surviving tokens must re-concatenate into the original text minus
+    the removed spans). An n-gram occurrence at ``(doc, pos)`` is a
+    duplicate iff any occurrence of the same n words exists at a
+    smaller ``(doc_id, pos)`` — including earlier in the SAME
+    document, so internal boilerplate repeats are removed too. A
+    token is dropped iff it lies inside at least one duplicate span;
+    overlapping spans merge naturally through the containment test.
+
+    Output: ``(id, text, n_tokens, n_removed)`` — one row per input
+    document, ``text`` rewritten with the duplicated spans cut out
+    (empty string when everything was a duplicate).
+
+    100 TB shape: one row per n-gram OCCURRENCE (not per distinct
+    gram) flows into a single ``row_number`` window keyed by the
+    md5 of the gram — high-cardinality key, so the shuffle spreads
+    evenly and no LIKE/theta join appears. Duplicate starts come back
+    to their document through one map-side-combined groupBy(id), and
+    the span-containment filter runs as a per-row Catalyst
+    ``filter(..., (tok, i) -> !exists(starts, ...))`` over arrays
+    bounded by document length — no token-level join. Cost is
+    O(corpus tokens) rows shuffled once, vs the sequential suffix
+    array the paper builds (which has no distributed construction).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = _spread(df, id_col).select(id_col, toks.alias("_toks"))
+    occ = base.select(
+        id_col,
+        F.posexplode(_word_ngrams(F.col("_toks"), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5(F.col("gram")).alias("gram"))
+    w = Window.partitionBy("gram").orderBy(id_col, "pos")
+    dup_starts = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    joined = base.join(dup_starts, id_col, "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.exists(
+            F.col("_starts"), lambda s: (s <= i) & (i < s + n)
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over whitespace tokens (md5-derived token
     hashes): bit b of the signature is the sign of the sum of
