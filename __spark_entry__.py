@@ -1390,6 +1390,20 @@ def q_prototype_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_scores(_t(spark, sf_dir, "embeddings"))
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (llmdata/sampling.py
+    leakage_safe_split): the split hash keys on the near-dup CLUSTER
+    id (MinHash+LSH pairs → connected components), so near-copies
+    never straddle train and test. Adds one components pass + one
+    equi-join to the plain deterministic split."""
+    from tmdataloader_spark.llmdata.dedup import minhash_lsh_pairs
+    from tmdataloader_spark.llmdata.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+    return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1512,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": q_curation_report,
         "substr_dedup": q_substr_dedup,
         "prototype_scores": q_prototype_scores,
+        "leakage_split": q_leakage_split,
     }
 
 
@@ -3082,5 +3097,35 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(cvec.cv, cvec.cv))), 6)
                      AS proto_cos
             FROM e JOIN cvec USING (label) JOIN grp ON grp.label = e.label
+        """,
+        # Split keyed on the near-dup cluster id: the dedup_clusters
+        # closure feeds the same md5-bucket CASE the hash_split oracle
+        # proves, applied to cluster_id instead of doc_id.
+        "leakage_split": f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_oracle()}
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), lab AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ), cl AS (
+              SELECT d.doc_id,
+                     coalesce(l.component, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ('0x'||left(md5('split:'||CAST(cluster_id AS VARCHAR)),8))::bigint
+                             % 1000000 < 800000 THEN 'train'
+                        WHEN ('0x'||left(md5('split:'||CAST(cluster_id AS VARCHAR)),8))::bigint
+                             % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM cl
         """,
     }

@@ -58,6 +58,15 @@ def main() -> None:
     smoke = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     _nj(smoke, threshold=0.8, max_df=50).count()
     _wf(smoke).count()
+    # ...and the MinHash signature + connected-components loop shapes
+    # (measured: the FIRST minhash+CC query in a session pays ~2-10 s
+    # of codegen/JIT that later ones don't — same long-lived-cluster
+    # argument as above)
+    from tmdataloader_spark.llmdata.dedup import dedup_clusters as _dc
+    from tmdataloader_spark.llmdata.dedup import minhash_lsh_pairs as _ml
+
+    _dc(smoke, _ml(smoke, num_perms=16, bands=4, threshold=0.8)).count()
+    spark.catalog.clearCache()
 
     for name, fn in qs.items():
         # per-query isolation: drop cached frames left by the previous

@@ -51,6 +51,7 @@ TAIL = [
     "curation_report",
     "substr_dedup",
     "prototype_scores",
+    "leakage_split",
 ]
 
 

@@ -287,3 +287,13 @@ def test_prototype_scores_broadcasts_centroids(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_leakage_split_no_cartesian(spark):
+    """Leakage-safe split: components + one equi-join + a per-row
+    md5 CASE — no cartesian/nested-loop anywhere despite the
+    LSH candidate generation feeding it."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_leakage_split(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

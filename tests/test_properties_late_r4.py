@@ -211,3 +211,32 @@ def test_prop_prototype_scores_match_numpy(spark, vecs):
                 continue  # NaN rows: only check grp_n below
             assert got[i][0] == len(members)
             assert abs(got[i][1] - round(float(v @ cent) / (vn * cn), 6)) <= 1e-6
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Every near-dup pair lands in the SAME split, and the split of a
+    singleton equals the plain hash split of its own id (so the
+    operator degrades to split_column on a clean corpus)."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.dedup import minhash_lsh_pairs
+    from tmdataloader_spark.llmdata.sampling import leakage_safe_split, split_column
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+    out = leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
+    split_of = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(split_of) == d.count()
+    p = pairs.collect()
+    assert p, "fixture should contain near-dup pairs"
+    for r in p:
+        assert split_of[r.doc_a][1] == split_of[r.doc_b][1]
+    plain = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id", split_column("doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).alias("s")
+        ).collect()
+    }
+    for i, (cl, sp) in split_of.items():
+        if cl == i:
+            assert sp == plain[i]

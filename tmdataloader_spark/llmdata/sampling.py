@@ -225,3 +225,41 @@ def quota_sample(
         .filter(F.col("_qr") <= cap)
         .drop("_qr", "_qb", "_qshard")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: list[float],
+    labels: list[str],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: the split is hashed
+    from the document's near-duplicate CLUSTER id, not its own id, so
+    all members of a near-dup family land in the same split. Plain
+    per-doc hashing leaks — a near-copy of a training document in the
+    test split inflates eval (the contamination mode measured by Lee
+    et al. 2021 §6.2 and Elazar et al.'s "What's In My Big Data?");
+    hashing the cluster representative removes it by construction
+    while keeping every :func:`split_column` property (deterministic,
+    append-stable, engine-portable).
+
+    ``pairs`` is any near-dup edge list ((doc_a, doc_b) — MinHash/
+    SimHash/embedding pairs). Output: ``(id, cluster_id, split)`` —
+    one row per input document.
+
+    100 TB shape: adds exactly the :func:`~tmdataloader_spark.llmdata.
+    dedup.dedup_clusters` cost (hash-min label propagation over the
+    pair list, O(diameter) rounds) plus one equi-join of the corpus
+    against the id→cluster frame; the split itself stays a pure
+    per-row md5 expression on ``cluster_id``.
+    """
+    from tmdataloader_spark.llmdata.dedup import dedup_clusters
+
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        split_column("cluster_id", weights, labels, salt).alias("split"),
+    )
