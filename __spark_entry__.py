@@ -1390,6 +1390,20 @@ def q_prototype_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_scores(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llmdata/similarity.py ivfpq_ann): coarse 16-cell
+    routing + per-subspace product-quantization codebooks (4×16,
+    integer-exact Lloyd) + per-query ADC distance tables + exact
+    rerank of the 20 best candidates — the Faiss IVF-PQ index as a
+    narrow-codes probe join. The oracle replays training, encoding,
+    and ADC relationally in the same int64 arithmetic."""
+    from tmdataloader_spark.llmdata.similarity import ivfpq_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_ann(q, e, k=5, ncentroids=16, nprobe=4, m=4, ksub=16, train_iters=1, refine=20)
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (llmdata/sampling.py
     leakage_safe_split): the split hash keys on the near-dup CLUSTER
@@ -1527,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "prototype_scores": q_prototype_scores,
         "leakage_split": q_leakage_split,
+        "ann_ivfpq": q_ann_ivfpq,
     }
 
 
@@ -1785,6 +1800,15 @@ def _kmeans_oracle() -> str:
     from tmdataloader_spark.llmdata.clustering import kmeans_oracle_sql
 
     return kmeans_oracle_sql("embeddings", k=8, iters=3, dim=64)
+
+
+def _ivfpq_oracle() -> str:
+    from tmdataloader_spark.llmdata.clustering import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        "embeddings", nq=10, k=5, ncentroids=16, nprobe=4, m=4, ksub=16,
+        iters=1, refine=20, dim=64,
+    )
 
 
 def _semantic_dedup_oracle() -> str:
@@ -3128,4 +3152,5 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM cl
         """,
+        "ann_ivfpq": _ivfpq_oracle(),
     }

@@ -52,6 +52,7 @@ TAIL = [
     "substr_dedup",
     "prototype_scores",
     "leakage_split",
+    "ann_ivfpq",
 ]
 
 

@@ -297,3 +297,14 @@ def test_leakage_split_no_cartesian(spark):
 
     plan = _plan(spark, entry.q_leakage_split(spark, SF), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivfpq_probe_is_equi_join_dtabs_broadcast(spark):
+    """IVF-PQ: the probe (cell) and codes (id) joins are equi-joins,
+    the per-query distance tables broadcast, and nothing degenerates
+    into a cartesian/nested-loop despite the ADC lookup expression."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_ann_ivfpq(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

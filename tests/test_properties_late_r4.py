@@ -240,3 +240,48 @@ def test_leakage_safe_split_never_straddles(spark):
     for i, (cl, sp) in split_of.items():
         if cl == i:
             assert sp == plain[i]
+
+
+def test_pq_encode_matches_numpy(spark):
+    """PQ codes equal the NumPy per-subspace argmin (first-min ties)
+    over the same quantized integers."""
+    import numpy as np
+
+    from tmdataloader_spark.llmdata.clustering import QUANT, pq_encode, pq_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(e, m=4, ksub=16, iters=1)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(e, books).collect()}
+    rows = e.collect()
+    Cs = [np.asarray(b, dtype=np.int64) for b in books]
+    for r in rows:
+        X = np.floor(np.array(r.embedding, dtype=np.float64) * QUANT).astype(np.int64)
+        off, want = 0, []
+        for C in Cs:
+            w = C.shape[1]
+            xs = X[off : off + w]
+            off += w
+            d = (xs * xs).sum() - 2 * (C @ xs) + (C * C).sum(axis=1)
+            want.append(int(np.argmin(d)))
+        assert got[r.vec_id] == want
+
+
+def test_ivfpq_output_contract(spark):
+    """Per query: ranks are exactly 1..k, no self-matches, and the
+    reranked cosine ordering is descending with id tie-break."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.similarity import ivfpq_ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    out = ivfpq_ann(q, e, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.cand_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim, r.cand_id))
+    assert set(by_q) == {0, 1, 2, 3, 4, 5}
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4]
+        assert rows == sorted(rows, key=lambda t: (-t[1], t[2]))

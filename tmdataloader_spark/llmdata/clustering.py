@@ -183,60 +183,64 @@ def kmeans_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    prefix: str = "",
 ) -> str:
     """DuckDB twin of :func:`kmeans_fit`: the same fixed iterations
     unrolled as CTEs over the same quantized integers. Distances use
     DOUBLE dot products of integer-valued arrays — exact below 2^53,
-    so assignments are bit-identical to the Spark plan."""
+    so assignments are bit-identical to the Spark plan. ``prefix``
+    namespaces every CTE so multiple instantiations (the per-subspace
+    product-quantizer codebooks) can share one WITH clause."""
+    p = prefix
     ctes = [
-        f"""e AS (
+        f"""{p}e AS (
           SELECT {id_col}, list_transform(CAST({vec_col} AS DOUBLE[]),
                  x -> floor(x * {QUANT})) AS qv
           FROM {table}
         )""",
-        f"""c0 AS (
-          SELECT CAST({id_col} AS INT) AS cell, qv FROM e WHERE {id_col} < {k}
+        f"""{p}c0 AS (
+          SELECT CAST({id_col} AS INT) AS cell, qv FROM {p}e WHERE {id_col} < {k}
         )""",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for t in range(iters + 1):
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
           SELECT {id_col}, (array_agg(cell ORDER BY d, cell))[1] AS cell FROM (
             SELECT e.{id_col}, c.cell,
                    list_dot_product(e.qv, e.qv)
                      - 2 * list_dot_product(e.qv, c.qv)
                      + list_dot_product(c.qv, c.qv) AS d
-            FROM e CROSS JOIN {prev} c
+            FROM {p}e e CROSS JOIN {prev} c
           ) GROUP BY {id_col}
         )"""
         )
         if t == iters:
             break
         ctes.append(
-            f"""u{t} AS (
+            f"""{p}u{t} AS (
           SELECT a.cell, r.range AS pos, sum(e.qv[r.range]) AS s, count(*) AS n
-          FROM a{t} a JOIN e USING ({id_col})
+          FROM {p}a{t} a JOIN {p}e e USING ({id_col})
           CROSS JOIN range(1, {dim + 1}) r
           GROUP BY 1, 2
         )"""
         )
         ctes.append(
-            f"""c{t + 1} AS (
+            f"""{p}c{t + 1} AS (
           SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
                             ORDER BY pos) AS qv
-          FROM u{t} GROUP BY cell
+          FROM {p}u{t} GROUP BY cell
           UNION ALL
-          SELECT cell, qv FROM c{t}
-          WHERE cell NOT IN (SELECT cell FROM u{t})
+          SELECT cell, qv FROM {p}c{t}
+          WHERE cell NOT IN (SELECT cell FROM {p}u{t})
         )"""
         )
-        prev = f"c{t + 1}"
+        prev = f"{p}c{t + 1}"
     body = ",\n".join(ctes)
     # NOTE: iteration t's update uses assignment a{t}; the returned
     # frame is the assignment against the FINAL centroids (a{iters}),
     # mirroring kmeans_fit's trailing _assign_expr.
-    return f"WITH {body}\nSELECT {id_col}, cell AS cluster FROM a{iters}"
+    return f"WITH {body}\nSELECT {id_col}, cell AS cluster FROM {p}a{iters}"
 
 
 def semantic_dedup(
@@ -416,3 +420,259 @@ def prototype_scores(
             _cosine(F.col("_v"), F.col("_cv")).alias("proto_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the Faiss IVF-PQ compression path)
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Per-subspace product-quantizer codebooks (Jégou, Douze &
+    Schmid 2011, "Product quantization for nearest neighbor search",
+    TPAMI): the vector is split into ``m`` contiguous subspaces and
+    each gets its own ``ksub``-centroid codebook via the
+    integer-exact distributed Lloyd of :func:`kmeans_fit` — so
+    training, encoding, and ADC scoring are all deterministic and
+    oracle-reproducible. Returns ``m`` codebooks of ``ksub`` quantized
+    centroid lists.
+
+    All ``m`` subspaces train TOGETHER: one seed collect (the rows
+    with ``id < ksub``, sliced driver-side — slicing and element-wise
+    quantization commute, so this equals per-subspace fitting), then
+    per round ONE corpus scan whose Arrow kernel emits every
+    subspace's partial sums (≤ m·ksub·(dim/m) rows per batch) into
+    one tiny aggregate — not m separate Lloyd runs."""
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col), _quantized(vec_col).alias("qv")).cache()
+    init = base.filter(F.col(id_col) < ksub).orderBy(id_col).collect()
+    if len(init) < ksub:
+        raise ValueError(f"need at least {ksub} rows with {id_col} < {ksub} to seed")
+    dim = len(init[0]["qv"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = [
+        [list(r["qv"][s * sub : (s + 1) * sub]) for r in init] for s in range(m)
+    ]
+
+    def partials(cur: list[list[list[int]]]):
+        Cs = [np.asarray(b, dtype=np.int64) for b in cur]
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["qv"]), dtype=np.int64)
+                frames = []
+                for s, C in enumerate(Cs):
+                    Xs = X[:, s * sub : (s + 1) * sub]
+                    d = (
+                        (Xs * Xs).sum(axis=1, keepdims=True)
+                        - 2 * (Xs @ C.T)
+                        + (C * C).sum(axis=1)
+                    )
+                    a = np.argmin(d, axis=1)
+                    for j in np.unique(a):
+                        mem = Xs[a == j]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "s": np.int32(s),
+                                    "cluster": np.int32(j),
+                                    "pos": np.arange(sub, dtype=np.int32),
+                                    "sm": mem.sum(axis=0),
+                                    "n": np.int64(len(mem)),
+                                }
+                            )
+                        )
+                yield pd.concat(frames, ignore_index=True)
+
+        return fn
+
+    for _ in range(iters):
+        sums = (
+            base.mapInPandas(
+                partials(books), schema="s int, cluster int, pos int, sm long, n long"
+            )
+            .groupBy("s", "cluster", "pos")
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+            .select(
+                "s",
+                "cluster",
+                "pos",
+                F.floor(F.col("sm") / F.col("n")).cast("long").alias("cv"),
+            )
+            .collect()  # ≤ m·ksub·sub rows — control plane only
+        )
+        new = [[list(c) for c in b] for b in books]
+        for r in sums:
+            new[r["s"]][r["cluster"]][r["pos"]] = r["cv"]
+        books = new
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes for every vector: ``(id, codes array<int>)`` where
+    ``codes[s]`` is the index of the nearest (exact int64 L2,
+    first-min tie-break) centroid of subspace ``s``'s codebook — the
+    dim×4-byte vector compressed to ``m`` small ints (m/dim of the
+    float footprint; at 100 TB the difference between an in-memory
+    index and one that isn't).
+
+    One Arrow-batched kernel computes all ``m`` argmins per batch
+    with NumPy matmuls — no shuffle, no per-subspace pass."""
+    import numpy as np
+    import pandas as pd
+
+    Cs = [np.asarray(b, dtype=np.int64) for b in books]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.array(list(pdf[vec_col]), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            cols = []
+            off = 0
+            for C in Cs:
+                w = C.shape[1]
+                Xs = X[:, off : off + w]
+                off += w
+                d = (Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ C.T) + (C * C).sum(axis=1)
+                cols.append(np.argmin(d, axis=1))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                }
+            )
+
+    spread = df.select(id_col, vec_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return spread.mapInPandas(fn, schema=f"{id_col} long, codes array<int>")
+
+
+def ivfpq_oracle_sql(
+    table: str = "embeddings",
+    nq: int = 10,
+    k: int = 5,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    refine: int = 20,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`~tmdataloader_spark.llmdata.similarity.
+    ivfpq_ann`: replays coarse routing (argmax integer inner
+    product), per-subspace codebook training (``m`` prefixed
+    :func:`kmeans_oracle_sql` instantiations over vector slices —
+    their final assignments ARE the PQ codes), per-query distance
+    tables, ADC candidate selection, and the exact cosine rerank —
+    all in the same quantized integer arithmetic, so every
+    intermediate matches bit-for-bit."""
+    sub = dim // m
+    bodies, code_sel, dtab_sel = [], [], []
+    for s in range(m):
+        sql = kmeans_oracle_sql(
+            table,
+            k=ksub,
+            iters=iters,
+            id_col=id_col,
+            vec_col=f"(CAST({vec_col} AS DOUBLE[]))[{s * sub + 1}:{(s + 1) * sub}]",
+            dim=sub,
+            prefix=f"s{s}_",
+        )
+        bodies.append(sql[len("WITH ") : sql.rindex("\nSELECT")])
+        code_sel.append(f"SELECT {id_col}, {s} AS s, cell FROM s{s}_a{iters}")
+        dtab_sel.append(
+            f"""SELECT q.{id_col} AS query_id, {s} AS s, c.cell,
+                 list_dot_product(q.qv, q.qv)
+                   - 2 * list_dot_product(q.qv, c.qv)
+                   + list_dot_product(c.qv, c.qv) AS d
+               FROM s{s}_e q CROSS JOIN s{s}_c{iters} c
+               WHERE q.{id_col} < {nq}"""
+        )
+    subspace_body = ",\n".join(bodies)
+    codes_union = "\nUNION ALL\n".join(code_sel)
+    dtab_union = "\nUNION ALL\n".join(dtab_sel)
+    return f"""
+        WITH cent AS (
+          SELECT {id_col} AS cid,
+                 list_transform(CAST({vec_col} AS DOUBLE[]),
+                                x -> floor(x * {QUANT})) AS cv
+          FROM {table} WHERE {id_col} < {ncentroids}
+        ), ev AS (
+          SELECT {id_col},
+                 list_transform(CAST({vec_col} AS DOUBLE[]),
+                                x -> floor(x * {QUANT})) AS qv,
+                 CAST({vec_col} AS DOUBLE[]) AS v
+          FROM {table}
+        ), ip AS (
+          SELECT ev.{id_col}, cent.cid, list_dot_product(ev.qv, cent.cv) AS ip
+          FROM ev CROSS JOIN cent
+        ), ranked AS (
+          SELECT {id_col}, cid,
+                 row_number() OVER (PARTITION BY {id_col} ORDER BY ip DESC, cid) AS rn
+          FROM ip
+        ), cassign AS (
+          SELECT {id_col} AS cand_id, cid AS cell FROM ranked WHERE rn = 1
+        ), qprobe AS (
+          SELECT {id_col} AS query_id, cid AS cell FROM ranked
+          WHERE rn <= {nprobe} AND {id_col} < {nq}
+        ),
+        {subspace_body},
+        codes AS (
+          {codes_union}
+        ), dtab AS (
+          {dtab_union}
+        ), adc AS (
+          SELECT p.query_id, ca.cand_id, sum(dt.d) AS adc
+          FROM qprobe p
+          JOIN cassign ca ON ca.cell = p.cell
+          JOIN codes co ON co.{id_col} = ca.cand_id
+          JOIN dtab dt ON dt.query_id = p.query_id
+                      AND dt.s = co.s AND dt.cell = co.cell
+          WHERE ca.cand_id <> p.query_id
+          GROUP BY 1, 2
+        ), cand AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+            FROM adc
+          ) WHERE rn <= {refine}
+        ), scored AS (
+          SELECT cand.query_id, cand.cand_id,
+                 round(list_dot_product(eq.v, ec.v) /
+                       (sqrt(list_dot_product(eq.v, eq.v))
+                        * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cosine_sim
+          FROM cand
+          JOIN ev eq ON eq.{id_col} = cand.query_id
+          JOIN ev ec ON ec.{id_col} = cand.cand_id
+        )
+        SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

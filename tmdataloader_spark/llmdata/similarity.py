@@ -362,3 +362,168 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivfpq_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    train_iters: int = 1,
+    refine: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 / the Faiss IVF-PQ index),
+    distributed and integer-exact: the coarse quantizer routes each
+    query to ``nprobe`` cells; inside them, candidates are scored by
+    ASYMMETRIC DISTANCE (ADC) — the sum of per-subspace distances
+    between the query's subvectors and each candidate's product-
+    quantization codewords, looked up from a per-query distance
+    table — and only the ``refine`` best are exact-reranked.
+
+    Why this is THE 100 TB path: PQ codes are ``m`` small ints per
+    vector (vs dim floats — here 16 bytes vs 256), so the scan side
+    of the probe join moves a narrow (id, cell, codes) frame and an
+    in-memory index holds ~16× more vectors; the full-precision
+    vectors are touched only for ``refine`` candidates per query.
+    Everything heavier than the codes is control-plane: the coarse
+    codebook broadcast, the m×ksub subspace codebooks inside the
+    encode kernel closure, and per-query m×ksub distance tables.
+
+    Determinism: quantized int64 arithmetic end-to-end (QUANT floor,
+    exact L2 / inner products, first-min tie-breaks), so cell
+    routing, codes, ADC scores, and the candidate set are
+    bit-identical in any engine — the DuckDB oracle replays training,
+    encoding, and ADC relationally. Output mirrors :func:`ivf_ann`:
+    ``(query_id, cand_id, cosine_sim, rank)``."""
+    import numpy as np
+    import pandas as pd
+
+    from tmdataloader_spark.llmdata.clustering import pq_encode, pq_fit
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.filter(F.col(id_col) < ncentroids)
+        .select(id_col, vec_col)
+        .collect()  # coarse codebook only: ncentroids rows
+    )
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = np.floor(
+        np.array([r[1] for r in cent_rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    b_cent = spark.sparkContext.broadcast((cids, cmat))
+
+    def cell_assign(nbest: int):
+        def gen(it):
+            ids_c, cm = b_cent.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                q = np.floor(
+                    np.array(list(pdf[vec_col]), dtype=np.float64) * QUANT
+                ).astype(np.int64)
+                ip = q @ cm.T
+                out = []
+                for row in range(len(pdf)):
+                    order = np.lexsort((ids_c, -ip[row]))[:nbest]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vid": pdf[id_col].iloc[row],
+                                "cell": ids_c[order],
+                            }
+                        )
+                    )
+                yield pd.concat(out)
+
+        return gen
+
+    books = pq_fit(corpus, m=m, ksub=ksub, iters=train_iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    spread = corpus.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism, id_col
+    )
+    cassign = spread.mapInPandas(cell_assign(1), schema="vid long, cell long").select(
+        F.col("vid").alias("cand_id"), "cell"
+    )
+    qassign = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(cell_assign(nprobe), schema="vid long, cell long")
+        .select(F.col("vid").alias("query_id"), "cell")
+    )
+
+    Cs = [np.asarray(b, dtype=np.int64) for b in books]
+
+    def dtab_gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.array(list(pdf[vec_col]), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            rows = []
+            for row in range(len(pdf)):
+                tabs = []
+                off = 0
+                for C in Cs:
+                    w = C.shape[1]
+                    qs = X[row, off : off + w]
+                    off += w
+                    d = (qs * qs).sum() - 2 * (C @ qs) + (C * C).sum(axis=1)
+                    tabs.append([int(x) for x in d])
+                rows.append({"query_id": pdf[id_col].iloc[row], "dtabs": tabs})
+            yield pd.DataFrame(rows)
+
+    dtabs = queries.select(id_col, vec_col).mapInPandas(
+        dtab_gen, schema="query_id long, dtabs array<array<bigint>>"
+    )
+
+    adc = (
+        qassign.join(cassign, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .join(codes.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+        .join(F.broadcast(dtabs), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("dtabs"),
+                    lambda c, t: F.element_at(t, c + F.lit(1)),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "cand_id")
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= refine)
+        .select("query_id", "cand_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cosine_sim", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
