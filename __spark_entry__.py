@@ -1390,6 +1390,23 @@ def q_prototype_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_scores(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (llmdata/sampling.py
+    percentile_buckets): per-language percent-rank of the stopword-
+    ratio quality signal, deterministic (score, id) ordering — the
+    per-language perplexity-percentile split of Wenzek et al. 2020
+    with the repo's oracle-portable quality score standing in for
+    the LM perplexity."""
+    from tmdataloader_spark.llmdata.sampling import percentile_buckets
+    from tmdataloader_spark.llmdata.text import quality_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_metrics(d).select("doc_id", "stopword_ratio").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return percentile_buckets(scored, "stopword_ratio", group_col="lang")
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (llmdata/similarity.py ivfpq_ann): coarse 16-cell
     routing + per-subspace product-quantization codebooks (4×16,
@@ -1542,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototype_scores": q_prototype_scores,
         "leakage_split": q_leakage_split,
         "ann_ivfpq": q_ann_ivfpq,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -3153,4 +3171,30 @@ def oracle_sql() -> dict[str, str]:
             FROM cl
         """,
         "ann_ivfpq": _ivfpq_oracle(),
+        # percent_rank over (score, id) is unique-ordered ⇒ identical
+        # rationals in both engines; cuts use the same literals.
+        "ccnet_buckets": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(text), ' +') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang,
+                     round(CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+              FROM t
+            ), r AS (
+              SELECT doc_id, stopword_ratio, lang,
+                     percent_rank() OVER (
+                       PARTITION BY lang ORDER BY stopword_ratio, doc_id) AS pr
+              FROM m
+            )
+            SELECT doc_id, stopword_ratio, lang,
+                   round(pr, 6) AS pctile,
+                   CASE WHEN pr < 0.333333 THEN 'head'
+                        WHEN pr < 0.666667 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r
+        """,
     }

@@ -53,6 +53,7 @@ TAIL = [
     "prototype_scores",
     "leakage_split",
     "ann_ivfpq",
+    "ccnet_buckets",
 ]
 
 

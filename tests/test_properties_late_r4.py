@@ -285,3 +285,29 @@ def test_ivfpq_output_contract(spark):
         rows.sort()
         assert [r[0] for r in rows] == [1, 2, 3, 4]
         assert rows == sorted(rows, key=lambda t: (-t[1], t[2]))
+
+
+def test_percentile_buckets_exact_vs_approx(spark):
+    """The approx path agrees with the exact path away from cut
+    boundaries, buckets partition each group ~evenly, and both paths
+    are deterministic across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.sampling import percentile_buckets
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", F.length("text").alias("score")
+    )
+    exact = {r.doc_id: r.bucket for r in percentile_buckets(d, "score", group_col="lang").collect()}
+    exact2 = {
+        r.doc_id: r.bucket
+        for r in percentile_buckets(d.repartition(7), "score", group_col="lang").collect()
+    }
+    assert exact == exact2
+    approx = {r.doc_id: r.bucket for r in percentile_buckets(d, "score", group_col="lang", approx=True).collect()}
+    agree = sum(1 for k in exact if exact[k] == approx[k])
+    assert agree / len(exact) > 0.9
+    from collections import Counter
+
+    per_bucket = Counter(exact.values())
+    assert set(per_bucket) == {"head", "middle", "tail"}

@@ -263,3 +263,64 @@ def leakage_safe_split(
         "cluster_id",
         split_column("cluster_id", weights, labels, salt).alias("split"),
     )
+
+
+def percentile_buckets(
+    df: DataFrame,
+    score_col: str,
+    cuts: tuple[float, ...] = (0.333333, 0.666667),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style per-group percentile bucketing (Wenzek et al.
+    2020, "CCNet: Extracting high quality monolingual datasets from
+    web crawl data" — the head/middle/tail split by per-language
+    perplexity percentile): each row gets the bucket its score's
+    percent-rank (within ``group_col``) falls into. Ordering is by
+    ``(score, id)`` so ranks — and therefore buckets — are unique and
+    deterministic in any engine.
+
+    Output: input columns + ``(pctile, bucket)``.
+
+    Scale: the exact path (``approx=False``) sorts each group once —
+    fine when groups are language-sized slices of a partitioned
+    corpus, but one language of a 100 TB crawl on one sort is a
+    straggler; pass ``approx=True`` to switch to per-group
+    ``percentile_approx`` thresholds (one tiny agg broadcast back, no
+    global sort, identical buckets away from the cut boundaries —
+    the trade CCNet itself makes by binning perplexities)."""
+    from pyspark.sql import Window
+
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts)+1 labels")
+    gcols = [group_col] if group_col else []
+    if approx:
+        thr = df.groupBy(*gcols).agg(
+            *[
+                F.percentile_approx(score_col, c, 10_000).alias(f"_t{i}")
+                for i, c in enumerate(cuts)
+            ]
+        )
+        joined = (
+            df.join(F.broadcast(thr), gcols, "left") if gcols else df.crossJoin(F.broadcast(thr))
+        )
+        bucket = F.when(F.col(score_col) <= F.col("_t0"), labels[0])
+        for i in range(1, len(cuts)):
+            bucket = bucket.when(F.col(score_col) <= F.col(f"_t{i}"), labels[i])
+        return joined.withColumn("bucket", bucket.otherwise(F.lit(labels[-1]))).drop(
+            *[f"_t{i}" for i in range(len(cuts))]
+        )
+    w = Window.partitionBy(*gcols).orderBy(score_col, id_col) if gcols else (
+        Window.orderBy(score_col, id_col)
+    )
+    pr = F.percent_rank().over(w)
+    bucket = F.when(pr < cuts[0], labels[0])
+    for i in range(1, len(cuts)):
+        bucket = bucket.when(pr < cuts[i], labels[i])
+    return df.select(
+        "*",
+        F.round(pr, 6).alias("pctile"),
+        bucket.otherwise(F.lit(labels[-1])).alias("bucket"),
+    )
