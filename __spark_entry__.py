@@ -851,7 +851,9 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # exact decimal sum: partial-agg-order-independent (see
+            # streaming.sessionize_batch determinism note)
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -1445,14 +1447,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 4): the driver's correctness gate checks the
-    # FIRST 50 entries. The ten queries that fell outside r03's window
-    # (six of which had never had a green oracle row: event_rollup,
-    # sessionize, asof_join, range_join, gpl_info_join,
-    # timepoint_minutes) lead the dict; ten long-stable relational
-    # queries that pytest e2e also covers (anti/semi/except/union/
-    # first_value/path_functions/move/delete/visual_attributes/
-    # timepoints — green in r01+r02+r03) are rotated to the tail.
+    # Ordering note (round 5): the driver's correctness gate checks the
+    # FIRST 50 entries. The 11 round-4 late additions that had never
+    # had a driver-green row (bm25 … ccnet_buckets — r04 VERDICT item
+    # 2) now lead positions 11-21; to make room, 11 queries green in
+    # ≥3 driver rounds (pricing_summary r2-r4; probe_stats/zscore/
+    # median_exact/probeset_collapse/dedup_keep_one/type_inference/
+    # clinical_melt/fill_in_tree/tree_closure/concept_counts r1-r4)
+    # rotate to the tail, where test_oracle_tail.py still
+    # oracle-checks them every pytest run. sessionize/event_rollup
+    # stay at the head: their float sums became decimal-exact this
+    # round and need a fresh driver verdict.
     return {
         "event_rollup": q_event_rollup,
         "sessionize": q_sessionize,
@@ -1464,20 +1469,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_block": q_ann_block,
         "summary_stats": q_summary_stats,
         "validation_rules": q_validation_rules,
-        "pricing_summary": q_pricing_summary,
-        "probe_stats": q_probe_stats,
-        "zscore": q_zscore,
-        "median_exact": q_median_exact,
-        "probeset_collapse": q_probeset_collapse,
-        "duplicate_detection": q_duplicate_detection,
-        "dedup_keep_one": q_dedup_keep_one,
-        "type_inference": q_type_inference,
-        "clinical_melt": q_clinical_melt,
-        "demographics_pivot": q_demographics_pivot,
+        "bm25": q_bm25,
+        "bm25_batch": q_bm25_batch,
+        "rrf_fuse": q_rrf_fuse,
+        "mixture_sample": q_mixture_sample,
+        "dup_ngrams": q_dup_ngrams,
+        "curation_report": q_curation_report,
+        "substr_dedup": q_substr_dedup,
+        "prototype_scores": q_prototype_scores,
+        "leakage_split": q_leakage_split,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ccnet_buckets": q_ccnet_buckets,
+        # never driver-checked in ANY round (r1-r4 audit this round):
+        "stratified_sample": q_stratified_sample,
+        "pair_counts": q_pair_counts,
+        "rollup_agg": q_rollup_agg,
+        "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "fill_in_tree": q_fill_in_tree,
-        "tree_closure": q_tree_closure,
-        "concept_counts": q_concept_counts,
         "seq_pack": q_seq_pack,
         "interval_join": q_interval_join,
         "vocab_topk": q_vocab_topk,
@@ -1485,7 +1493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
-        "winnow": q_winnow,
         "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1502,21 +1509,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "funnel": q_funnel,
-        "merge_update": q_merge_update,
         "retention": q_retention,
         # --- tail (positions 51+): stable since r01/r02, also covered
         # by pytest e2e AND oracle-checked per pytest run by
         # tests/test_oracle_tail.py; outside the driver's 50-row
-        # window. token_count/fingerprint/langid rotated here in r4
-        # (green r02+r03) to make window room for the never-checked
-        # kmeans/semantic_dedup/quota_sample; cleansing/dedup_exact/
-        # text_quality/pii_redaction/decontamination (green r03,
-        # pure-expression plans) rotated for the never-checked
-        # seq_pack/interval_join/vocab_topk/length_profile/zorder;
-        # hash_split/simhash/multimodal_meta (green r03) rotated for
-        # the never-checked incremental_dedup/json_rollup/chunk_docs;
-        # vcf_genotypes/visit_suppression (green r03, deep pytest
-        # e2e coverage) rotated for the never-checked funnel/retention.
+        # window. Rotated here in r5 (each green in ≥3 driver rounds)
+        # to make window room for the 15 queries above that had never
+        # had a driver row:
+        "duplicate_detection": q_duplicate_detection,
+        "demographics_pivot": q_demographics_pivot,
+        "winnow": q_winnow,
+        "merge_update": q_merge_update,
+        "pricing_summary": q_pricing_summary,
+        "probe_stats": q_probe_stats,
+        "zscore": q_zscore,
+        "median_exact": q_median_exact,
+        "probeset_collapse": q_probeset_collapse,
+        "dedup_keep_one": q_dedup_keep_one,
+        "type_inference": q_type_inference,
+        "clinical_melt": q_clinical_melt,
+        "fill_in_tree": q_fill_in_tree,
+        "tree_closure": q_tree_closure,
+        "concept_counts": q_concept_counts,
+        # earlier-round tail rotations (see r4 note in git history):
         "vcf_genotypes": q_vcf_genotypes,
         "visit_suppression": q_visit_suppression,
         "hash_split": q_hash_split,
@@ -1547,19 +1562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_study": q_delete_study,
         "visual_attributes": q_visual_attributes,
         "timepoints": q_timepoints,
-        # round-4 late additions (this session): oracle-checked in the
-        # pytest tail now, rotated into the driver window next round
-        "bm25": q_bm25,
-        "bm25_batch": q_bm25_batch,
-        "rrf_fuse": q_rrf_fuse,
-        "mixture_sample": q_mixture_sample,
-        "dup_ngrams": q_dup_ngrams,
-        "curation_report": q_curation_report,
-        "substr_dedup": q_substr_dedup,
-        "prototype_scores": q_prototype_scores,
-        "leakage_split": q_leakage_split,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -2816,7 +2818,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
-                   event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         # backward-inclusive as-of: DuckDB's native ASOF LEFT JOIN on
@@ -2874,7 +2877,7 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_seq
         """,
         # A11: exact median + Tukey hinges via sorted lists; the slice-median
@@ -2984,8 +2987,9 @@ def oracle_sql() -> dict[str, str]:
         # CTEs; identical 1/(k0+rank) union-sum-rank algebra on top.
         "rrf_fuse": _rrf_oracle(),
         # Indexed batch form: tf/df from unnested postings; identical
-        # score arithmetic (k1=1.2, b=0.75 -> k1+1=2.2), 6dp pre-rank
-        # rounding, per-query rank window.
+        # score arithmetic (k1=1.2, b=0.75 -> k1+1=2.2); per-term
+        # micro-unit (1e6) quantization + exact BIGINT sum mirrors
+        # bm25_batch_topk — order-insensitive, engine-portable.
         "bm25_batch": """
             WITH q(query_id, term) AS (VALUES
               (1,'spark'),(1,'shuffle'),(2,'vector'),(3,'customer'),(3,'row')
@@ -3010,11 +3014,11 @@ def oracle_sql() -> dict[str, str]:
             ), sc AS (
               SELECT q.query_id, pq.doc_id,
                      CAST(count(*) AS INT) AS n_terms_hit,
-                     round(sum(
+                     sum(CAST(round((
                        ln(1.0 + (s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5))
                        * pq.tf * 2.2
                        / (pq.tf + 1.2 * (1.0 - 0.75 + 0.75 * pq.dl / s.avgdl))
-                     ), 6) AS score
+                     ) * 1000000.0) AS BIGINT)) / 1000000.0 AS score
               FROM pq JOIN d USING (term) JOIN q USING (term) CROSS JOIN s
               GROUP BY q.query_id, pq.doc_id
             )
@@ -3116,18 +3120,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(tk.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
             FROM toks tk LEFT JOIN rebuilt r USING (doc_id)
         """,
-        # Prototype = per-label mean embedding; score = cosine(vec,
-        # prototype) rounded to 6 decimals on BOTH engines so
-        # unordered double summation can't flip the hash.
+        # Prototype = per-label centroid from QUANTIZED int64 sums
+        # (floor(x*1000), exact integer sum, floor(s/n) — the kmeans
+        # recipe), so the centroid — hence the cosine — is
+        # bit-identical regardless of summation order or engine.
         "prototype_scores": """
             WITH e AS (
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings
             ), ex AS (
-              SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+              SELECT label, generate_subscripts(v, 1) AS pos,
+                     CAST(floor(unnest(v) * 1000) AS BIGINT) AS q
               FROM e
             ), cent AS (
-              SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+              SELECT label, pos,
+                     floor(CAST(sum(q) AS DOUBLE) / count(*)) AS c
+              FROM ex GROUP BY label, pos
             ), cvec AS (
               SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
             ), grp AS (

@@ -203,13 +203,19 @@ def test_prop_prototype_scores_match_numpy(spark, vecs):
     for i, v, lab in rows:
         by_lab.setdefault(lab, []).append((i, np.array(v)))
     for lab, members in by_lab.items():
-        cent = np.mean([v for _, v in members], axis=0)
+        # the quantized-centroid recipe (floor(x*1000) -> exact int
+        # sum -> floor(s/n)), replicated exactly
+        q = np.floor(np.stack([v for _, v in members]) * 1000).astype(np.int64)
+        cent = np.floor(q.sum(axis=0) / len(members)).astype(np.int64).astype(float)
         cn = np.linalg.norm(cent)
         for i, v in members:
             vn = np.linalg.norm(v)
-            if vn == 0 or cn == 0:
-                continue  # NaN rows: only check grp_n below
             assert got[i][0] == len(members)
+            if vn == 0 or cn == 0:
+                # pinned contract: zero-norm vector or centroid ->
+                # division by zero -> NULL (Spark non-ANSI divide)
+                assert got[i][1] is None
+                continue
             assert abs(got[i][1] - round(float(v @ cent) / (vn * cn), 6)) <= 1e-6
 
 

@@ -1,0 +1,85 @@
+"""Window-rotation hygiene (r04 VERDICT item 8, made permanent).
+
+The driver's correctness gate only re-verifies the FIRST 50 entries of
+``__spark_entry__.queries()`` each round, so a query parked in the
+tail can silently go unverified-by-the-driver forever (rounds 3 and 4
+each caught real bugs — ten unchecked queries in r3, the sessionize
+float-sum flip in r4 — purely by rotating stale queries back in).
+
+This test makes the rotation policy enforceable: every gate query must
+either sit in the CURRENT window (it will be driver-checked next run)
+or have a recorded driver row in one of the LAST TWO
+``CORRECTNESS_r*.json`` files. A query that would sit out two driver
+rounds in a row turns this red, and the fix is always the same —
+rotate it into the window and move a recently-checked query out.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _last_correctness_files(n: int = 2) -> list[str]:
+    files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+
+    def roundno(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(files, key=roundno)[-n:]
+
+
+def test_every_query_recently_driver_checked():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    recent: set[str] = set()
+    for path in _last_correctness_files(2):
+        with open(path) as f:
+            recent |= set(json.load(f))
+
+    stale = [q for q in names if q not in window and q not in recent]
+    assert not stale, (
+        f"{stale} are outside the driver's {WINDOW}-row window AND have no "
+        "driver row in the last two CORRECTNESS files — rotate them into "
+        "the window (and update tests/test_oracle_tail.py TAIL) so they "
+        "cannot sit unverified for two rounds running"
+    )
+
+
+def test_recorded_driver_rows_were_green():
+    """The most recent driver verdicts for queries we KEPT in the tail
+    must have been green — parking a red query out of the window would
+    hide a known failure from the next driver run."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    tail = set(names[WINDOW:])
+    latest: dict[str, dict] = {}
+    for path in _last_correctness_files(2):  # oldest -> newest wins
+        with open(path) as f:
+            for q, row in json.load(f).items():
+                latest[q] = row
+
+    parked_red = [
+        q
+        for q in tail
+        if q in latest
+        and not (
+            latest[q].get("rows_match")
+            and latest[q].get("schema_match")
+            and latest[q].get("hash_match", True)
+        )
+    ]
+    assert not parked_red, (
+        f"{parked_red} were RED in their most recent driver check but sit "
+        "in the tail — keep failing queries in the window until green"
+    )

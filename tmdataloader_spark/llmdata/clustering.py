@@ -381,8 +381,16 @@ def prototype_scores(
     when keeping hard examples); low cosine = outlier/hard.
 
     Output: ``(id, group, grp_n, proto_cos)`` — one row per input
-    vector, ``proto_cos`` rounded to 6 decimals so the score is
-    engine-portable despite unordered float summation.
+    vector, ``proto_cos`` rounded to 6 decimals.
+
+    Determinism: the centroid is built from QUANTIZED int64 partial
+    sums (``floor(x*QUANT)``, exact integer sum, then ``floor(s/n)``
+    — the same recipe as :func:`kmeans_fit`), never from ``F.avg``
+    over raw doubles, whose cross-partition summation order is
+    nondeterministic and can flip the 6th decimal of the final
+    cosine.  Cosine is scale-tolerant, so the ~1e-3 quantization of
+    the centroid direction costs nothing for curation ranking while
+    making the score bit-identical across partitionings and engines.
 
     100 TB shape: the centroid is ONE map-side-combined
     ``groupBy(group, pos)`` sum over the posexploded vectors — the
@@ -397,15 +405,17 @@ def prototype_scores(
     v = df.select(
         F.col(id_col), F.col(group_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    q = F.transform(F.col("_v"), lambda x: F.floor(x * QUANT).cast("long"))
     cent = (
-        v.select(group_col, F.posexplode("_v").alias("_pos", "_val"))
+        v.select(group_col, F.posexplode(q).alias("_pos", "_q"))
         .groupBy(group_col, "_pos")
-        .agg(F.avg("_val").alias("_c"))
+        # exact long sum, then floor-divide: integer-deterministic
+        .agg(F.floor(F.sum("_q") / F.count("*")).cast("long").alias("_c"))
         .groupBy(group_col)
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("_pos", "_c"))),
-                lambda s: s["_c"],
+                lambda s: s["_c"].cast("double"),
             ).alias("_cv")
         )
     )
@@ -499,26 +509,31 @@ def pq_fit(
 
         return fn
 
-    for _ in range(iters):
-        sums = (
-            base.mapInPandas(
-                partials(books), schema="s int, cluster int, pos int, sm long, n long"
+    try:
+        for _ in range(iters):
+            sums = (
+                base.mapInPandas(
+                    partials(books), schema="s int, cluster int, pos int, sm long, n long"
+                )
+                .groupBy("s", "cluster", "pos")
+                .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+                .select(
+                    "s",
+                    "cluster",
+                    "pos",
+                    F.floor(F.col("sm") / F.col("n")).cast("long").alias("cv"),
+                )
+                .collect()  # ≤ m·ksub·sub rows — control plane only
             )
-            .groupBy("s", "cluster", "pos")
-            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
-            .select(
-                "s",
-                "cluster",
-                "pos",
-                F.floor(F.col("sm") / F.col("n")).cast("long").alias("cv"),
-            )
-            .collect()  # ≤ m·ksub·sub rows — control plane only
-        )
-        new = [[list(c) for c in b] for b in books]
-        for r in sums:
-            new[r["s"]][r["cluster"]][r["pos"]] = r["cv"]
-        books = new
-    return books
+            new = [[list(c) for c in b] for b in books]
+            for r in sums:
+                new[r["s"]][r["cluster"]][r["pos"]] = r["cv"]
+            books = new
+        return books
+    finally:
+        # the cache only serves the fit iterations — drop it so library
+        # callers don't accumulate one cached frame per pq_fit call
+        base.unpersist()
 
 
 def pq_encode(

@@ -46,11 +46,14 @@ def bm25_topk(
     """Top-``k`` documents by BM25 score against ``query_terms``.
 
     Returns ``(id_col, n_terms_hit, score, rank)`` ordered by
-    (score desc, id asc); ``score`` is rounded to 6 decimals BEFORE
-    ranking so the ordering — not just the printed value — is
-    engine-portable. Documents matching no query term are dropped
-    before selection (their score is exactly 0), so the k-heaps only
-    ever see the hit set.
+    (score desc, id asc); each per-term score is quantized to
+    micro-units (``round(s * 1e6)`` as a long) and the document score
+    is the exact integer sum divided by 1e6, so the ordering — not
+    just the printed value — is engine-portable AND independent of
+    summation order (float addition is not associative; integer sums
+    are). Documents matching no query term are dropped before
+    selection (their score is exactly 0), so the k-heaps only ever
+    see the hit set.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -98,19 +101,22 @@ def bm25_topk(
         )
         return idf * tf * F.lit(k1 + 1.0) / norm
 
-    score = None
+    score_q = None
     hits = None
     for i in range(len(terms)):
-        s = term_score(i)
+        # micro-unit quantization BEFORE the sum: exact long addition
+        # replaces order-sensitive float addition (same determinism
+        # recipe as clustering.QUANT / sessionize's decimal sums)
+        s = F.round(term_score(i) * F.lit(1_000_000.0)).cast("long")
         h = (F.col(f"_tf_{i}") > 0).cast("int")
-        score = s if score is None else score + s
+        score_q = s if score_q is None else score_q + s
         hits = h if hits is None else hits + h
 
     ranked = (
         scored.select(
             F.col(id_col),
             hits.alias("n_terms_hit"),
-            F.round(score, 6).alias("score"),
+            (score_q / F.lit(1_000_000.0)).alias("score"),
         )
         .filter(F.col("n_terms_hit") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col))
@@ -184,8 +190,10 @@ def bm25_batch_topk(
 
     ``queries`` is long form ``(query_id, term)``. Returns
     ``(query_id, id, n_terms_hit, score, rank)``; scoring arithmetic
-    and the 6-decimal pre-rank rounding match :func:`bm25_topk`
-    exactly, so the two forms agree query-for-query.
+    and the micro-unit quantization match :func:`bm25_topk` exactly —
+    both forms sum the SAME per-term quantized longs, and integer
+    addition is order-insensitive — so the two forms agree
+    query-for-query bit-for-bit, independent of partitioning.
 
     100 TB shape: postings are LEFT SEMI pruned to the query-term
     vocabulary before anything else (with term-partitioned postings
@@ -225,9 +233,12 @@ def bm25_batch_topk(
             * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    term_score_q = F.round(term_score * F.lit(1_000_000.0)).cast("long")
     agg = scored.groupBy("query_id", id_col).agg(
         F.count("*").cast("int").alias("n_terms_hit"),
-        F.round(F.sum(term_score), 6).alias("score"),
+        # exact integer sum of micro-unit term scores: independent of
+        # partial-aggregation order (raw double F.sum is not)
+        (F.sum(term_score_q) / F.lit(1_000_000.0)).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -251,9 +262,10 @@ def rrf_fuse(
     incomparable score scales because only RANKS enter the sum.
 
     Each input needs ``(id_col, rank)``. Returns ``(id, n_lists,
-    rrf_score, rank)`` top-``k``, with the score rounded to 6
-    decimals BEFORE ranking (ties broken by id) so the fused order is
-    engine-portable.
+    rrf_score, rank)`` top-``k``; each list's contribution is
+    quantized to micro-units (``round(1e6/(k0+rank))`` as a long) and
+    summed exactly, so the fused order is engine-portable AND
+    independent of partition/summation order (ties broken by id).
 
     100 TB shape: the inputs are top-k lists — k·N rows total — so
     the union + keyed agg + TakeOrderedAndProject is driver-bounded
@@ -263,9 +275,11 @@ def rrf_fuse(
     contribs = [
         l.select(
             F.col(id_col),
-            (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))).alias(
-                "_c"
-            ),
+            F.round(
+                F.lit(1_000_000.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))
+            )
+            .cast("long")
+            .alias("_c"),
         )
         for l in lists
     ]
@@ -276,7 +290,7 @@ def rrf_fuse(
         u.groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_lists"),
-            F.round(F.sum("_c"), 6).alias("rrf_score"),
+            (F.sum("_c") / F.lit(1_000_000.0)).alias("rrf_score"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
@@ -303,12 +317,12 @@ def rrf_bm25_oracle_sql(
         WITH la AS (SELECT doc_id, rank FROM ({a})),
         lb AS (SELECT doc_id, rank FROM ({b})),
         u AS (
-          SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM la
+          SELECT doc_id, CAST(round(1000000.0 / ({k0} + rank)) AS BIGINT) AS c FROM la
           UNION ALL
-          SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM lb
+          SELECT doc_id, CAST(round(1000000.0 / ({k0} + rank)) AS BIGINT) AS c FROM lb
         ), f AS (
           SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
-                 round(sum(c), 6) AS rrf_score
+                 sum(c) / 1000000.0 AS rrf_score
           FROM u GROUP BY doc_id
         )
         SELECT doc_id, n_lists, rrf_score,
@@ -342,10 +356,13 @@ def bm25_oracle_sql(
         f" AS df_{i}"
         for i, t in enumerate(terms)
     )
+    # per-term micro-unit quantization mirrors bm25_topk exactly: the
+    # document score is an exact BIGINT sum / 1e6, never a float sum
     score_sum = "\n + ".join(
-        f"(ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f"CAST(round((ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
         f" * d.tf_{i} * {k1 + 1.0!r}"
         f" / (d.tf_{i} + {k1!r} * (1.0 - {b!r} + {b!r} * d.dl / s.avgdl)))"
+        f" * 1000000.0) AS BIGINT)"
         for i in range(len(terms))
     )
     hit_sum = " + ".join(
@@ -368,7 +385,7 @@ def bm25_oracle_sql(
         ), scored AS (
           SELECT d.doc_id,
                  CAST({hit_sum} AS INT) AS n_terms_hit,
-                 round({score_sum}, 6) AS score
+                 ({score_sum}) / 1000000.0 AS score
           FROM d CROSS JOIN s
         )
         SELECT doc_id, n_terms_hit, score,

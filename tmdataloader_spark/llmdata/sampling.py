@@ -290,28 +290,37 @@ def percentile_buckets(
     straggler; pass ``approx=True`` to switch to per-group
     ``percentile_approx`` thresholds (one tiny agg broadcast back, no
     global sort, identical buckets away from the cut boundaries —
-    the trade CCNet itself makes by binning perplexities)."""
+    the trade CCNet itself makes by binning perplexities).
+
+    Boundary semantics differ BETWEEN the two paths by design: the
+    exact path buckets by strict ``percent_rank() < cut`` while the
+    approx path buckets by ``score <= threshold`` — a row whose score
+    equals a threshold (or ties with many rows at the cut) can land
+    one bucket lower on the approx path than on the exact path, over
+    and above the approximation error itself.  The approx path also
+    emits no ``pctile`` column (there is no rank to report)."""
     from pyspark.sql import Window
 
     if len(labels) != len(cuts) + 1:
         raise ValueError("need exactly len(cuts)+1 labels")
     gcols = [group_col] if group_col else []
     if approx:
+        # collision-safe temp names: a caller column literally named
+        # "_t0" must survive the join+drop untouched
+        tcols = [f"__pctl_t{i}" for i in range(len(cuts))]
         thr = df.groupBy(*gcols).agg(
             *[
-                F.percentile_approx(score_col, c, 10_000).alias(f"_t{i}")
-                for i, c in enumerate(cuts)
+                F.percentile_approx(score_col, c, 10_000).alias(t)
+                for t, c in zip(tcols, cuts)
             ]
         )
         joined = (
             df.join(F.broadcast(thr), gcols, "left") if gcols else df.crossJoin(F.broadcast(thr))
         )
-        bucket = F.when(F.col(score_col) <= F.col("_t0"), labels[0])
+        bucket = F.when(F.col(score_col) <= F.col(tcols[0]), labels[0])
         for i in range(1, len(cuts)):
-            bucket = bucket.when(F.col(score_col) <= F.col(f"_t{i}"), labels[i])
-        return joined.withColumn("bucket", bucket.otherwise(F.lit(labels[-1]))).drop(
-            *[f"_t{i}" for i in range(len(cuts))]
-        )
+            bucket = bucket.when(F.col(score_col) <= F.col(tcols[i]), labels[i])
+        return joined.withColumn("bucket", bucket.otherwise(F.lit(labels[-1]))).drop(*tcols)
     w = Window.partitionBy(*gcols).orderBy(score_col, id_col) if gcols else (
         Window.orderBy(score_col, id_col)
     )

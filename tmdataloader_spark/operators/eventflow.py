@@ -6,12 +6,17 @@ the two queries every event warehouse runs daily.
 
 Scale shapes:
 
-- ``funnel``: one pass per step (steps are few and fixed), each pass
-  a type-filtered scan (predicate pushed to parquet) + a per-user min
-  aggregate joined against the survivors of the previous step. All
+- ``funnel``: ONE ``isin(steps)``-filtered scan of the log (the
+  ``event_type IN (...)`` predicate pushes to parquet) cached once;
+  every per-step per-user min aggregate runs off that cached slice,
+  so the log is read exactly once however many steps there are. All
   joins are equi-joins on user_id over per-user (not per-event)
   frames; no windows over the whole log, no per-user event arrays
   (a power user with 10^6 events costs the same as anyone else).
+  Step counts are k scalars, collected eagerly (control plane, like
+  kmeans centroids) so every intermediate cache is unpersisted
+  before the function returns — callers never accumulate executor
+  memory across funnel calls.
 - ``retention``: one per-user min-date aggregate, then one join back
   to the log on user_id and one (cohort, offset) count-distinct.
 """
@@ -32,49 +37,63 @@ def funnel(
     ``steps[k]`` occurs at-or-after their earliest qualifying
     ``steps[k-1]`` event (the classic first-touch funnel). Returns one
     row per step: ``(step, step_name, n_users, conversion)`` with
-    ``conversion`` relative to step 1, rounded to 6."""
+    ``conversion`` relative to step 1, rounded to 6.
+
+    Plan: one ``isin(steps)`` scan cached (MEMORY_AND_DISK, so a
+    funnel over a huge slice spills instead of evicting), then per
+    step one per-user min aggregate + one user_id equi-join against
+    the cached previous survivors (small per-user frames — AQE
+    broadcasts them). Counts collect eagerly (k scalars), every cache
+    is unpersisted before returning, and the returned frame is a
+    k-row literal — the driver/caller collecting it re-runs nothing."""
     if not steps:
         raise ValueError("steps must be non-empty")
     t, ts = F.col(type_col), F.col(ts_col)
 
-    # survivors of each step: small per-user frames, each consumed by
-    # the next step AND its own count (and step 1 by the conversion
-    # base) — cached so the type-filtered event scans run once per
-    # step instead of once per downstream consumer
-    survivors = [
-        events.filter(t == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts).alias("_t"))
+    # the ONE event-log scan: only funnel-relevant types and columns
+    sel = (
+        events.filter(t.isin(list(steps)))
+        .select(F.col(user_col), t.alias("_type"), ts.alias("_ts"))
         .cache()
-    ]
-    for s in steps[1:]:
-        survivors.append(
-            events.filter(t == s)
-            .select(user_col, ts.alias("_ts"))
-            .join(survivors[-1], user_col)
-            .filter(F.col("_ts") >= F.col("_t"))
+    )
+    counts: list[int] = []
+    surv = None
+    try:
+        surv = (
+            sel.filter(F.col("_type") == steps[0])
             .groupBy(user_col)
             .agg(F.min("_ts").alias("_t"))
             .cache()
         )
+        counts.append(surv.count())
+        for s in steps[1:]:
+            nxt = (
+                sel.filter(F.col("_type") == s)
+                .join(surv, user_col)
+                .filter(F.col("_ts") >= F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias("_t"))
+                .cache()
+            )
+            counts.append(nxt.count())
+            surv.unpersist()
+            surv = nxt
+    finally:
+        if surv is not None:
+            surv.unpersist()
+        sel.unpersist()
 
-    per_step = [
-        f.agg(F.count("*").alias("_n")).select(
-            F.lit(k + 1).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.col("_n").alias("n_users"),
-        )
-        for k, (name, f) in enumerate(zip(steps, survivors))
-    ]
-    allsteps = per_step[0]
-    for f in per_step[1:]:
-        allsteps = allsteps.unionByName(f)
-    base = survivors[0].agg(F.count("*").alias("_base"))
-    return allsteps.crossJoin(F.broadcast(base)).select(
+    out = events.sparkSession.createDataFrame(
+        [(k + 1, name, n) for k, (name, n) in enumerate(zip(steps, counts))],
+        "step int, step_name string, n_users long",
+    )
+    # same division/rounding algebra as before (long/long -> double);
+    # base 0 -> NULL conversion, matching the SQL oracle
+    return out.select(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+        F.round(F.col("n_users") / F.lit(counts[0]).cast("long"), 6).alias("conversion"),
     )
 
 

@@ -40,7 +40,11 @@ def windowed_event_rollup(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # Sum in exact decimal(38,6) so the result is independent of
+            # partial-aggregation order (float addition is not associative;
+            # see sessionize_batch for the full rationale), then surface
+            # the contract's double.
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
@@ -61,7 +65,15 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     Spark reuses the exchange, so at 100 TB this is a single
     hash-partition of the event log, no driver state.  Gap arithmetic
     is integer microseconds (``unix_micros``) so an engine reading the
-    same micros-truncated timestamps reproduces it exactly."""
+    same micros-truncated timestamps reproduces it exactly.
+
+    Determinism: ``sum_value`` aggregates ``value`` cast to
+    ``decimal(38,6)`` — exact scaled-integer arithmetic — so the result
+    is bit-identical regardless of partition count or partial-agg
+    order.  A raw double ``F.sum`` is order-sensitive (float addition
+    is not associative) and rounding the final sum to 6dp does NOT
+    remove boundary flips, which is exactly what the round-4 driver
+    caught (CORRECTNESS_r04 hash_match=false)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     prev = F.lag(us).over(w)
@@ -80,7 +92,7 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             F.date_format(F.min("ts"), fmt).alias("session_start"),
             F.date_format(F.max("ts"), fmt).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
 
