@@ -1437,6 +1437,18 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-perplexity (llmdata/lm.py perplexity_scores):
+    the CCNet document-quality score — add-1-smoothed bigram model
+    fit in-plan (top-200 vocab + <unk>, lead-window pairs, counts),
+    each bigram type's ln-probability quantized to micro-unit longs,
+    per-doc EXACT integer sums -> avg_logprob / perplexity. The
+    oracle replays the identical quantized algebra."""
+    from tmdataloader_spark.llmdata.lm import perplexity_scores
+
+    return perplexity_scores(_t(spark, sf_dir, "documents"), vocab_size=200)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1500,7 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
         "repetition": q_repetition,
-        "tfidf": q_tfidf,
+        "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
         "json_rollup": q_json_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1520,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demographics_pivot": q_demographics_pivot,
         "winnow": q_winnow,
         "merge_update": q_merge_update,
+        "tfidf": q_tfidf,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -3147,6 +3160,64 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(cvec.cv, cvec.cv))), 6)
                      AS proto_cos
             FROM e JOIN cvec USING (label) JOIN grp ON grp.label = e.label
+        """,
+        # Bigram-LM self-perplexity: identical quantized algebra —
+        # top-199 vocab + <unk>, lead-window pairs, add-1 smoothing,
+        # per-bigram-type round(ln(p)*1e6) BIGINT, exact integer sums.
+        "lm_perplexity": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                     unnest(toks) AS w
+              FROM tk
+            ), voc AS (
+              SELECT w AS token FROM (
+                SELECT w, count(*) AS tf FROM tok GROUP BY w
+                ORDER BY tf DESC, w LIMIT 199
+              )
+            ), mapped AS (
+              SELECT doc_id, pos,
+                     CASE WHEN v.token IS NOT NULL THEN tok.w
+                          ELSE '<unk>' END AS wm
+              FROM tok LEFT JOIN voc v ON tok.w = v.token
+            ), pairs AS (
+              SELECT doc_id, wm AS w1,
+                     lead(wm) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM mapped
+            ), p2 AS (
+              SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL
+            ), uni AS (
+              SELECT wm AS w1, count(*) AS c1 FROM mapped GROUP BY wm
+            ), vs AS (
+              SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+            ), obs AS (
+              SELECT bi.w1, bi.w2,
+                     CAST(round(ln((bi.cb + 1.0) / (uni.c1 + 1.0 * vs.v))
+                                * 1000000.0) AS BIGINT) AS q
+              FROM (SELECT w1, w2, count(*) AS cb FROM p2 GROUP BY w1, w2) bi
+              JOIN uni USING (w1) CROSS JOIN vs
+            ), bo AS (
+              SELECT w1,
+                     CAST(round(ln(1.0 / (c1 + 1.0 * v)) * 1000000.0)
+                          AS BIGINT) AS q
+              FROM uni CROSS JOIN vs
+            ), sc AS (
+              SELECT p2.doc_id, coalesce(obs.q, bo.q) AS q
+              FROM p2
+              LEFT JOIN obs ON p2.w1 = obs.w1 AND p2.w2 = obs.w2
+              LEFT JOIN bo ON p2.w1 = bo.w1
+            ), agg AS (
+              SELECT doc_id, count(*) AS nb, sum(q) AS sq
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+                   round((agg.sq / 1000000.0) / agg.nb, 6) AS avg_logprob,
+                   round(exp(-((agg.sq / 1000000.0) / agg.nb)), 6) AS perplexity
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         # Split keyed on the near-dup cluster id: the dedup_clusters
         # closure feeds the same md5-bucket CASE the hash_split oracle

@@ -88,3 +88,44 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "trial_name" in pf, "partition filter did not reach the scan"
     assert q.count() == 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    must join with ZERO Exchange operators — the write-once shuffle is
+    amortized over every later join (the 100 TB co-location lever).
+    A plain parquet re-write of the same data must show Exchanges, so
+    the assertion is on bucketing, not on AQE luck."""
+    from tmdataloader_spark.llmdata.layout import read_bucketed, write_bucketed
+
+    # session warehouse dir is a static conf — use it and DROP the
+    # managed tables afterwards (which deletes their files)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(orders, "b_orders", "o_orderkey", buckets=4)
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+            "o_orderkey", buckets=4,
+        )
+        j = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"), "o_orderkey"
+        )
+        # disable broadcast so the join would NEED a shuffle without
+        # bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = j._jdf.queryExecution().explainString(jmode)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and the result is right (vs the plain join)
+        expect = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert j.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -90,11 +90,57 @@ def test_multimodal_decode_deterministic(spark, docs):
     )
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
+def test_multimodal_real_decode_requires_pil(spark, docs):
+    """Without Pillow the real path must fail fast with an actionable
+    ImportError (the PIL-present path is covered by
+    test_multimodal_real_pil_roundtrip, which importorskips)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — real path covered by the roundtrip test")
+    except ImportError:
+        pass
     from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ImportError, match="Pillow"):
         decode_media(documents_as_media(docs), fake=False)
+
+
+def test_multimodal_real_pil_roundtrip(spark):
+    """With Pillow importable: decode reads real image dimensions,
+    resize re-encodes at the target size, and undecodable bytes
+    degrade to NULLs instead of failing the job."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from tmdataloader_spark.llmdata.multimodal import decode_media, resize_media
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (120, 10, 200)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png(20, 10), None),
+        (2, "image", b"not an image", None),
+        (3, "audio", b"\x00\x01", None),
+    ]
+    from tmdataloader_spark.llmdata.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert (out[1].width, out[1].height) == (20, 10)
+    assert out[2].width is None and out[2].height is None
+    assert out[3].width is None  # non-image: PIL not attempted
+    assert all(r.duration_ms is None for r in out.values())  # no ffmpeg probe
+    assert out[2].n_bytes == len(b"not an image")
+
+    rs = {r.media_id: r for r in resize_media(media, 8, 4, fake=False).collect()}
+    with Image.open(io.BytesIO(bytes(rs[1].content))) as im:
+        assert im.size == (8, 4)
+    assert rs[2].content is None  # undecodable -> NULL passthrough
 
 
 def test_multimodal_resize_and_frames(spark, docs):
@@ -127,8 +173,14 @@ def test_multimodal_resize_and_frames(spark, docs):
         assert frames[0][2] == 32  # sha256 digest payload
     assert all(ts == idx * 1000 for f in per.values() for idx, ts, _ in f)
 
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 8, 4, fake=False)
+    # real resize needs Pillow (ImportError here, exercised for real in
+    # test_multimodal_real_pil_roundtrip when PIL exists); frame
+    # sampling stays ffmpeg-stubbed everywhere
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            resize_media(media, 8, 4, fake=False)
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
 

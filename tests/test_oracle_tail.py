@@ -25,6 +25,7 @@ TAIL = [
     "demographics_pivot",
     "winnow",
     "merge_update",
+    "tfidf",
     "pricing_summary",
     "probe_stats",
     "zscore",

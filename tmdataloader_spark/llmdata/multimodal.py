@@ -2,12 +2,20 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is
-STUBBED: `decode_media` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derives
-metadata from the bytes. The Spark-side plumbing — schema, batch
-iteration, partitioning — is real and tested; swapping in PIL/ffmpeg
-is a one-function change.
+Codec availability is environment-dependent, so every operator has
+two paths through the SAME mapInPandas seam:
+
+- ``fake=True`` (default in this container): a deterministic fake
+  decoder derives metadata/payloads from the content digest — stable
+  across runs, engines, and partitionings, so the plumbing (schema,
+  batch iteration, partitioning, 1→N frame explode) is fully tested
+  without codecs.
+- ``fake=False``: REAL decoding via PIL (Pillow) where PIL suffices
+  (image decode + resize); raises ``ImportError`` with a clear
+  message when PIL is not importable, and ``NotImplementedError``
+  for the ffmpeg-only step (video frame extraction). Tests gate on
+  ``pytest.importorskip("PIL")`` so they run wherever Pillow exists
+  and skip cleanly here.
 """
 
 from __future__ import annotations
@@ -16,6 +24,17 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+
+def _require_pil():
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "fake=False requires Pillow (PIL) on driver and executors; "
+            "install pillow or run with fake=True to exercise the "
+            "pipeline with the deterministic fake decoder"
+        ) from e
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -62,11 +81,49 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
       ``mapInPandas`` plumbing a REAL codec would use (vectorized over
       the batch, not row-at-a-time) — this is the integration point
       where PIL/ffmpeg plugs in.
-    - ``fake=False``: STUBBED (no codecs in this container)."""
+    - ``fake=False``: REAL decode — PIL reads image dimensions; rows
+      whose bytes PIL cannot parse (or non-image media, which would
+      need ffmpeg) get NULL width/height, duration_ms stays NULL for
+      everything (no ffmpeg probe), n_bytes/sha256 are always
+      computed. Requires Pillow (ImportError otherwise)."""
     if not fake:
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not available in this "
-            "container; run with fake=True to exercise the pipeline"
+        _require_pil()
+
+        def real_batches(it):
+            import io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in it:
+                contents = [
+                    bytes(c) if c is not None else b"" for c in pdf["content"]
+                ]
+                widths, heights = [], []
+                for c, mtype in zip(contents, pdf["media_type"]):
+                    w = h = None
+                    if mtype == "image" and c:
+                        try:
+                            with Image.open(io.BytesIO(c)) as im:
+                                w, h = im.size
+                        except Exception:
+                            pass  # undecodable bytes -> NULL dims
+                    widths.append(w)
+                    heights.append(h)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].astype("int64"),
+                        "media_type": pdf["media_type"],
+                        "n_bytes": [len(c) for c in contents],
+                        "sha256": [hashlib.sha256(c).hexdigest() for c in contents],
+                        "width": pd.array(widths, dtype="Int32"),
+                        "height": pd.array(heights, dtype="Int32"),
+                        "duration_ms": pd.array([None] * len(contents), dtype="Int64"),
+                    }
+                )
+
+        return df.select("media_id", "media_type", "content").mapInPandas(
+            real_batches, schema=DECODED_SCHEMA
         )
     if not use_arrow:
         content = F.coalesce(F.col("content"), F.lit(b""))
@@ -121,10 +178,47 @@ def resize_media(
     with resized content and target dims. Arrow-batched ``mapInPandas``
     — the batch loop is where PIL's ``Image.resize`` plugs in; the
     fake kernel emits a deterministic digest-derived payload of
-    ``width·height`` bytes so tests can assert sizes and stability."""
+    ``width·height`` bytes so tests can assert sizes and stability.
+
+    ``fake=False`` (requires Pillow): decodes each image, resizes to
+    (width, height) with bilinear resampling, re-encodes as PNG;
+    undecodable rows pass through with NULL content."""
     if not fake:
-        raise NotImplementedError(
-            "real image resize requires PIL, not available in this container"
+        _require_pil()
+
+        def real_batches(it):
+            import io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in it:
+                out = []
+                for c in pdf["content"]:
+                    b = bytes(c) if c is not None else b""
+                    resized = None
+                    if b:
+                        try:
+                            with Image.open(io.BytesIO(b)) as im:
+                                buf = io.BytesIO()
+                                im.resize((width, height)).save(buf, format="PNG")
+                                resized = buf.getvalue()
+                        except Exception:
+                            pass  # undecodable -> NULL content
+                    out.append(resized)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].astype("int64"),
+                        "media_type": pdf["media_type"],
+                        "content": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+        return df.select("media_id", "media_type", "content").mapInPandas(
+            real_batches,
+            schema="media_id long, media_type string, content binary, width int, height int",
         )
     n_out = width * height
 
@@ -161,10 +255,14 @@ def sample_frames(
     the ``mapInPandas`` equivalent of a UDTF explode — where ffmpeg
     frame extraction plugs in. The fake kernel derives the frame count
     from the fake-decoded duration and each frame payload from
-    sha256(content ‖ idx) — deterministic across partitionings."""
+    sha256(content ‖ idx) — deterministic across partitionings.
+
+    ``fake=False`` stays stubbed: frame extraction needs ffmpeg (PIL
+    cannot demux video), which has no Python-only fallback."""
     if not fake:
         raise NotImplementedError(
-            "real frame sampling requires ffmpeg, not available in this container"
+            "real frame sampling requires ffmpeg (PIL cannot demux video); "
+            "run with fake=True to exercise the 1->N batch plumbing"
         )
 
     def batches(it):

@@ -43,9 +43,12 @@ def funnel(
     funnel over a huge slice spills instead of evicting), then per
     step one per-user min aggregate + one user_id equi-join against
     the cached previous survivors (small per-user frames — AQE
-    broadcasts them). Counts collect eagerly (k scalars), every cache
-    is unpersisted before returning, and the returned frame is a
-    k-row literal — the driver/caller collecting it re-runs nothing."""
+    broadcasts them). All k step counts collect in ONE action (a
+    union of count aggregates — the caches populate and get reused
+    between the union's branches inside that single job, so per-job
+    overhead is paid once, not k+1 times), every cache is unpersisted
+    before returning, and the returned frame is a k-row literal — the
+    driver/caller collecting it re-runs nothing."""
     if not steps:
         raise ValueError("steps must be non-empty")
     t, ts = F.col(type_col), F.col(ts_col)
@@ -56,31 +59,35 @@ def funnel(
         .select(F.col(user_col), t.alias("_type"), ts.alias("_ts"))
         .cache()
     )
-    counts: list[int] = []
-    surv = None
-    try:
-        surv = (
-            sel.filter(F.col("_type") == steps[0])
+    survivors = [
+        sel.filter(F.col("_type") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_ts").alias("_t"))
+        .cache()
+    ]
+    for s in steps[1:]:
+        survivors.append(
+            sel.filter(F.col("_type") == s)
+            .join(survivors[-1], user_col)
+            .filter(F.col("_ts") >= F.col("_t"))
             .groupBy(user_col)
             .agg(F.min("_ts").alias("_t"))
             .cache()
         )
-        counts.append(surv.count())
-        for s in steps[1:]:
-            nxt = (
-                sel.filter(F.col("_type") == s)
-                .join(surv, user_col)
-                .filter(F.col("_ts") >= F.col("_t"))
-                .groupBy(user_col)
-                .agg(F.min("_ts").alias("_t"))
-                .cache()
+    counts_df = survivors[0].agg(F.count("*").alias("_n")).select(
+        F.lit(0).cast("int").alias("_k"), "_n"
+    )
+    for k, f in enumerate(survivors[1:], start=1):
+        counts_df = counts_df.unionByName(
+            f.agg(F.count("*").alias("_n")).select(
+                F.lit(k).cast("int").alias("_k"), "_n"
             )
-            counts.append(nxt.count())
-            surv.unpersist()
-            surv = nxt
+        )
+    try:
+        counts = [r["_n"] for r in sorted(counts_df.collect(), key=lambda r: r["_k"])]
     finally:
-        if surv is not None:
-            surv.unpersist()
+        for f in survivors:
+            f.unpersist()
         sel.unpersist()
 
     out = events.sparkSession.createDataFrame(

@@ -104,9 +104,12 @@ _SESSION_OUTPUT_SCHEMA = (
     "session_end string, n_events long, sum_value double"
 )
 # state: ordinal of the open session, its start/last-event micros,
-# running count and value sum.
+# running count and the value sum in exact micro-units (round(v*1e6)
+# accumulated as an integer — the same per-value 6dp quantization the
+# batch twin's decimal(38,6) sum applies, so stream and batch agree
+# bit-for-bit, not merely to rounding).
 _SESSION_STATE_SCHEMA = (
-    "seq long, start_us long, last_us long, n_events long, sum_value double"
+    "seq long, start_us long, last_us long, n_events long, sum_micro long"
 )
 
 
@@ -115,7 +118,7 @@ def _session_rows(key, closed):
 
     (user_id,) = key
     rows = []
-    for seq, start_us, last_us, n, sv in closed:
+    for seq, start_us, last_us, n, sv_micro in closed:
         rows.append(
             {
                 "user_id": user_id,
@@ -127,7 +130,7 @@ def _session_rows(key, closed):
                     "%Y-%m-%d %H:%M:%S"
                 ),
                 "n_events": n,
-                "sum_value": round(sv, 6),
+                "sum_value": sv_micro / 1_000_000.0,
             }
         )
     return pd.DataFrame(rows, columns=[c.split()[0] for c in _SESSION_OUTPUT_SCHEMA.split(", ")])
@@ -165,7 +168,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         if state.exists:
             seq, start_us, last_us, n, sv = state.get
         else:
-            seq, start_us, last_us, n, sv = 0, None, None, 0, 0.0
+            seq, start_us, last_us, n, sv = 0, None, None, 0, 0
 
         closed = []
         # one group's micro-batch rows may span several Arrow chunks and
@@ -180,13 +183,14 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             )
             vals = pdf["value"].to_numpy()
             for t, v in zip(ts_us, vals):
+                vq = round(float(v) * 1_000_000)  # exact micro-units
                 if start_us is None:
-                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, float(v)
+                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
                 elif t - last_us > gap_us:
                     closed.append((seq, start_us, last_us, n, sv))
-                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, float(v)
+                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
                 else:
-                    last_us, n, sv = int(t), n + 1, sv + float(v)
+                    last_us, n, sv = int(t), n + 1, sv + vq
 
         if start_us is not None:
             state.update((seq, start_us, last_us, n, sv))
