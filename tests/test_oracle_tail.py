@@ -26,6 +26,7 @@ TAIL = [
     "winnow",
     "merge_update",
     "tfidf",
+    "repetition",
     "pricing_summary",
     "probe_stats",
     "zscore",

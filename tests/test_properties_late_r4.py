@@ -25,21 +25,24 @@ def _bucket(doc_id: int, salt: str) -> int:
 
 
 def _py_bm25(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    # mirrors bm25_topk's r5 determinism algebra: each per-term score
+    # quantized to micro-unit ints, exact integer sum, /1e6 at the end
     toked = {i: t.strip().lower().split() for i, t in docs.items()}
     n = float(len(toked))
     avgdl = sum(len(v) for v in toked.values()) / n
     out = {}
     for i, toks in toked.items():
-        score = 0.0
+        score_q = 0
         hits = 0
         for t in sorted(set(x.strip().lower() for x in terms)):
             tf = float(toks.count(t))
             dfreq = float(sum(1 for v in toked.values() if t in v))
             idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
-            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            s = idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            score_q += round(s * 1_000_000)
             hits += 1 if tf > 0 else 0
         if hits > 0:
-            out[i] = (hits, round(score, 6))
+            out[i] = (hits, score_q / 1_000_000.0)
     return out
 
 

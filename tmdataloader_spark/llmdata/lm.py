@@ -93,6 +93,7 @@ def bigram_lm(
     add_k: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the add-k bigram model. Returns ``(observed, backoff)``:
 
@@ -103,8 +104,15 @@ def bigram_lm(
       appears here, so scoring's coalesce never misses).
 
     ``V`` is the mapped-unigram count, computed in-plan (one-row
-    aggregate cross-joined back — the bm25 corpus-stats shape)."""
-    vocab = lm_vocab(docs, vocab_size, text_col, id_col)
+    aggregate cross-joined back — the bm25 corpus-stats shape).
+
+    Pass ``vocab`` (an :func:`lm_vocab` frame) when the caller also
+    needs it: reusing ONE frame object makes every vocab subtree in
+    the composed plan canonically identical, so Spark's exchange
+    reuse computes the census once instead of per-branch
+    (:func:`perplexity_scores` relies on this)."""
+    if vocab is None:
+        vocab = lm_vocab(docs, vocab_size, text_col, id_col)
     pairs = _mapped_pairs(docs, vocab, text_col, id_col)
     # unigram context counts from the SAME mapped token stream the
     # pairs came from (w1 of every pair + the final token of each doc
@@ -196,7 +204,9 @@ def perplexity_scores(
     """Self-perplexity of every document under the corpus's own
     bigram model — the CCNet quality score, ready to feed
     ``percentile_buckets(..., score_col='avg_logprob')``. One lazy
-    plan (fit + score composed; no caches, no collects)."""
-    observed, backoff = bigram_lm(docs, vocab_size, add_k, text_col, id_col)
+    plan (fit + score composed; no caches, no collects) — the vocab
+    frame is shared between fit and score so its exchanges dedupe
+    via reuse instead of recomputing per branch."""
     vocab = lm_vocab(docs, vocab_size, text_col, id_col)
+    observed, backoff = bigram_lm(docs, vocab_size, add_k, text_col, id_col, vocab=vocab)
     return score_with_lm(docs, vocab, observed, backoff, text_col, id_col)

@@ -49,7 +49,17 @@ def log_transform(df: DataFrame, data_type: str, value_col: str = "intensity", l
 def probe_stats(df: DataFrame, probe_col: str = "probeset_id", log_col: str = "log_intensity") -> DataFrame:
     """A2: per-probe mean / exact median / sample stddev
     (I2B2_PROCESS_MRNA_DATA.sql:284-297). stddev coalesced to 0 like
-    the metabolomics twin (I2B2_METABOLOMICS_ZSCORE_CALC.sql:179-192)."""
+    the metabolomics twin (I2B2_METABOLOMICS_ZSCORE_CALC.sql:179-192).
+
+    Determinism note: mean/stddev are raw double aggregates, so they
+    carry the partial-agg-order sensitivity the repo otherwise
+    removes with decimal/quantized sums (see streaming.py). Kept raw
+    DELIBERATELY: parity with the reference's numeric semantics
+    matters here (z-scores feed downstream thresholds), group sizes
+    are small (assays per probe ≈ 30-100, error ≈ n·ulp ≈ 1e-14),
+    and the 6dp gate rounding gives a per-group flip probability
+    ~1e-10 — the documented probabilistic-match exception, unlike
+    the money/score sums where exact algebra costs nothing."""
     return df.groupBy(probe_col).agg(
         F.avg(log_col).alias("mean_intensity"),
         F.median(log_col).alias("median_intensity"),
