@@ -1447,6 +1447,20 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture resampling WITH upsampling
+    (llmdata/sampling.py mixture_upsample): fractions above 1.0 emit
+    repeated rows (floor(f) copies + one md5-bucket-gated extra, so
+    E[copies]=f) — the multi-epoch temperature mixture; for f<=1 the
+    kept set equals mixture_sample's exactly (pytest-asserted)."""
+    from tmdataloader_spark.llmdata.sampling import mixture_upsample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_upsample(d, "lang", alpha=0.3, target_rows=8000).select(
+        "doc_id", "lang", "copy_idx"
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 projection (llmdata/projection.py,
     Achlioptas 2003): 64-dim embeddings → 16 exact int64 components
@@ -1534,11 +1548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
         "random_projection": q_random_projection,  # NEW in r5 -> window
+        "mixture_upsample": q_mixture_upsample,  # NEW in r5 -> window
         "json_rollup": q_json_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
         "chunk_docs": q_chunk_docs,
-        "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "funnel": q_funnel,
@@ -1555,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_update": q_merge_update,
         "tfidf": q_tfidf,
         "repetition": q_repetition,
+        "ann_cosine": q_ann_cosine,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -3187,6 +3202,33 @@ def oracle_sql() -> dict[str, str]:
         # JL ±1 projection: generated oracle embeds the identical
         # derived sign literals; exact integer components both sides.
         "random_projection": _projection_oracle(),
+        # Temperature upsampling: same fraction algebra as
+        # mixture_sample's proven oracle, UNclamped (capped at 10),
+        # floor(f) copies via range() + the md5-bucket-gated extra.
+        "mixture_upsample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) AS wt FROM counts
+            ), tot AS (
+              SELECT sum(wt) AS wsum FROM w
+            ), fr AS (
+              SELECT lang,
+                     round(least(10.0, 8000.0 * (wt / wsum) / CAST(n AS DOUBLE)), 6)
+                       AS f
+              FROM w CROSS JOIN tot
+            ), fb AS (
+              SELECT lang, CAST(floor(f) AS INT) AS base,
+                     CAST(round((f - floor(f)) * 1000000) AS BIGINT) AS thr
+              FROM fr
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(unnest(range(1, fb.base
+                     + CASE WHEN ('0x'||left(md5('mixture:'||CAST(d.doc_id AS VARCHAR)),8))::bigint
+                            % 1000000 < fb.thr THEN 1 ELSE 0 END + 1)) AS INT)
+                     AS copy_idx
+            FROM documents d JOIN fb ON d.lang IS NOT DISTINCT FROM fb.lang
+        """,
         # Bigram-LM self-perplexity: identical quantized algebra —
         # top-199 vocab + <unk>, lead-window pairs, add-1 smoothing,
         # per-bigram-type round(ln(p)*1e6) BIGINT, exact integer sums.

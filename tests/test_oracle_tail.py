@@ -27,6 +27,7 @@ TAIL = [
     "merge_update",
     "tfidf",
     "repetition",
+    "ann_cosine",
     "pricing_summary",
     "probe_stats",
     "zscore",

@@ -324,3 +324,51 @@ def test_dup_ngram_short_doc_reports_zero(spark):
     # fewer tokens than n -> zero shingles -> fraction 0, row retained
     assert out[1].n_shingles == 0 and out[1].dup_fraction == 0.0
     assert len(out) == 2
+
+
+def test_mixture_upsample_expected_copies(spark):
+    """E[copies] = f per stratum: output size tracks the target, rare
+    strata get >1 copy per doc, and every source doc appears when
+    f >= 1 everywhere."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.sampling import mixture_upsample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    up = mixture_upsample(d, "lang", alpha=0.3, target_rows=800)
+    n = up.count()
+    assert abs(n - 800) <= 40  # bucket-gated extras: binomial noise
+    assert up.select("doc_id").distinct().count() == d.count()
+    # copy_idx is 1-based and dense per doc
+    per = up.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
+    )
+    bad = per.filter((F.col("mx") != F.col("k")) | (F.col("mn") != 1)).count()
+    assert bad == 0
+
+
+def test_mixture_upsample_clamped_equals_mixture_sample(spark):
+    """For targets where every fraction <= 1 the kept set (ignoring
+    copy_idx) is EXACTLY mixture_sample's — same bucket, same
+    threshold algebra."""
+    from tmdataloader_spark.llmdata.sampling import mixture_sample, mixture_upsample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # target 300 over 500 docs with alpha=1 -> every f = 0.6 < 1
+    a = {r.doc_id for r in mixture_sample(d, "lang", alpha=1.0, target_rows=300).collect()}
+    b = {r.doc_id for r in mixture_upsample(d, "lang", alpha=1.0, target_rows=300).collect()}
+    assert a == b
+
+
+def test_mixture_upsample_max_repeat_cap(spark):
+    """A tiny stratum under an aggressive target is capped at
+    max_repeat copies per doc, not exploded."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.llmdata.sampling import mixture_upsample
+
+    rows = [(i, "rare" if i < 3 else "common") for i in range(103)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    up = mixture_upsample(d, "lang", alpha=0.0, target_rows=100000, max_repeat=4.0)
+    mx = up.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 4

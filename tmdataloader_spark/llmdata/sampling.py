@@ -333,3 +333,73 @@ def percentile_buckets(
         F.round(pr, 6).alias("pctile"),
         bucket.otherwise(F.lit(labels[-1])).alias("bucket"),
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    max_repeat: float = 10.0,
+) -> DataFrame:
+    """Temperature-mixture resampling WITH upsampling: like
+    :func:`mixture_sample` but per-stratum fractions above 1.0 emit
+    REPEATED rows instead of clamping — the true multi-epoch
+    temperature mixture (rare languages/sources repeat across epochs
+    while head strata subsample), the regime mixture_sample's
+    clamp-at-1.0 deliberately avoids.
+
+    Row with fraction ``f`` emits ``floor(f)`` guaranteed copies plus
+    one more iff its md5 bucket falls under ``round(frac(f)·1e6)`` —
+    so E[copies] = f, the expected output is ``target_rows``, and for
+    ``f ≤ 1`` the kept set is EXACTLY :func:`mixture_sample`'s (same
+    bucket, same threshold; pytest-asserted). Output = input columns
+    + ``copy_idx`` (1-based); downstream shuffles spread copies by
+    (id, copy_idx), so a 10x-upsampled stratum is not a hot key.
+
+    ``max_repeat`` caps f (a 3-row stratum under an aggressive target
+    would otherwise explode thousandfold); the cap is reported by
+    :func:`mixture_fractions`-style inspection, never silent: rows
+    still carry every copy the cap allows.
+
+    100 TB shape: identical to mixture_sample — two scans, no
+    shuffle, stratum-sized broadcast; the explode multiplies rows
+    AFTER the filter so output volume is the target, not
+    corpus x max_repeat."""
+    counts = df.groupBy(F.col(stratum_col).alias("_mu_stratum")).agg(
+        F.count("*").alias("_mu_n")
+    )
+    wexpr = F.pow(F.col("_mu_n").cast("double"), F.lit(float(alpha)))
+    weighted = counts.select("_mu_stratum", "_mu_n", wexpr.alias("_w"))
+    total = weighted.agg(F.sum("_w").alias("_wsum"))
+    frac = F.round(
+        F.least(
+            F.lit(float(max_repeat)),
+            F.lit(float(target_rows)) * (F.col("_w") / F.col("_wsum"))
+            / F.col("_mu_n").cast("double"),
+        ),
+        6,
+    )
+    fr = weighted.crossJoin(F.broadcast(total)).select(
+        "_mu_stratum",
+        F.floor(frac).cast("int").alias("_mu_base"),
+        F.round((frac - F.floor(frac)) * _BUCKETS).cast("long").alias("_mu_thr"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    n_copies = F.col("_mu_base") + F.when(b < F.col("_mu_thr"), 1).otherwise(0)
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(
+            F.broadcast(fr),
+            F.col(stratum_col).eqNullSafe(F.col("_mu_stratum")),
+            "inner",
+        )
+        .withColumn("_mu_copies", copies)
+        .withColumn("copy_idx", F.explode(F.col("_mu_copies")))
+        .drop("_mu_copies")
+        .drop("_mu_stratum", "_mu_base", "_mu_thr")
+    )
