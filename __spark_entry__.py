@@ -1447,6 +1447,33 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis (operators/skew.py skew_report): top-5
+    hottest order keys in lineitem with table share — one map-side
+    count + per-task k-heap selection + a one-row total crossed in."""
+    from tmdataloader_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=5)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join losslessness (operators/skew.py salted_join): the
+    hot-key rewrite (deterministic xxhash64 salt, right side
+    replicated 4x, join on (key, salt)) must equal the PLAIN join —
+    so its oracle IS the plain SQL join, making the equivalence a
+    driver-checked contract, not just a pytest."""
+    from tmdataloader_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    return salted_join(li, o, "l_orderkey", salt=4)
+
+
 def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixture resampling WITH upsampling
     (llmdata/sampling.py mixture_upsample): fractions above 1.0 emit
@@ -1542,13 +1569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
         "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
         "random_projection": q_random_projection,  # NEW in r5 -> window
         "mixture_upsample": q_mixture_upsample,  # NEW in r5 -> window
+        "skew_report": q_skew_report,  # NEW in r5 -> window
+        "salted_join": q_salted_join,  # NEW in r5 -> window
         "json_rollup": q_json_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -1570,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "repetition": q_repetition,
         "ann_cosine": q_ann_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -3202,6 +3231,26 @@ def oracle_sql() -> dict[str, str]:
         # JL ±1 projection: generated oracle embeds the identical
         # derived sign literals; exact integer components both sides.
         "random_projection": _projection_oracle(),
+        # Hot-key diagnosis: count + share, (n desc, key) order.
+        "skew_report": """
+            WITH c AS (
+              SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+              GROUP BY l_orderkey
+            ), t AS (
+              SELECT count(*) AS total FROM lineitem
+            )
+            SELECT l_orderkey, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / t.total, 6) AS share
+            FROM c CROSS JOIN t
+            ORDER BY n_rows DESC, l_orderkey LIMIT 5
+        """,
+        # Salted-join losslessness: the oracle is the PLAIN join — the
+        # salting rewrite must not change the result multiset.
+        "salted_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_date
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
         # Temperature upsampling: same fraction algebra as
         # mixture_sample's proven oracle, UNclamped (capped at 10),
         # floor(f) copies via range() + the md5-bucket-gated extra.

@@ -28,6 +28,8 @@ TAIL = [
     "tfidf",
     "repetition",
     "ann_cosine",
+    "ngram_jaccard",
+    "minhash_lsh",
     "pricing_summary",
     "probe_stats",
     "zscore",

@@ -261,3 +261,78 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_mixture_upsample_agrees_with_batch(spark, tmp_path):
+    """The streaming upsample applies a batch-computed UNCLAMPED
+    fraction table and must emit exactly the batch twin's (doc,
+    copy_idx) multiset — content-hashed assignment, stateless
+    explode."""
+    from tmdataloader_spark.llmdata.sampling import (
+        mixture_fractions,
+        mixture_upsample,
+    )
+    from tmdataloader_spark.streaming import stream_mixture_upsample
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    src = str(tmp_path / "docs_in")
+    batch.write.parquet(src)
+    fr = mixture_fractions(batch, "lang", alpha=0.3, target_rows=800, clamp=False)
+
+    stream = spark.readStream.schema("doc_id long, lang string").parquet(src)
+    out = stream_mixture_upsample(stream, fr, "lang")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("upsample_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in spark.sql("select * from upsample_test").collect()
+        )
+    finally:
+        q.stop()
+
+    expect = sorted(
+        (r.doc_id, r.copy_idx)
+        for r in mixture_upsample(batch, "lang", alpha=0.3, target_rows=800).collect()
+    )
+    assert got == expect and len(got) > len(batch.collect())
+
+
+def test_sessionize_batch_agrees_with_builtin_session_window(spark):
+    """sessionize_batch must match Spark's built-in
+    ``F.session_window`` aggregation on real data. Boundary
+    convention: our batch form keeps an exactly-gap-separated pair in
+    ONE session (strict '>'), session_window's half-open window would
+    split it — so the builtin runs with gap+1s, which is identical
+    for integer-second timestamps."""
+    from tmdataloader_spark.streaming import sessionize_batch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> session TZ
+    )
+    ours = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in sessionize_batch(ev, gap_seconds=1800).collect()
+    }
+    builtin = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "1801 seconds").alias("w"))
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert ours.keys() == builtin.keys()
+    assert ours == builtin

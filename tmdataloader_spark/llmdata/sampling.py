@@ -101,6 +101,7 @@ def mixture_fractions(
     stratum_col: str,
     alpha: float = 0.5,
     target_rows: int = 1000,
+    clamp: bool = True,
 ) -> DataFrame:
     """Per-stratum keep fractions for temperature-based mixture
     resampling: stratum ``s`` with ``n_s`` rows gets sampling weight
@@ -115,6 +116,11 @@ def mixture_fractions(
     — stratum-cardinality sized (tiny). One keyed agg + a one-row
     total broadcast back; fractions are rounded to 6 decimals so the
     downstream hash thresholds are engine-portable.
+
+    ``clamp=False`` skips the 1.0 cap — the fraction table for the
+    UPSAMPLING consumers (:func:`mixture_upsample` and
+    ``streaming.stream_mixture_upsample``), where f > 1 means
+    repeated copies rather than an impossible keep-probability.
     """
     counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("n_rows")
@@ -122,21 +128,18 @@ def mixture_fractions(
     wexpr = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
     weighted = counts.select("stratum", "n_rows", wexpr.alias("_w"))
     total = weighted.agg(F.sum("_w").alias("_wsum"))
+    raw = (
+        F.lit(float(target_rows))
+        * (F.col("_w") / F.col("_wsum"))
+        / F.col("n_rows").cast("double")
+    )
     return (
         weighted.crossJoin(F.broadcast(total))
         .select(
             "stratum",
             "n_rows",
             F.round(F.col("_w") / F.col("_wsum"), 6).alias("weight"),
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(float(target_rows))
-                    * (F.col("_w") / F.col("_wsum"))
-                    / F.col("n_rows").cast("double"),
-                ),
-                6,
-            ).alias("fraction"),
+            F.round(F.least(F.lit(1.0), raw) if clamp else raw, 6).alias("fraction"),
         )
     )
 

@@ -264,6 +264,50 @@ def stream_mixture_sample(
     )
 
 
+def stream_mixture_upsample(
+    docs: DataFrame,
+    fractions: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    max_repeat: float = 10.0,
+) -> DataFrame:
+    """Streaming twin of ``llmdata.sampling.mixture_upsample``: apply
+    a batch-computed fraction table (``fraction`` may exceed 1.0) to
+    a document stream, emitting floor(f) copies + one bucket-gated
+    extra per row with a dense 1-based ``copy_idx``.
+
+    Same lambda contract as :func:`stream_mixture_sample` (the
+    nightly batch owns the global counts; the stream applies them via
+    a stream-static broadcast join), and the copy set for a given
+    fraction table is EXACTLY the batch twin's — assignment is
+    content-hashed and the explode is stateless, so no watermark is
+    needed."""
+    from tmdataloader_spark.llmdata.sampling import _BUCKETS, _bucket
+
+    f = F.least(F.lit(float(max_repeat)), F.round(F.col("fraction"), 6))
+    thr = fractions.select(
+        F.col("stratum").alias("_mu_stratum"),
+        F.floor(f).cast("int").alias("_mu_base"),
+        F.round((f - F.floor(f)) * _BUCKETS).cast("long").alias("_mu_thr"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    n_copies = F.col("_mu_base") + F.when(b < F.col("_mu_thr"), 1).otherwise(0)
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("_mu_stratum")),
+            "inner",
+        )
+        .withColumn("_mu_copies", copies)
+        .withColumn("copy_idx", F.explode(F.col("_mu_copies")))
+        .drop("_mu_stratum", "_mu_base", "_mu_thr", "_mu_copies")
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
