@@ -1447,6 +1447,22 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE (llmdata/bpe.py, Sennrich et al. 2016): learn 8
+    merges distributedly on a 20% md5-hash sample (one pair-count
+    scan per merge over an incrementally-cached encoding, one row to
+    the driver per round — the kmeans control-plane shape), then
+    encode EVERY document with pure string-replace expressions (the
+    double-space symbol invariant makes left-to-right replace exact
+    greedy BPE). Output (doc_id, n_pieces, enc_md5); the oracle
+    replays LEARNING (on the identical sample) and application as
+    unrolled SQL stages."""
+    from tmdataloader_spark.llmdata.bpe import bpe_apply, bpe_learn
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_apply(d, bpe_learn(d, k=8, sample_fraction=0.2))
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis (operators/skew.py skew_report): top-5
     hottest order keys in lineitem with table share — one map-side
@@ -1576,8 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_upsample": q_mixture_upsample,  # NEW in r5 -> window
         "skew_report": q_skew_report,  # NEW in r5 -> window
         "salted_join": q_salted_join,  # NEW in r5 -> window
+        "bpe_encode": q_bpe_encode,  # NEW in r5 -> window
         "json_rollup": q_json_rollup,
-        "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
         "chunk_docs": q_chunk_docs,
         "ann_lsh": q_ann_lsh,
@@ -1599,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
         "pricing_summary": q_pricing_summary,
         "probe_stats": q_probe_stats,
         "zscore": q_zscore,
@@ -1997,6 +2014,12 @@ def _curation_report_oracle() -> str:
         JOIN documents d ON d.doc_id = v.doc_id
         GROUP BY d.source
     """
+
+
+def _bpe_oracle() -> str:
+    from tmdataloader_spark.llmdata.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(8, sample_fraction=0.2)
 
 
 def _projection_oracle() -> str:
@@ -3231,6 +3254,8 @@ def oracle_sql() -> dict[str, str]:
         # JL ±1 projection: generated oracle embeds the identical
         # derived sign literals; exact integer components both sides.
         "random_projection": _projection_oracle(),
+        # BPE: learning AND application unrolled (kmeans-oracle style).
+        "bpe_encode": _bpe_oracle(),
         # Hot-key diagnosis: count + share, (n desc, key) order.
         "skew_report": """
             WITH c AS (

@@ -30,6 +30,7 @@ TAIL = [
     "ann_cosine",
     "ngram_jaccard",
     "minhash_lsh",
+    "simhash_pairs",
     "pricing_summary",
     "probe_stats",
     "zscore",
