@@ -119,3 +119,77 @@ def read_bucketed(spark, table: str) -> DataFrame:
     spec rides along from the catalog; kept as a named function so
     call sites document that the frame carries co-partitioning)."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into
+    ``ceil(total_bytes / target_bytes)`` files at ``dst_path``.
+
+    The small-files problem is THE recurring operational failure of
+    streaming/incremental ingestion at scale (every micro-batch
+    leaves a file; a year later the NameNode/listing dominates query
+    time) — compaction is the nightly job that restores scan
+    efficiency. File count derives from the actual input byte size
+    (filesystem listing — metadata, not data), the one shuffle is the
+    repartition that buys it, and ``sort_col`` optionally range-sorts
+    during the rewrite so footer min/max stats prune future scans
+    (compose with :func:`zorder_layout` for multi-column pruning).
+
+    Returns the target file count."""
+    import math
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    out = (
+        df.repartitionByRange(n_files, sort_col)
+        if sort_col
+        else df.repartition(n_files)
+    )
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def table_manifest(path: str) -> list[dict]:
+    """Per-file manifest from parquet FOOTERS (no data read): rows,
+    bytes, and per-column min/max — what a pruning reader consults
+    and what an ops dashboard graphs to decide when to compact or
+    re-cluster. Pure pyarrow metadata access; returns a list of
+    dicts sorted by file name."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        schema = md.schema.to_arrow_schema()
+        stats = {}
+        for ci, name in enumerate(schema.names):
+            los, his = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    los.append(st.min)
+                    his.append(st.max)
+            if los:
+                stats[name] = (min(los), max(his))
+        out.append(
+            {
+                "file": _os.path.basename(f),
+                "rows": md.num_rows,
+                "bytes": _os.path.getsize(f),
+                "columns": stats,
+            }
+        )
+    return out
