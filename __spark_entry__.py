@@ -1536,6 +1536,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the customer↔supplier trading
+    graph (distinct pairs from orders⋈lineitem, symmetrized), 4
+    iterations. Ranks are micro-unit longs with floor-division
+    contributions and exact-rational damping (85/100), so the result
+    is bit-identical across engines and partitionings — no float sum
+    anywhere. One edge-list shuffle per iteration, lineage broken
+    per round (localCheckpoint), the relational Pregel shape."""
+    from tmdataloader_spark.operators.graph import bipartite_edges, pagerank
+
+    edges = bipartite_edges(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return pagerank(edges, iters=4)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two derived snapshots of ``orders``: old = keys
+    with ``o_orderkey % 10 < 9``, new = keys ``% 10 > 0`` with
+    status rewritten to 'X' for keys divisible by 7 — so the diff
+    emits added (%10==0), removed (%10==9) and changed rows. ONE
+    full-outer equi-join on the key; change classification is a
+    codegen CASE over null-safe column equality (native values, no
+    stringified-payload md5 — float formatting is engine-specific)."""
+    from tmdataloader_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 < 9)
+    new = orders.filter(F.col("o_orderkey") % 10 > 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (status, priority): all four grouping sets
+    — per-cell, two marginals, grand total — in ONE shuffle (the
+    grouping-set expansion happens inside the aggregate, not as four
+    scans). Money sums in decimal(38,6) (pricing_summary regime)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (2-hour windows sliding by 1 hour) — the
+    batch twin of the streaming sliding-window aggregate; each event
+    lands in exactly two windows. ``F.window`` expands the assignment
+    inside the plan (no self-union double scan); sums are
+    decimal-exact (sessionize regime)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1547,18 +1636,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate to the tail, where test_oracle_tail.py still
     # oracle-checks them every pytest run. sessionize/event_rollup
     # stay at the head: their float sums became decimal-exact this
-    # round and need a fresh driver verdict.
+    # round and need a fresh driver verdict. Later in r5 four new
+    # queries (pagerank/snapshot_diff/cube_agg/sliding_rollup) enter
+    # the window at positions 6-9; timepoint_minutes/ann_block/
+    # summary_stats/validation_rules (all green r4) rotate to the
+    # tail to make room.
     return {
         "event_rollup": q_event_rollup,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "gpl_info_join": q_gpl_info_join,
-        "timepoint_minutes": q_timepoint_minutes,
+        "pagerank": q_pagerank,  # NEW in r5 -> window immediately
+        "snapshot_diff": q_snapshot_diff,  # NEW in r5 -> window
+        "cube_agg": q_cube_agg,  # NEW in r5 -> window
+        "sliding_rollup": q_sliding_rollup,  # NEW in r5 -> window
         "hdd_leaf_paths": q_hdd_leaf_paths,
-        "ann_block": q_ann_block,
-        "summary_stats": q_summary_stats,
-        "validation_rules": q_validation_rules,
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1606,6 +1699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "timepoint_minutes": q_timepoint_minutes,  # r5: window->tail (green r4)
+        "ann_block": q_ann_block,  # r5: window->tail (green r4)
+        "summary_stats": q_summary_stats,  # r5: window->tail (green r4)
+        "validation_rules": q_validation_rules,  # r5: window->tail (green r4)
         "duplicate_detection": q_duplicate_detection,
         "demographics_pivot": q_demographics_pivot,
         "winnow": q_winnow,
@@ -2035,7 +2132,59 @@ def _rrf_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tmdataloader_spark.operators.graph import pagerank_oracle_sql
+
     return {
+        "pagerank": pagerank_oracle_sql(iters=4),
+        "snapshot_diff": """
+            WITH oldv AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 < 9
+            ),
+            newv AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 10 > 0
+            ),
+            d AS (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                         THEN 'changed'
+                       ELSE 'unchanged'
+                     END AS change_type
+              FROM oldv o FULL OUTER JOIN newv n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT * FROM d WHERE change_type <> 'unchanged'
+        """,
+        "cube_agg": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "sliding_rollup": """
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_value
+            FROM (
+              SELECT unnest([date_trunc('hour', ts),
+                             date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                     event_type, value
+              FROM events
+            )
+            GROUP BY ws, event_type
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,

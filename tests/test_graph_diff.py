@@ -1,0 +1,106 @@
+"""Unit tests for operators/graph.py (integer-exact PageRank) and
+operators/diff.py (snapshot CDC) — invariants the oracle row can't
+express: rank-mass bounds, sink handling, CDC classification on
+hand-built frames, and option/validation behavior."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tmdataloader_spark.operators.diff import snapshot_diff
+from tmdataloader_spark.operators.graph import (
+    _INIT,
+    _TELEPORT,
+    bipartite_edges,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a -> b -> c -> a: perfectly symmetric, every node keeps mass 1.0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = {r["node"]: r["rank_micro"] for r in pagerank(e, iters=5).collect()}
+    assert rows == {"a": _INIT, "b": _INIT, "c": _INIT}
+
+
+def test_pagerank_sink_gets_teleport_floor(spark):
+    # b and c both point at a; nothing points at b or c -> after the
+    # first iteration b and c sit exactly at the teleport floor
+    e = _edges(spark, [("b", "a"), ("c", "a"), ("a", "a")])
+    rows = {r["node"]: r["rank_micro"] for r in pagerank(e, iters=3).collect()}
+    assert rows["b"] == _TELEPORT
+    assert rows["c"] == _TELEPORT
+    assert rows["a"] > rows["b"]
+
+
+def test_pagerank_mass_bounded(spark):
+    # floors only LOSE mass: total rank never exceeds n * _INIT, and
+    # every node keeps at least the teleport floor
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("d", "a")],
+    )
+    rows = pagerank(e, iters=4).collect()
+    total = sum(r["rank_micro"] for r in rows)
+    assert total <= len(rows) * _INIT
+    assert all(r["rank_micro"] >= _TELEPORT for r in rows)
+
+
+def test_bipartite_edges_symmetric(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e = bipartite_edges(orders, li)
+    fwd = e.filter(F.col("src").startswith("c")).count()
+    rev = e.filter(F.col("src").startswith("s")).count()
+    assert fwd == rev and fwd > 0
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "id int, s string, v int",
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old, new, keys=["id"]).collect()
+    }
+    # 1 only in old; 2 identical (filtered); 3 null->30 (null-safe
+    # compare flags it); 4 cased differently; 5 only in new
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, "a")], "id int, s string")
+    new = spark.createDataFrame([(1, "a")], "id int, s string")
+    out = snapshot_diff(old, new, keys=["id"], include_unchanged=True).collect()
+    assert [(r["id"], r["change_type"]) for r in out] == [(1, "unchanged")]
+    assert snapshot_diff(old, new, keys=["id"]).count() == 0
+
+
+def test_snapshot_diff_missing_compare_col_raises(spark):
+    old = spark.createDataFrame([(1, "a")], "id int, s string")
+    new = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="absent from new snapshot"):
+        snapshot_diff(old, new, keys=["id"], compare_cols=["s"])
+
+
+def test_snapshot_diff_composite_key(spark):
+    old = spark.createDataFrame([(1, 1, "x"), (1, 2, "y")], "a int, b int, s string")
+    new = spark.createDataFrame([(1, 1, "x"), (1, 3, "z")], "a int, b int, s string")
+    got = {
+        (r["a"], r["b"]): r["change_type"]
+        for r in snapshot_diff(old, new, keys=["a", "b"]).collect()
+    }
+    assert got == {(1, 2): "removed", (1, 3): "added"}

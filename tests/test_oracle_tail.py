@@ -21,6 +21,10 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "timepoint_minutes",
+    "ann_block",
+    "summary_stats",
+    "validation_rules",
     "duplicate_detection",
     "demographics_pivot",
     "winnow",

@@ -1,0 +1,164 @@
+"""Iterative graph analytics over DataFrame edge lists — PageRank in
+exact integer arithmetic (extension; the reference is batch-relational
+only, but a training-data pipeline ranks pages/hosts for crawl-quality
+weighting — the original use of PageRank, Brin & Page 1998).
+
+Scale shape (the only one that survives 100 TB of edges): the edge
+list NEVER collects to the driver and never materializes per-node
+adjacency arrays. Each iteration is
+
+    ranks ⋈ out-degree-annotated edges (hash join on src)
+    → per-edge contribution (integer div)
+    → groupBy dst sum (one shuffle, map-side combined)
+    → left join back onto the node set (teleport floor for sinks)
+
+so cost is O(iters) shuffles of the edge list, the canonical
+Pregel/GraphX plan re-expressed relationally.  Per-iteration ranks
+are cached and ``localCheckpoint``-ed to break lineage (same regime
+as ``llmdata.dedup.dedup_clusters`` label propagation — without it
+the plan doubles per round and the optimizer re-derives every prior
+iteration).
+
+Determinism: ranks are micro-units (``long``), contributions are
+integer floor-division, damping is the exact rational 85/100 applied
+as ``(85 * x) div 100`` — every engine that implements 64-bit integer
+arithmetic reproduces the result bit-for-bit regardless of partition
+count or join order (no float sums anywhere; the r04 sessionize
+lesson applied from the start).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: initial node mass, micro-units of 1.0
+_INIT = 1_000_000
+#: damping numerator/denominator (d = 0.85) and the teleport floor
+#: (1 - d) * _INIT — exact integers, no float anywhere
+_D_NUM, _D_DEN = 85, 100
+_TELEPORT = _INIT - (_D_NUM * _INIT) // _D_DEN  # 150_000
+
+
+def bipartite_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Customer↔supplier interaction graph from the order log: one
+    edge per DISTINCT (customer, supplier) trading pair, in BOTH
+    directions so the bipartite graph is strongly connected wherever
+    the undirected graph is (standard symmetrization; with only c→s
+    edges every supplier would be a rank sink).
+
+    Plan: one equi-join orders⋈lineitem on the order key (the
+    fact-table key both sides are naturally clustered on), one
+    distinct on the pair — then the reversal is a projection, not a
+    second scan."""
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list
+    ``(src, dst)``; returns ``(node, rank_micro)`` for every node
+    with at least one out-edge (with symmetrized edges: every node).
+
+    Per iteration each node sends ``rank div out_degree`` along each
+    out-edge and receives ``teleport + (85 * Σ incoming) div 100``.
+    Nodes nothing points at keep the teleport floor via the left
+    join.  Mass lost to integer floors is NOT redistributed — the
+    exactness contract (bit-identical across engines/partitionings)
+    is worth more to a data-pipeline ranking signal than the ~1e-6
+    normalization drift, and the oracle replays the identical
+    algebra."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # out-degree folded onto each edge ONCE, cached for every round
+    ann = (
+        edges.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .persist()
+    )
+    nodes = deg.select(F.col("src").alias("node")).persist()
+    ranks = nodes.select("node", F.lit(_INIT).cast("long").alias("rank_micro"))
+    ranks = ranks.localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            inc = (
+                ann.join(ranks, ann["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    F.expr("rank_micro div out_deg").alias("contrib"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("inc"))
+            )
+            nxt = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
+                "node",
+                (
+                    F.lit(_TELEPORT)
+                    + F.expr(f"({_D_NUM} * coalesce(inc, 0L)) div {_D_DEN}")
+                ).cast("long").alias("rank_micro"),
+            )
+            # break lineage: each round's plan must not contain the last
+            ranks = nxt.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        ann.unpersist()
+        nodes.unpersist()
+
+
+def pagerank_oracle_sql(iters: int = 4) -> str:
+    """DuckDB twin of :func:`bipartite_edges` + :func:`pagerank`:
+    the fixed iterations unrolled as CTEs (the kmeans/BPE oracle
+    pattern) with the identical integer algebra (``//`` floor
+    division on BIGINT matches Spark's ``div``)."""
+    ctes = [
+        """pairs AS (
+             SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                             's' || CAST(l_suppkey AS VARCHAR) AS b
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           )""",
+        """edges AS (
+             SELECT a AS src, b AS dst FROM pairs
+             UNION ALL
+             SELECT b AS src, a AS dst FROM pairs
+           )""",
+        """deg AS (
+             SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+             FROM edges GROUP BY src
+           )""",
+        f"""r0 AS (
+             SELECT src AS node, CAST({_INIT} AS BIGINT) AS rank_micro
+             FROM deg
+           )""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""i{i} AS (
+              SELECT e.dst,
+                     CAST(sum(r.rank_micro // d.out_deg) AS BIGINT) AS inc
+              FROM edges e
+                JOIN deg d ON e.src = d.src
+                JOIN r{i} r ON e.src = r.node
+              GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT n.node,
+                     CAST({_TELEPORT}
+                          + ({_D_NUM} * COALESCE(i.inc, 0)) // {_D_DEN}
+                          AS BIGINT) AS rank_micro
+              FROM (SELECT src AS node FROM deg) n
+                LEFT JOIN i{i} i ON n.node = i.dst
+            )"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT node, rank_micro FROM r{iters}"
