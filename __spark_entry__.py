@@ -1625,6 +1625,16 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type audience size: exact count_distinct (expand +
+    two-phase agg, one distinct-pair shuffle) — the oracle-checked
+    path; the HLL++ sketch twin (approx=True) is the 100 TB one-pass
+    shape, agreement-pytested within rsd."""
+    from tmdataloader_spark.operators.eventflow import user_cardinality
+
+    return user_cardinality(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1646,7 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "gpl_info_join": q_gpl_info_join,
+        "user_cardinality": q_user_cardinality,  # NEW in r5 -> window
         "pagerank": q_pagerank,  # NEW in r5 -> window immediately
         "snapshot_diff": q_snapshot_diff,  # NEW in r5 -> window
         "cube_agg": q_cube_agg,  # NEW in r5 -> window
@@ -1699,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "gpl_info_join": q_gpl_info_join,  # r5: window->tail (green r4)
         "timepoint_minutes": q_timepoint_minutes,  # r5: window->tail (green r4)
         "ann_block": q_ann_block,  # r5: window->tail (green r4)
         "summary_stats": q_summary_stats,  # r5: window->tail (green r4)
@@ -2136,6 +2147,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
+        "user_cardinality": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
         "snapshot_diff": """
             WITH oldv AS (
               SELECT o_orderkey, o_orderstatus, o_orderpriority

@@ -79,3 +79,37 @@ def test_retention_bad_period(spark, log):
 
     with pytest.raises(ValueError):
         retention(log, period="month").collect()
+
+
+def test_user_cardinality_exact(spark, log):
+    from tmdataloader_spark.operators.eventflow import user_cardinality
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_users"])
+        for r in user_cardinality(log).collect()
+    }
+    # invariant: distinct users never exceed events
+    assert all(u <= n for n, u in got.values())
+    assert got  # at least one group
+
+
+def test_user_cardinality_hll_agrees_with_exact(spark, sf_dir):
+    import os
+
+    from tmdataloader_spark.operators.eventflow import user_cardinality
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in user_cardinality(ev).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users"]
+        for r in user_cardinality(ev, approx=True, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        # HLL++ at rsd=0.02: allow a generous 5x band (3 sigma ~ 6%)
+        assert abs(approx[k] - exact[k]) <= max(2, 0.10 * exact[k]), (
+            k, exact[k], approx[k],
+        )

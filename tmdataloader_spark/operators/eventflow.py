@@ -136,3 +136,42 @@ def retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def user_cardinality(
+    events,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    approx: bool = False,
+    rsd: float = 0.02,
+):
+    """Per-group user cardinality — the audience-size profile.
+
+    ``approx=False`` (the oracle-checked gate path) uses exact
+    ``count_distinct``: Spark plans it as expand + two-phase
+    aggregate, i.e. the distinct (group, user) pairs shuffle once.
+    Exactness costs a shuffle proportional to the DISTINCT pair
+    count — fine up to billions of pairs, and the right default when
+    the number feeds billing/quotas.
+
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct``
+    (HyperLogLog++) keeps one fixed-size mergeable sketch per group
+    per partition, so the shuffle carries (groups x sketch bytes)
+    regardless of user count — the only shape that profiles
+    trillions of events in one pass. Sketch estimates are
+    partition-order-invariant (register maxima commute) but not
+    SQL-oracle-reproducible, so the gate pins the exact path and the
+    approx twin is covered by an agreement pytest (relative error
+    bounded by ~rsd)."""
+    agg = (
+        F.approx_count_distinct(user_col, rsd=rsd)
+        if approx
+        else F.count_distinct(user_col)
+    )
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            agg.alias("n_users"),
+        )
+    )
