@@ -336,3 +336,104 @@ def test_sessionize_batch_agrees_with_builtin_session_window(spark):
     }
     assert ours.keys() == builtin.keys()
     assert ours == builtin
+
+
+def test_foreach_batch_upsert_restart_and_replay(spark, tmp_path):
+    """Exactly-once keyed upsert sink: two stream generations with a
+    restart from the same checkpoint; later batch wins per key, no
+    duplicates, replayed batch commits identically, vacuum bounds
+    snapshots."""
+    from tmdataloader_spark.streaming import (
+        foreach_batch_upsert,
+        read_upserted,
+        upsert_batch,
+    )
+
+    src = str(tmp_path / "in")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, seq long"
+
+    spark.createDataFrame(
+        [(1, "a0", 0), (2, "b0", 0)], schema
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = foreach_batch_upsert(stream, tgt, keys=["id"], checkpoint_dir=ckpt, order_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["id"]: r["v"] for r in read_upserted(spark, tgt).collect()}
+    assert got == {1: "a0", 2: "b0"}
+
+    # second generation: update key 1, add key 3 — restart from the
+    # SAME checkpoint; only the new file is processed
+    spark.createDataFrame(
+        [(1, "a1", 1), (3, "c0", 1)], schema
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = foreach_batch_upsert(stream2, tgt, keys=["id"], checkpoint_dir=ckpt, order_col="seq")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    table = read_upserted(spark, tgt)
+    got = {r["id"]: r["v"] for r in table.collect()}
+    assert got == {1: "a1", 2: "b0", 3: "c0"}
+    assert table.count() == table.select("id").distinct().count()
+
+    # crash-replay: re-running the LAST batch id with the same rows
+    # must commit the identical table (idempotence)
+    import os
+
+    last = int(open(os.path.join(tgt, "_LATEST")).read())
+    replay = spark.createDataFrame([(1, "a1", 1), (3, "c0", 1)], schema)
+    upsert_batch(spark, replay, last, tgt, keys=["id"], order_col="seq")
+    got2 = {r["id"]: r["v"] for r in read_upserted(spark, tgt).collect()}
+    assert got2 == got
+
+    # vacuum keeps at most 2 snapshots
+    snaps = [n for n in os.listdir(tgt) if n.startswith("snap=")]
+    assert len(snaps) <= 2
+
+
+def test_upsert_batch_within_batch_dedup(spark, tmp_path):
+    """A batch containing several rows per key keeps the latest by
+    order_col (ties broken by key — deterministic)."""
+    from tmdataloader_spark.streaming import read_upserted, upsert_batch
+
+    tgt = str(tmp_path / "tgt2")
+    b = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1)], "id long, v string, seq long"
+    )
+    upsert_batch(spark, b, 0, tgt, keys=["id"], order_col="seq")
+    got = {r["id"]: r["v"] for r in read_upserted(spark, tgt).collect()}
+    assert got == {1: "new", 2: "x"}
+
+
+def test_read_upserted_time_travel_and_empty(spark, tmp_path):
+    from tmdataloader_spark.streaming import read_upserted, upsert_batch
+
+    tgt = str(tmp_path / "tgt3")
+    assert read_upserted(spark, tgt) is None
+    upsert_batch(
+        spark,
+        spark.createDataFrame([(1, "v0")], "id long, v string"),
+        0,
+        tgt,
+        keys=["id"],
+        vacuum_keep=5,
+    )
+    upsert_batch(
+        spark,
+        spark.createDataFrame([(1, "v1")], "id long, v string"),
+        1,
+        tgt,
+        keys=["id"],
+        vacuum_keep=5,
+    )
+    assert read_upserted(spark, tgt).collect()[0]["v"] == "v1"
+    assert read_upserted(spark, tgt, batch_id=0).collect()[0]["v"] == "v0"

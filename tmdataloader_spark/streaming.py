@@ -418,3 +418,138 @@ def interval_join_stream(
         F.date_format("l_ts", fmt).alias("l_time"),
         F.date_format("r_ts", fmt).alias("r_time"),
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert sink: exactly-once keyed MERGE from a stream into a
+# versioned parquet table (the streaming CDC landing shape).
+
+
+def _snap_dir(target_path: str, batch_id: int) -> str:
+    return f"{target_path}/snap={batch_id}"
+
+
+def _pointer_path(target_path: str) -> str:
+    return f"{target_path}/_LATEST"
+
+
+def read_upserted(spark: SparkSession, target_path: str, batch_id: int | None = None):
+    """Read the current (or a historical, ``batch_id``) snapshot of a
+    :func:`foreach_batch_upsert` target.  Returns None if no snapshot
+    has been committed yet."""
+    import os
+
+    ptr = _pointer_path(target_path)
+    if batch_id is None:
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            batch_id = int(fh.read().strip())
+    return spark.read.parquet(_snap_dir(target_path, batch_id))
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    keys: list[str],
+    order_col: str | None = None,
+    vacuum_keep: int = 2,
+) -> None:
+    """Merge one micro-batch into the versioned parquet target —
+    the body :func:`foreach_batch_upsert` hands to ``foreachBatch``,
+    callable directly for batch backfills.
+
+    Exactly-once WITHOUT a transaction log: after a crash Spark
+    replays the last uncommitted batch with the SAME ``batch_id``;
+    because the snapshot directory and pointer are keyed on that id
+    and the merge reads only snapshots ``< batch_id``, a replay
+    overwrites its own partial output and commits the identical
+    result — idempotent by construction.  The pointer file is
+    written tmp-then-rename (atomic on POSIX), so readers never see
+    a half-written snapshot.
+
+    Per batch: batch rows dedupe per key (latest by ``order_col``,
+    else first by deterministic key order), the previous snapshot's
+    non-matching rows survive via LEFT ANTI join (one broadcast-able
+    join keyed on the batch's keys — cost scales with the TARGET
+    size, which is why production tables also partition/bucket the
+    snapshot by key; ``vacuum_keep`` bounds storage at K snapshots
+    while retaining short time travel)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as _W
+
+    if order_col is not None:
+        w = _W.partitionBy(*keys).orderBy(F.col(order_col).desc(), *keys)
+    else:
+        w = _W.partitionBy(*keys).orderBy(*[F.col(k) for k in keys])
+    batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # previous committed snapshot strictly BEFORE this batch id (a
+    # replayed batch must not read its own half-written output)
+    prev_ids = []
+    if os.path.isdir(target_path):
+        for name in os.listdir(target_path):
+            if name.startswith("snap="):
+                bid = int(name.split("=", 1)[1])
+                if bid < batch_id:
+                    prev_ids.append(bid)
+    if prev_ids:
+        prev = spark.read.parquet(_snap_dir(target_path, max(prev_ids)))
+        survivors = prev.join(batch.select(*keys), keys, "left_anti")
+        merged = survivors.unionByName(batch)
+    else:
+        merged = batch
+
+    out = _snap_dir(target_path, batch_id)
+    merged.write.mode("overwrite").parquet(out)
+
+    ptr, tmp = _pointer_path(target_path), _pointer_path(target_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, ptr)
+
+    keep = sorted(prev_ids, reverse=True)[: max(0, vacuum_keep - 1)]
+    for bid in prev_ids:
+        if bid not in keep:
+            shutil.rmtree(_snap_dir(target_path, bid), ignore_errors=True)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    vacuum_keep: int = 2,
+):
+    """Attach the upsert sink to a stream: every micro-batch MERGEs
+    into the versioned parquet table at ``target_path`` (latest row
+    per key wins).  Restarting from ``checkpoint_dir`` resumes after
+    the last committed batch; a batch replayed after a crash commits
+    identically (see :func:`upsert_batch`).  Returns the started
+    StreamingQuery."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            target_path,
+            keys,
+            order_col=order_col,
+            vacuum_keep=vacuum_keep,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
