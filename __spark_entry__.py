@@ -1635,6 +1635,32 @@ def q_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_cardinality(_t(spark, sf_dir, "events"))
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profile over four orders columns: one scan, one
+    wide aggregate row (count/nulls/exact distincts/native min-max),
+    unpivoted to (column, stats) rows. Float min/max render %.6f so
+    the text is engine-portable."""
+    from tmdataloader_spark.statistic.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint of lineitem: bit_xor of
+    60-bit row-md5s — one map-side-combined aggregate, one row out;
+    the O(1) anti-entropy probe that pairs with snapshot_diff."""
+    from tmdataloader_spark.statistic.profile import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "lineitem"),
+        cols=["l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+              "l_returnflag", "l_shipdate"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1654,8 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "event_rollup": q_event_rollup,
         "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        "profile_table": q_profile_table,  # NEW in r5 -> window
+        "table_checksum": q_table_checksum,  # NEW in r5 -> window
         "user_cardinality": q_user_cardinality,  # NEW in r5 -> window
         "pagerank": q_pagerank,  # NEW in r5 -> window immediately
         "snapshot_diff": q_snapshot_diff,  # NEW in r5 -> window
@@ -1709,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "asof_join": q_asof_join,  # r5: window->tail (green r4)
+        "range_join": q_range_join,  # r5: window->tail (green r4)
         "gpl_info_join": q_gpl_info_join,  # r5: window->tail (green r4)
         "timepoint_minutes": q_timepoint_minutes,  # r5: window->tail (green r4)
         "ann_block": q_ann_block,  # r5: window->tail (green r4)
@@ -2147,6 +2175,45 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
+        "profile_table": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   printf('%.6f', min(o_totalprice)),
+                   printf('%.6f', max(o_totalprice))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+            FROM orders
+        """,
+        "table_checksum": """
+            SELECT count(*) AS n_rows,
+                   COALESCE(bit_xor(
+                     ('0x' || substr(md5(concat_ws(chr(31),
+                        coalesce(CAST(l_orderkey AS VARCHAR), chr(0)||'null'),
+                        coalesce(CAST(l_partkey AS VARCHAR), chr(0)||'null'),
+                        coalesce(CAST(l_linenumber AS VARCHAR), chr(0)||'null'),
+                        coalesce(printf('%.6f', l_quantity), chr(0)||'null'),
+                        coalesce(l_returnflag, chr(0)||'null'),
+                        coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                                 chr(0)||'null'))), 1, 15))::BIGINT
+                   ), 0) AS checksum
+            FROM lineitem
+        """,
         "user_cardinality": """
             SELECT event_type, count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users

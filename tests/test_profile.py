@@ -1,0 +1,86 @@
+"""statistic/profile.py: table profiling and order-insensitive
+content checksums."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.statistic.profile import (
+    profile_table,
+    row_hash,
+    table_checksum,
+)
+
+
+def test_profile_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 10.0), (3, "b", None), (3, "a", 9.0)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["n_distinct"] == 2
+    # numeric min/max, not lexicographic: 2.5 < 9.0 < 10.0
+    assert prof["v"]["min_value"] == "2.500000"
+    assert prof["v"]["max_value"] == "10.000000"
+
+
+def test_profile_approx_close_to_exact(spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    exact = {r["column"]: r["n_distinct"] for r in profile_table(o, ["o_custkey"]).collect()}
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(o, ["o_custkey"], approx=True).collect()
+    }
+    e, a = exact["o_custkey"], approx["o_custkey"]
+    assert abs(a - e) <= max(2, 0.10 * e)
+
+
+def test_checksum_order_and_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i / 7.0) for i in range(100)], "id long, s string, v double"
+    )
+    base = table_checksum(df).collect()[0]
+    shuffled = table_checksum(
+        df.repartition(13).orderBy(F.rand(42))
+    ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (
+        shuffled["n_rows"],
+        shuffled["checksum"],
+    )
+
+
+def test_checksum_detects_single_cell_change(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "id long, s string")
+    ca = table_checksum(a).collect()[0]["checksum"]
+    cb = table_checksum(b).collect()[0]["checksum"]
+    assert ca != cb
+
+
+def test_checksum_null_vs_text_null_differ(spark):
+    a = spark.createDataFrame([(1, None)], "id long, s string")
+    b = spark.createDataFrame([(1, "null")], "id long, s string")
+    assert (
+        table_checksum(a).collect()[0]["checksum"]
+        != table_checksum(b).collect()[0]["checksum"]
+    )
+
+
+def test_checksum_empty_table_is_zero(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    row = table_checksum(df).collect()[0]
+    assert (row["n_rows"], row["checksum"]) == (0, 0)
+
+
+def test_row_hash_in_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    vals = [r["h"] for r in df.select(row_hash(df).alias("h")).collect()]
+    assert all(0 <= v < 2**60 for v in vals)
+    assert len(set(vals)) == 50

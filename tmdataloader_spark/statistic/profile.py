@@ -1,0 +1,122 @@
+"""Table profiling and content checksums — the data-quality /
+integrity layer a 100 TB warehouse runs after every load (reference
+analogue: the statistic package's summary CSVs, statistic/summary.py,
+generalized from the clinical-variable report to ANY table; checksums
+pair with operators/diff.snapshot_diff — the cheap "did anything
+change" probe before the keyed diff).
+
+Scale shapes:
+
+* :func:`profile_table` — ONE scan; per-column stats come from a
+  single aggregate row (count/null-count/min/max are map-side
+  combined; ``n_distinct`` uses exact ``count_distinct`` by default
+  — Spark plans the multi-column case with Expand, cost ×cols — or
+  HLL++ sketches with ``approx=True``, the one-pass path when
+  profiling every column of a wide 100 TB table). The wide 1-row
+  aggregate is then unpivoted driver-side (cols × 5 values, not
+  data-sized).
+
+* :func:`table_checksum` — order-insensitive content fingerprint:
+  per-row md5 over null-sentineled, unit-separated column renderings,
+  folded with ``bit_xor`` (associative + commutative ⇒ partition- and
+  order-invariant, one map-side-combined aggregate, one row out).
+  Two tables are content-equal iff (n_rows, checksum) match — the
+  O(1)-output anti-entropy check between replicas/engines/snapshots.
+
+Float caveat (both functions): DOUBLE columns render via printf
+``%.6f`` so the text is engine-portable (raw float→string formatting
+differs between engines); profile min/max render the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+#: ASCII unit separator — never appears in the data's text columns
+_SEP = "\x1f"
+#: rendering for SQL NULL inside checksums (distinct from any value)
+_NULL = "\x00null"
+
+
+def _render(col, dt: T.DataType) -> F.Column:
+    """Engine-portable text rendering of one column or expression
+    (used by the checksum row-hash, and by profile min/max AFTER the
+    native-typed aggregate — never before: a lexicographic min over
+    pre-rendered floats would rank "9.0" above "10.0")."""
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.format_string("%.6f", c)
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column profile: ``(column, n_rows, n_null, n_distinct,
+    min_value, max_value)`` with min/max rendered as portable text.
+
+    One scan; ``approx=True`` swaps exact distincts for HLL++
+    sketches (rsd 2%) — the default for wide tables at scale, kept
+    off the oracle-checked gate path."""
+    if cols is None:
+        cols = df.columns
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c, rsd=0.02)
+            if approx
+            else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
+            nd.alias(f"_nd_{c}"),
+            _render(F.min(F.col(c)), dtypes[c]).alias(f"_min_{c}"),
+            _render(F.max(F.col(c)), dtypes[c]).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            row["_n"],
+            row[f"_null_{c}"],
+            row[f"_nd_{c}"],
+            row[f"_min_{c}"],
+            row[f"_max_{c}"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows long, n_null long, n_distinct long, "
+        "min_value string, max_value string",
+    )
+
+
+def row_hash(df: DataFrame, cols: list[str] | None = None) -> F.Column:
+    """Deterministic 60-bit row fingerprint: md5 of the
+    unit-separated portable renderings, top 15 hex digits as a
+    BIGINT (60 bits keeps the unsigned value inside int64 range in
+    every engine)."""
+    if cols is None:
+        cols = df.columns
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    rendered = [F.coalesce(_render(c, dtypes[c]), F.lit(_NULL)) for c in cols]
+    md5 = F.md5(F.concat_ws(_SEP, *rendered))
+    return F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-row content fingerprint ``(n_rows, checksum)`` —
+    bit_xor-folded row hashes, invariant to row order and
+    partitioning; equal tables ⇒ equal rows (collision odds 2^-60
+    per pair)."""
+    if cols is None:
+        cols = df.columns
+    return df.select(row_hash(df, cols).alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).cast("long").alias("checksum"),
+    )
