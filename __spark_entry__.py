@@ -1661,6 +1661,93 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HTML wrapper used by q_html_extract — both engines wrap the corpus
+#: text identically, so the gate exercises every strip rule on real
+#: content without needing an HTML column in the testdata
+_HTML_PRE = (
+    '<html><head><style>p { color: red; }</style>'
+    '<script>if (1 < 2 && 2 > 1) { var x = "t"; }</script></head>'
+    '<body><h1>Title &amp; Co</h1><p>'
+)
+_HTML_POST = (
+    '</p><!-- hidden comment --><div>tail &lt;stuff&gt;&nbsp;here</div>'
+    "<ul><li>a</li><li>b</li></ul></body></html>"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl boilerplate stripping (llmdata/text.py
+    extract_html_text): script/style/comment blocks dropped, block
+    closers become newlines, tags stripped, entities decoded — a
+    pure regexp_replace chain (codegen, no UDF) with RE2-portable
+    patterns so the SQL twin reproduces the bytes."""
+    from tmdataloader_spark.llmdata.text import extract_html_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    ext = extract_html_text(html)
+    return d.select(
+        "doc_id",
+        F.length(ext).alias("n_chars_extracted"),
+        F.md5(ext).alias("extract_md5"),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier stats (statistic/profile.py
+    mad_outliers): exact median + MAD + |x−med| > 3·MAD counts per
+    returnflag — exact medians only, no float sums (determinism
+    regime); two keyed aggs + broadcast joins, no corpus window."""
+    from tmdataloader_spark.statistic.profile import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag", k=3.0
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators/diff.py scd2_history): collapse each
+    user's event_type change log into validity intervals — one
+    user_id shuffle serves lag/run-sum/agg/lead (exchange reuse),
+    null-safe native comparisons, event_id tiebreak pins total
+    order."""
+    from tmdataloader_spark.operators.diff import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev,
+        keys=["user_id"],
+        attr_cols=["event_type"],
+        version_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture spec (llmdata/sampling.py
+    mixture_fractions_by_tokens): per-language fractions =
+    budget / actual tokens (exact long sums), clamped at 1.0 — the
+    'N billion tokens of X' production mixing contract feeding the
+    same samplers as the row-count fractions."""
+    from tmdataloader_spark.llmdata.sampling import mixture_fractions_by_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        [("en", 30000), ("zh", 15000), ("de", 25000), ("es", 10000), ("fr", 5000)],
+        "stratum string, target_tokens long",
+    )
+    return mixture_fractions_by_tokens(
+        d, targets, stratum_col="lang", token_col="n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1687,7 +1774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,  # NEW in r5 -> window
         "cube_agg": q_cube_agg,  # NEW in r5 -> window
         "sliding_rollup": q_sliding_rollup,  # NEW in r5 -> window
-        "hdd_leaf_paths": q_hdd_leaf_paths,
+        "html_extract": q_html_extract,  # NEW in r5 -> window
+        "mad_outliers": q_mad_outliers,  # NEW in r5 -> window
+        "scd2_history": q_scd2_history,  # NEW in r5 -> window
+        "token_mixture": q_token_mixture,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1705,9 +1795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "seq_pack": q_seq_pack,
-        "interval_join": q_interval_join,
-        "vocab_topk": q_vocab_topk,
         "length_profile": q_length_profile,
         "zorder": q_zorder,
         "kmeans": q_kmeans,
@@ -1735,6 +1822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "hdd_leaf_paths": q_hdd_leaf_paths,  # r5: window->tail (green r4)
+        "seq_pack": q_seq_pack,  # r5: window->tail (green r4)
+        "interval_join": q_interval_join,  # r5: window->tail (green r4)
+        "vocab_topk": q_vocab_topk,  # r5: window->tail (green r4)
         "asof_join": q_asof_join,  # r5: window->tail (green r4)
         "range_join": q_range_join,  # r5: window->tail (green r4)
         "gpl_info_join": q_gpl_info_join,  # r5: window->tail (green r4)
@@ -2170,11 +2261,118 @@ def _rrf_oracle() -> str:
     return rrf_bm25_oracle_sql(_BM25_TERMS, _RRF_TERMS_B, k_in=25, k0=60, k=20)
 
 
+def _html_extract_oracle() -> str:
+    """DuckDB twin of q_html_extract: the identical RE2-portable
+    regexp chain over the identically wrapped text (replacement
+    newlines spelled chr(10) — DuckDB string literals do not process
+    backslash escapes)."""
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    e = f"'{pre}' || text || '{post}'"
+    e = f"regexp_replace({e}, '(?is)<script\\b.*?</script\\s*>', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?is)<style\\b.*?</style\\s*>', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ', 'g')"
+    e = (
+        f"regexp_replace({e}, "
+        "'(?is)</?(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)(\\s[^>]*)?>"
+        "|<br\\s*/?\\s*>', "
+        "chr(1), 'g')"
+    )
+    e = f"regexp_replace({e}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ]:
+        e = f"replace({e}, '{ent}', '{rep}')"
+    e = f"regexp_replace({e}, '[ \\t\\f\\r\\n]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\x01[ \\x01]*', chr(10), 'g')"
+    e = f"regexp_replace({e}, '^[\\n ]+|[\\n ]+$', '', 'g')"
+    return f"""
+        SELECT doc_id,
+               CAST(length(ext) AS BIGINT) AS n_chars_extracted,
+               md5(ext) AS extract_md5
+        FROM (SELECT doc_id, {e} AS ext FROM documents)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from tmdataloader_spark.operators.graph import pagerank_oracle_sql
 
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
+        "html_extract": _html_extract_oracle(),
+        "mad_outliers": """
+            WITH med AS (
+              SELECT l_returnflag, median(l_quantity) AS med
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            dev AS (
+              SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS adev, m.med
+              FROM lineitem l JOIN med m USING (l_returnflag)
+            ),
+            stats AS (
+              SELECT l_returnflag, med, median(adev) AS mad,
+                     count(*) AS n_rows
+              FROM dev GROUP BY l_returnflag, med
+            ),
+            outl AS (
+              SELECT d.l_returnflag,
+                     count(CASE WHEN d.adev > 3.0 * s.mad THEN 1 END)
+                       AS n_outliers
+              FROM dev d JOIN stats s USING (l_returnflag)
+              GROUP BY d.l_returnflag
+            )
+            SELECT s.l_returnflag, round(s.med, 6) AS median_value,
+                   round(s.mad, 6) AS mad, s.n_rows, o.n_outliers
+            FROM stats s JOIN outl o USING (l_returnflag)
+        """,
+        "scd2_history": """
+            WITH marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR event_type IS DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            runs AS (
+              SELECT user_id, event_type, ts,
+                     sum(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run
+              FROM marked
+            ),
+            grouped AS (
+              SELECT user_id, event_type, run, min(ts) AS vf
+              FROM runs GROUP BY user_id, event_type, run
+            )
+            SELECT user_id, event_type,
+                   strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                            '%Y-%m-%d %H:%M:%S') AS valid_to
+            FROM grouped
+        """,
+        "token_mixture": """
+            WITH actual AS (
+              SELECT lang AS stratum, count(*) AS n_rows,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+              FROM documents GROUP BY lang
+            ),
+            spec(stratum, target_tokens) AS (
+              VALUES ('en', 30000), ('zh', 15000), ('de', 25000),
+                     ('es', 10000), ('fr', 5000)
+            )
+            SELECT a.stratum, a.n_rows, a.sum_tokens,
+                   round(least(CAST(s.target_tokens AS DOUBLE)
+                               / CAST(a.sum_tokens AS DOUBLE), 1.0), 6)
+                     AS fraction
+            FROM actual a JOIN spec s ON a.stratum IS NOT DISTINCT FROM s.stratum
+        """,
         "profile_table": """
             SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
                    count(*) - count(o_orderkey) AS n_null,

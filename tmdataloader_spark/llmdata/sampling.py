@@ -406,3 +406,82 @@ def mixture_upsample(
         .drop("_mu_copies")
         .drop("_mu_stratum", "_mu_base", "_mu_thr")
     )
+
+
+def mixture_fractions_by_tokens(
+    df: DataFrame,
+    targets: DataFrame,
+    stratum_col: str = "lang",
+    token_col: str = "n_chars",
+    clamp: bool = True,
+) -> DataFrame:
+    """Per-stratum keep fractions from TOKEN budgets rather than row
+    counts — how production mixtures are actually specified ("20 B
+    tokens of code, 5 B of math"): stratum ``s`` with ``T_s`` actual
+    tokens and target ``B_s`` gets fraction ``B_s / T_s`` (expected
+    kept tokens ≈ the budget, since the md5-bucket keep decision is
+    independent of document length), clamped at 1.0 unless the
+    consumer is an upsampler (``clamp=False`` — f > 1 means repeated
+    copies, exactly the :func:`mixture_upsample` contract).
+
+    ``targets`` is a tiny ``(stratum, target_tokens)`` frame (the
+    mixture spec, config-sized).  Token counts sum as LONGS — exact,
+    partition/engine-invariant (no float-sum class issue).  Output
+    ``(stratum, n_rows, sum_tokens, fraction)`` feeds the SAME
+    consumers as :func:`mixture_fractions` (batch + streaming
+    samplers/upsamplers), so one fraction-table contract serves both
+    row- and token-budgeted mixing.  One keyed agg + one broadcast
+    join of spec onto stratum aggregates; the corpus never shuffles."""
+    actual = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(token_col).cast("long")).alias("sum_tokens"),
+    )
+    spec = targets.select(
+        F.col("stratum").alias("_tgt_stratum"),
+        F.col("target_tokens").cast("double").alias("_tgt"),
+    )
+    raw = F.col("_tgt") / F.col("sum_tokens").cast("double")
+    f = F.least(raw, F.lit(1.0)) if clamp else raw
+    return (
+        actual.join(
+            F.broadcast(spec),
+            F.col("stratum").eqNullSafe(F.col("_tgt_stratum")),
+            "inner",
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "sum_tokens",
+            F.round(f, 6).alias("fraction"),
+        )
+    )
+
+
+def apply_fractions(
+    df: DataFrame,
+    fractions: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Apply a precomputed ``(stratum, fraction)`` table (from
+    :func:`mixture_fractions` or :func:`mixture_fractions_by_tokens`)
+    to a corpus: broadcast join + the portable md5-bucket threshold.
+    Works identically on batch frames and streams (the stream-static
+    join shape — ``streaming.stream_mixture_sample`` delegates here);
+    content-hashed assignment means the kept set for a given fraction
+    table is EXACTLY reproducible across runs/engines/backfills."""
+    thr = fractions.select(
+        F.col("stratum").alias("_mix_stratum"),
+        (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_mix_thr"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("_mix_stratum")),
+            "inner",
+        )
+        .filter(b < F.col("_mix_thr"))
+        .drop("_mix_stratum", "_mix_thr")
+    )

@@ -341,3 +341,44 @@ def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
 
     c = F.col(text) if isinstance(text, str) else text
     return _norm(c)
+
+
+def extract_html_text(html: Column | str) -> Column:
+    """Boilerplate-stripping HTML→text — the first step of every
+    web-crawl ingestion (the WET-extraction shape): drop
+    script/style/comment blocks, replace remaining tags with spaces,
+    decode the common entities, collapse whitespace.
+
+    Pure ``regexp_replace`` chain — whole-stage codegen, no UDF, and
+    every pattern is POSIX-portable so a SQL twin reproduces the
+    output byte-for-byte (oracle-checked). This is deliberately the
+    honest regex tier, not a DOM parser: tag soup beyond regexes
+    (conditional comments, CDATA edge cases) belongs to an optional
+    parser library behind the same column contract."""
+    c = F.col(html) if isinstance(html, str) else html
+    # script/style blocks (non-greedy, case-insensitive, dot=all)
+    out = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    # block-level OPEN and CLOSE tags become a sentinel (\x01) so the
+    # break survives the whitespace collapse below while SOURCE
+    # newlines — plain whitespace per HTML — do not
+    out = F.regexp_replace(
+        out,
+        r"(?is)</?(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)(\s[^>]*)?>"
+        r"|<br\s*/?\s*>",
+        "\x01",
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST, so &amp;lt; decodes to &lt; not <
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\f\r\n]+", " ")
+    out = F.regexp_replace(out, " ?\x01[ \x01]*", "\n")
+    return F.regexp_replace(out, r"^[\n ]+|[\n ]+$", "")

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: change_type values, in output order
 ADDED, REMOVED, CHANGED = "added", "removed", "changed"
@@ -92,3 +92,57 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: collapse a keyed change log
+    into validity intervals — one row per (key, run of identical
+    attributes), with ``valid_from`` = first version of the run and
+    ``valid_to`` = the next run's first version (NULL while current).
+
+    The warehouse shape downstream of :func:`snapshot_diff`: diffs
+    say WHAT changed per day; SCD2 says WHEN each attribute state
+    held, which is what point-in-time joins (training-data
+    "as-of-date" feature lookups) consume.
+
+    Plan: ONE shuffle on the key columns serves the change-detection
+    lag window, the run-id running sum, the per-run aggregate, and
+    the valid_to lead window — Spark reuses the exchange across all
+    four (the sessionize_batch regime).  Change detection is
+    null-safe equality on NATIVE values (no stringified-payload
+    hashing; engine-portable by construction).  ``tiebreak_cols``
+    pins a total order when ``version_col`` has duplicates —
+    REQUIRED for determinism if versions can tie."""
+    order = [F.col(version_col)] + [
+        F.col(c) for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+            for c in attr_cols
+        ],
+    )
+    first_row = F.lag(F.col(version_col)).over(w).isNull()
+    run = F.sum(
+        F.when(first_row | changed, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (
+        df.withColumn("_run", run)
+        .groupBy(*keys, "_run", *attr_cols)
+        .agg(F.min(version_col).alias("valid_from"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return runs.select(
+        *keys,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

@@ -120,3 +120,49 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).cast("long").alias("checksum"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier statistics per group: exact median, MAD (median
+    absolute deviation), and the count of |x − median| > k·MAD rows.
+
+    Medians are EXACT (``F.median``), not float sums, so the result
+    is partition/engine-invariant (the determinism regime); the
+    length-profile/quality-score analogue for numeric columns —
+    Gopher-style filters clamp on exactly these statistics. Two
+    keyed aggregates + one broadcast-able join of group-sized
+    medians back onto the rows; no window over the corpus."""
+    gname = group_col or "_all"
+    base = df if group_col else df.withColumn("_all", F.lit("all"))
+    med = base.groupBy(gname).agg(F.median(value_col).alias("med"))
+    dev = (
+        base.join(F.broadcast(med), gname)
+        .withColumn("_adev", F.abs(F.col(value_col) - F.col("med")))
+    )
+    stats = dev.groupBy(gname, "med").agg(
+        F.median("_adev").alias("mad"), F.count("*").alias("n_rows")
+    )
+    return (
+        dev.join(
+            F.broadcast(stats.select(gname, F.col("mad").alias("_mad"))), gname
+        )
+        .groupBy(gname)
+        .agg(
+            F.count(
+                F.when(F.col("_adev") > F.lit(float(k)) * F.col("_mad"), 1)
+            ).alias("n_outliers")
+        )
+        .join(stats, gname)
+        .select(
+            F.col(gname).alias(group_col or "group_key"),
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+    )

@@ -244,23 +244,10 @@ def stream_mixture_sample(
     watermark, and because assignment is content-hashed the stream's
     kept set is EXACTLY the batch twin's kept set for the same
     fraction table (agreement pytest), not merely approximately."""
-    from tmdataloader_spark.llmdata.sampling import _BUCKETS, _bucket
+    from tmdataloader_spark.llmdata.sampling import apply_fractions
 
-    # internal aliases so a stream column named "stratum" never makes
-    # the join ambiguous or gets dropped (same fix as the batch twin)
-    thr = fractions.select(
-        F.col("stratum").alias("_mix_stratum"),
-        (F.round(F.col("fraction") * _BUCKETS)).cast("long").alias("_mix_thr"),
-    )
-    b = _bucket(F.col(id_col), salt)
-    return (
-        docs.join(
-            F.broadcast(thr),
-            F.col(stratum_col).eqNullSafe(F.col("_mix_stratum")),
-            "inner",
-        )
-        .filter(b < F.col("_mix_thr"))
-        .drop("_mix_stratum", "_mix_thr")
+    return apply_fractions(
+        docs, fractions, stratum_col=stratum_col, id_col=id_col, salt=salt
     )
 
 
