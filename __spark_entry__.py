@@ -1748,6 +1748,59 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 event types by count — the trending-dashboard
+    shape: one keyed agg to (hour, type, n) then a rank window over
+    hour-sized groups (bounded frames — the window input is
+    group-cardinality rows, never the event log; tiebreak by type
+    pins determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour_bucket").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "hour_bucket", "event_type", "n_events",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour TIME-RANGE window per user (RANGE frame on
+    event-time micros, not ROWS — all peers with equal timestamps
+    join the frame in every engine, so ties cannot flip results):
+    running event count + decimal-exact value sum over
+    [ts − 1 h, ts]. One user_id shuffle; the value-based frame is
+    the streaming trailing-aggregate twin."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("event_time"),
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1778,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,  # NEW in r5 -> window
         "scd2_history": q_scd2_history,  # NEW in r5 -> window
         "token_mixture": q_token_mixture,  # NEW in r5 -> window
+        "trending": q_trending,  # NEW in r5 -> window
+        "range_window": q_range_window,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1795,8 +1850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "length_profile": q_length_profile,
-        "zorder": q_zorder,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1822,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "length_profile": q_length_profile,  # r5: window->tail (green r4)
+        "zorder": q_zorder,  # r5: window->tail (green r4)
         "hdd_leaf_paths": q_hdd_leaf_paths,  # r5: window->tail (green r4)
         "seq_pack": q_seq_pack,  # r5: window->tail (green r4)
         "interval_join": q_interval_join,  # r5: window->tail (green r4)
@@ -2305,6 +2360,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
         "html_extract": _html_extract_oracle(),
+        "trending": """
+            WITH counts AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour_bucket,
+                     event_type, count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour_bucket, event_type, n_events, rank
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY hour_bucket
+                       ORDER BY n_events DESC, event_type) AS rank
+              FROM counts
+            ) WHERE rank <= 3
+        """,
+        "range_window": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+                   count(*) OVER w AS n_trailing,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                     AS sum_trailing
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
         "mad_outliers": """
             WITH med AS (
               SELECT l_returnflag, median(l_quantity) AS med
