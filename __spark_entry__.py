@@ -1801,6 +1801,19 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift monitor (llmdata/sampling.py
+    mixture_drift): per-language shares of the current corpus vs a
+    reference generation (here: the doc_id % 3 != 0 subset) with the
+    KL contribution p*ln(p/q) per stratum — new/vanished strata
+    surface as NULL kl_term rows. Two tiny aggs + one-row total
+    broadcasts; corpora never shuffle."""
+    from tmdataloader_spark.llmdata.sampling import mixture_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_drift(d, d.filter(F.col("doc_id") % 3 != 0), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1833,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture": q_token_mixture,  # NEW in r5 -> window
         "trending": q_trending,  # NEW in r5 -> window
         "range_window": q_range_window,  # NEW in r5 -> window
+        "mixture_drift": q_mixture_drift,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1850,7 +1864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
@@ -1875,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "kmeans": q_kmeans,  # r5: window->tail (green r4)
         "length_profile": q_length_profile,  # r5: window->tail (green r4)
         "zorder": q_zorder,  # r5: window->tail (green r4)
         "hdd_leaf_paths": q_hdd_leaf_paths,  # r5: window->tail (green r4)
@@ -2360,6 +2374,34 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
         "html_extract": _html_extract_oracle(),
+        "mixture_drift": """
+            WITH cur AS (
+              SELECT lang AS stratum, count(*) AS n_current
+              FROM documents GROUP BY lang
+            ),
+            ref AS (
+              SELECT lang AS stratum, count(*) AS n_reference
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+            ),
+            j AS (
+              SELECT COALESCE(c.stratum, r.stratum) AS stratum,
+                     COALESCE(c.n_current, 0) AS n_current,
+                     COALESCE(r.n_reference, 0) AS n_reference
+              FROM cur c FULL OUTER JOIN ref r
+                ON c.stratum IS NOT DISTINCT FROM r.stratum
+            ),
+            t AS (SELECT (SELECT sum(n_current) FROM j) AS ct,
+                         (SELECT sum(n_reference) FROM j) AS rt)
+            SELECT stratum, n_current, n_reference,
+                   round(CAST(n_current AS DOUBLE) / ct, 6) AS share_current,
+                   round(CAST(n_reference AS DOUBLE) / rt, 6) AS share_reference,
+                   CASE WHEN n_current > 0 AND n_reference > 0 THEN
+                     round((CAST(n_current AS DOUBLE) / ct)
+                           * ln((CAST(n_current AS DOUBLE) / ct)
+                                / (CAST(n_reference AS DOUBLE) / rt)), 6)
+                   END AS kl_term
+            FROM j CROSS JOIN t
+        """,
         "trending": """
             WITH counts AS (
               SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -99,3 +99,25 @@ def test_align_to_is_projection_only(spark):
             T.StructField("b", T.StringType(), True),
         ]
     )
+
+
+def test_schema_drift_report(spark):
+    from tmdataloader_spark.sources.columnar import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 2)], "id long, s string, gone int")
+    new = spark.createDataFrame([(1, "a", 2.0)], "id long, s string, v double")
+    got = {
+        r["column"]: (r["status"], r["old_type"], r["new_type"])
+        for r in schema_drift(old, new).collect()
+    }
+    assert got["id"] == ("unchanged", "bigint", "bigint")
+    assert got["gone"] == ("removed", "int", None)
+    assert got["v"] == ("added", None, "double")
+
+
+def test_schema_drift_retyped(spark):
+    from tmdataloader_spark.sources.columnar import schema_drift
+
+    old = spark.createDataFrame([(1,)], "v int")
+    new = spark.createDataFrame([(1.0,)], "v double")
+    assert schema_drift(old, new).collect()[0]["status"] == "retyped"

@@ -145,3 +145,29 @@ def test_token_mixture_clamp_off(spark):
         docs, targets, "lang", "n_chars", clamp=False
     ).collect()[0]["fraction"]
     assert f == 5.0
+
+
+def test_mixture_drift_shares_and_edges(spark):
+    from tmdataloader_spark.llmdata.sampling import mixture_drift
+
+    cur = spark.createDataFrame(
+        [(i, "en") for i in range(6)]
+        + [(10 + i, "zh") for i in range(2)]
+        + [(20, "new")],
+        "doc_id long, lang string",
+    )
+    ref = spark.createDataFrame(
+        [(i, "en") for i in range(4)]
+        + [(10 + i, "zh") for i in range(4)]
+        + [(30, "old")],
+        "doc_id long, lang string",
+    )
+    got = {r["stratum"]: r for r in mixture_drift(cur, ref, "lang").collect()}
+    assert set(got) == {"en", "zh", "new", "old"}
+    # new stratum: present now, absent in reference -> NULL kl
+    assert got["new"]["n_reference"] == 0 and got["new"]["kl_term"] is None
+    assert got["old"]["n_current"] == 0 and got["old"]["kl_term"] is None
+    # en grew (p > q) -> positive contribution; zh shrank -> negative
+    assert got["en"]["kl_term"] > 0
+    assert got["zh"]["kl_term"] < 0
+    assert abs(got["en"]["share_current"] - 6 / 9) < 1e-6

@@ -485,3 +485,55 @@ def apply_fractions(
         .filter(b < F.col("_mix_thr"))
         .drop("_mix_stratum", "_mix_thr")
     )
+
+
+def mixture_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Distribution-drift monitor between two corpus generations: per
+    stratum, the share in each corpus and the KL-divergence
+    contribution ``p·ln(p/q)`` (summing the column gives
+    KL(current‖reference) — left to the consumer so no cross-row
+    float sum enters the deterministic output; the per-row ln of
+    long-count ratios matches across engines at 6dp, the tfidf
+    precedent).
+
+    New strata (q=0) and vanished strata (p=0) surface as rows with a
+    NULL ``kl_term`` rather than infinities — at 100 TB these are
+    exactly the rows a mixture owner pages on. Cost: two tiny keyed
+    aggs + one-row total broadcasts + a stratum-sized full outer
+    join; the corpora never shuffle."""
+    cur = current.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_current")
+    )
+    ref = reference.groupBy(F.col(stratum_col).alias("_ref_stratum")).agg(
+        F.count("*").alias("n_reference")
+    )
+    cur_t = cur.agg(F.sum("n_current").alias("_ct"))
+    ref_t = ref.agg(F.sum("n_reference").alias("_rt"))
+    joined = (
+        cur.join(ref, F.col("stratum").eqNullSafe(F.col("_ref_stratum")), "full_outer")
+        .select(
+            F.coalesce(F.col("stratum"), F.col("_ref_stratum")).alias("stratum"),
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+            F.coalesce("n_reference", F.lit(0)).alias("n_reference"),
+        )
+        .crossJoin(F.broadcast(cur_t))
+        .crossJoin(F.broadcast(ref_t))
+    )
+    p = F.col("n_current").cast("double") / F.col("_ct").cast("double")
+    q = F.col("n_reference").cast("double") / F.col("_rt").cast("double")
+    kl = F.when(
+        (F.col("n_current") > 0) & (F.col("n_reference") > 0),
+        F.round(p * F.log(p / q), 6),
+    )
+    return joined.select(
+        "stratum",
+        "n_current",
+        "n_reference",
+        F.round(p, 6).alias("share_current"),
+        F.round(q, 6).alias("share_reference"),
+        kl.alias("kl_term"),
+    )

@@ -124,3 +124,29 @@ def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level drift report between two dataset generations:
+    ``(column, status, old_type, new_type)`` with status ∈ added /
+    removed / retyped / unchanged — the metadata twin of
+    ``operators.diff.snapshot_diff`` (pure schema work, no data
+    scan; the report a nightly loader logs before deciding whether
+    :func:`read_evolved`'s widening covers the drift or a migration
+    is due)."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    order = list(o) + [c for c in n if c not in o]
+    rows = []
+    for c in order:
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "retyped", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )
