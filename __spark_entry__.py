@@ -1814,6 +1814,21 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_drift(d, d.filter(F.col("doc_id") % 3 != 0), "lang")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted without-replacement sampling (llmdata/
+    sampling.py weighted_sample): 20 docs per language with
+    probability ∝ n_chars via A-Res exponential keys (−ln(u)/w on the
+    portable md5 uniform, 6dp-rounded before ranking — the BM25
+    ordering regime); two-phase top-k so heavy strata never
+    single-task sort."""
+    from tmdataloader_spark.llmdata.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, k=20, weight_col="n_chars", stratum_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1847,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,  # NEW in r5 -> window
         "range_window": q_range_window,  # NEW in r5 -> window
         "mixture_drift": q_mixture_drift,  # NEW in r5 -> window
+        "weighted_sample": q_weighted_sample,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1864,7 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
         "dedup_clusters": q_dedup_clusters,
@@ -1888,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "semantic_dedup": q_semantic_dedup,  # r5: window->tail (green r4)
         "kmeans": q_kmeans,  # r5: window->tail (green r4)
         "length_profile": q_length_profile,  # r5: window->tail (green r4)
         "zorder": q_zorder,  # r5: window->tail (green r4)
@@ -2374,6 +2390,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
         "html_extract": _html_extract_oracle(),
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN n_chars > 0 THEN
+                       round(-ln(((('0x'||left(md5('wsample:'
+                                 ||CAST(doc_id AS VARCHAR)),8))::BIGINT
+                                 % 1000000) + 0.5) / 1000000.0)
+                             / CAST(n_chars AS DOUBLE), 6)
+                     END AS wk
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (wk IS NULL), wk, doc_id) AS r
+              FROM keyed
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE r <= 20
+        """,
         "mixture_drift": """
             WITH cur AS (
               SELECT lang AS stratum, count(*) AS n_current

@@ -171,3 +171,44 @@ def test_mixture_drift_shares_and_edges(spark):
     assert got["en"]["kl_term"] > 0
     assert got["zh"]["kl_term"] < 0
     assert abs(got["en"]["share_current"] - 6 / 9) < 1e-6
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from tmdataloader_spark.llmdata.sampling import weighted_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=50): the heavy half
+    # must dominate a k=100 draw
+    rows = [(i, 1.0) for i in range(500)] + [(500 + i, 50.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, k=100, weight_col="w")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i >= 500)
+    assert heavy > 80  # E[heavy] ~ 98; even 3 sigma stays > 80
+    # deterministic across partitionings
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), k=100, weight_col="w").collect()
+    }
+    assert ids == ids2
+
+
+def test_weighted_sample_zero_weight_never_wins(spark):
+    from tmdataloader_spark.llmdata.sampling import weighted_sample
+
+    rows = [(1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    ids = {r["doc_id"] for r in weighted_sample(df, k=2, weight_col="w").collect()}
+    assert ids == {3, 4}
+
+
+def test_weighted_sample_per_stratum_cap(spark):
+    from tmdataloader_spark.llmdata.sampling import weighted_sample
+
+    rows = [(i, "a", 1.0) for i in range(30)] + [(100 + i, "b", 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, w double")
+    got = weighted_sample(df, k=10, weight_col="w", stratum_col="s")
+    per = {r["s"]: 0 for r in got.collect()}
+    for r in got.collect():
+        per[r["s"]] = per.get(r["s"], 0) + 1
+    assert per["a"] == 10 and per["b"] == 5

@@ -537,3 +537,57 @@ def mixture_drift(
         F.round(q, 6).alias("share_reference"),
         kl.alias("kl_term"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — ``k`` rows (per
+    stratum, if given) drawn with probability proportional to
+    ``weight_col`` (importance-weighted corpus selection: quality
+    scores, dedup cluster sizes, domain priors).
+
+    A-Res exponential keys (Efraimidis & Spirakis 2006): each row
+    draws ``u ∈ (0,1)`` from its portable md5 bucket and competes on
+    ``key = −ln(u) / w`` — the SMALLEST ``k`` keys are exactly a
+    weight-proportional without-replacement draw.  ``u`` is
+    content-hashed, so the sample is deterministic across
+    runs/engines/partitionings and stable under appends (a new row
+    enters only by displacing the current boundary key); keys are
+    rounded to 6dp before ranking with the id tie-break, the BM25
+    ordering-portability regime.  Zero/negative weights never win
+    (key = +inf surrogate).
+
+    100 TB shape: the same two-phase top-k as :func:`quota_sample`
+    — per-(stratum,)shard local winners, then a final rank over
+    ≤ k·shards survivors; a heavy stratum never sorts on one task.
+    Global (no stratum) selection uses a constant stratum."""
+    from pyspark.sql import Window
+
+    u = (_bucket(F.col(id_col), salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(
+        w > 0, F.round(-F.log(u) / w, 6)
+    ).otherwise(F.lit(float("inf")))
+    strat = F.col(stratum_col) if stratum_col else F.lit("all")
+    shards = 16
+    w_local = Window.partitionBy("_ws", "_wshard").orderBy("_wk", id_col)
+    w_global = Window.partitionBy("_ws").orderBy("_wk", id_col)
+    out = (
+        df.withColumn("_ws", strat)
+        .withColumn("_wk", key)
+        .withColumn("_wshard", F.pmod(_bucket(F.col(id_col), salt + ":shard"), F.lit(shards)))
+        .withColumn("_wr", F.row_number().over(w_local))
+        .filter(F.col("_wr") <= k)
+        .withColumn("_wr", F.row_number().over(w_global))
+        .filter(F.col("_wr") <= k)
+        .drop("_wr", "_wk", "_ws", "_wshard")
+    )
+    return out
