@@ -1829,6 +1829,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile per event type (p50/p90/p99 of
+    value, linear interpolation — the latency-SLO shape): ONE sort-
+    based percentile aggregate per group computes all three cut
+    points in a single pass (groups are type-sized, never the log);
+    6dp rounding (exact-median precedent: probe_stats r1-green)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 5): the driver's correctness gate checks the
     # FIRST 50 entries. The 11 round-4 late additions that had never
@@ -1863,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window": q_range_window,  # NEW in r5 -> window
         "mixture_drift": q_mixture_drift,  # NEW in r5 -> window
         "weighted_sample": q_weighted_sample,  # NEW in r5 -> window
+        "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -1880,7 +1897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
         "fact_assembly": q_fact_assembly,
-        "incremental_dedup": q_incremental_dedup,
         "quota_sample": q_quota_sample,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
@@ -1903,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Rotated here in r5 (each green in ≥3 driver rounds)
         # to make window room for the 15 queries above that had never
         # had a driver row:
+        "incremental_dedup": q_incremental_dedup,  # r5: window->tail (green r4)
         "semantic_dedup": q_semantic_dedup,  # r5: window->tail (green r4)
         "kmeans": q_kmeans,  # r5: window->tail (green r4)
         "length_profile": q_length_profile,  # r5: window->tail (green r4)
@@ -2390,6 +2407,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
         "html_extract": _html_extract_oracle(),
+        "quantile_profile": """
+            SELECT event_type, count(*) AS n_events,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
         "weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, lang, n_chars,

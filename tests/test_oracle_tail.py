@@ -21,6 +21,7 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "incremental_dedup",
     "semantic_dedup",
     "kmeans",
     "length_profile",

@@ -92,6 +92,13 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
+
+    unknown = only - set(entry.queries())
+    if unknown:
+        # silently matching an empty set would report success for a
+        # query that was never wired into queries() — fail loudly
+        print(f"unknown queries (not in __spark_entry__.queries()): {sorted(unknown)}")
+        sys.exit(2)
     from tmdataloader_spark.session import get_spark
 
     spark = get_spark("check-correctness")
