@@ -437,3 +437,78 @@ def test_read_upserted_time_travel_and_empty(spark, tmp_path):
     )
     assert read_upserted(spark, tgt).collect()[0]["v"] == "v1"
     assert read_upserted(spark, tgt, batch_id=0).collect()[0]["v"] == "v0"
+
+
+def test_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
+    """Unmatched left rows must surface with NULL right columns once
+    the right watermark passes l_ts + within — and not before."""
+    from tmdataloader_spark.streaming import interval_join_stream
+
+    lsrc = str(tmp_path / "lo_left")
+    rsrc = str(tmp_path / "lo_right")
+    schema = "event_id long, user_id long, ts timestamp"
+    base = "2024-01-01 00:00:00"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(path, rows, mode="append"):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(path)
+
+    # batch 1: left view with NO purchase; matched pair for user 2
+    write(lsrc, [(1, 1, t0), (2, 2, t0)])
+    write(rsrc, [(100, 2, t0 + dt.timedelta(minutes=10))])
+
+    left = spark.readStream.schema(schema).parquet(lsrc)
+    right = spark.readStream.schema(schema).parquet(rsrc)
+    joined = interval_join_stream(
+        left,
+        right,
+        within_seconds=3600,
+        left_watermark="30 minutes",
+        right_watermark="30 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from lo_join").collect()
+        # watermark has not advanced past t0+1h yet: only the match
+        assert {(r["user_id"], r["r_event_id"]) for r in first} == {(2, 100)}
+
+        # batch 2: far-future sentinels push both watermarks past
+        # t0 + within + watermark -> user 1's null row must emit
+        far = t0 + dt.timedelta(hours=6)
+        write(lsrc, [(9, 99, far)])
+        write(rsrc, [(900, 99, far)])
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["r_event_id"])
+            for r in spark.sql("select * from lo_join").collect()
+        }
+        assert (1, None) in rows, rows
+        assert (2, 100) in rows
+    finally:
+        q.stop()
+
+
+def test_interval_join_batch_left_outer_matches_stream_contract(spark):
+    from tmdataloader_spark.streaming import interval_join_batch
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp"
+    left = spark.createDataFrame([(1, 1, t0), (2, 2, t0)], schema)
+    right = spark.createDataFrame(
+        [(100, 2, t0 + dt.timedelta(minutes=5))], schema
+    )
+    out = {
+        (r["user_id"], r["r_event_id"])
+        for r in interval_join_batch(left, right, how="left_outer").collect()
+    }
+    assert out == {(1, None), (2, 100)}

@@ -329,6 +329,7 @@ def interval_join_batch(
     right: DataFrame,
     key: str = "user_id",
     within_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """Batch twin of :func:`interval_join_stream`: pair each left event
     with the right events of the same key whose timestamp falls in
@@ -352,7 +353,7 @@ def interval_join_batch(
         & (us(F.col("r_ts")) <= us(F.col("l_ts")) + within_seconds * 1_000_000)
     )
     fmt = "yyyy-MM-dd HH:mm:ss"
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key),
         "l_event_id",
         "r_event_id",
@@ -368,6 +369,7 @@ def interval_join_stream(
     within_seconds: int = 3600,
     left_watermark: str = "2 hours",
     right_watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: equality on ``key``
     plus the event-time range ``r_ts ∈ [l_ts, l_ts + within]``.
@@ -398,7 +400,7 @@ def interval_join_stream(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     )
     fmt = "yyyy-MM-dd HH:mm:ss"
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key),
         "l_event_id",
         "r_event_id",
