@@ -280,6 +280,25 @@ def q_except_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.distinct().exceptAll(o.distinct()).select("entity_key")
 
 
+def q_intersect_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO4: INTERSECT — entity keys present in BOTH sets (customers
+    with orders in consecutive years: the retained-cohort shape that
+    completes the set-op family next to EXCEPT/UNION,
+    I2B2_LOAD_CLINICAL_DATA.sql's EXISTS-both guards).  Spark
+    ``intersect`` = SQL INTERSECT (distinct); Catalyst plans it as a
+    partial-aggregated left-semi over the distinct keys — two
+    map-side-combined shuffles on the key, no row explosion, the
+    shape that holds when each side is a billion orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1994).select(
+        F.col("o_custkey").alias("entity_key")
+    )
+    b = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("entity_key")
+    )
+    return a.intersect(b)
+
+
 def q_union_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO2: multi-way UNION building an exclusion key list
     (I2B2_LOAD_CLINICAL_DATA.sql:1084-1107)."""
@@ -1880,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_drift": q_mixture_drift,  # NEW in r5 -> window
         "weighted_sample": q_weighted_sample,  # NEW in r5 -> window
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
+        "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -2778,6 +2798,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "intersect_retained": """
+            SELECT o_custkey AS entity_key FROM orders
+            WHERE year(o_orderdate) = 1994
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1995
         """,
         "union_exclusion": """
             SELECT DISTINCT nationkey FROM (

@@ -84,3 +84,29 @@ def test_row_hash_in_range(spark):
     vals = [r["h"] for r in df.select(row_hash(df).alias("h")).collect()]
     assert all(0 <= v < 2**60 for v in vals)
     assert len(set(vals)) == 50
+
+
+def test_approx_quantile_rank_guarantee(spark, sf_dir):
+    """approx_percentile's documented contract is a RANK error bound:
+    with accuracy a, the returned value's rank is within n/a of the
+    target rank.  Verify it against the exact distribution (the
+    agreement check quantile_profile's docstring promises): for each
+    p in {0.5, 0.9, 0.99} the fraction of rows <= approx value must
+    lie within p ± (1/a + 1/n) — a VALUE comparison would be wrong
+    for skewed data, the rank bound is the real guarantee."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = ev.count()
+    acc = 1000
+    ps = [0.5, 0.9, 0.99]
+    approx = ev.select(
+        F.expr(
+            f"approx_percentile(value, array({', '.join(f'{p}D' for p in ps)}), {acc})"
+        ).alias("q")
+    ).collect()[0]["q"]
+    eps = 1.0 / acc + 1.0 / n
+    for p, v in zip(ps, approx):
+        frac_le = ev.filter(F.col("value") <= v).count() / n
+        frac_lt = ev.filter(F.col("value") < v).count() / n
+        # target rank must be coverable by the returned value's rank
+        # interval widened by the documented error
+        assert frac_lt - eps <= p <= frac_le + eps, (p, v, frac_lt, frac_le)
