@@ -1864,6 +1864,28 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (statistic/profile.py heavy_hitters): event
+    types carrying ≥5% of the log — the hot-key probe that feeds the
+    salting decision (operators/skew.py). One map-side-combined count
+    per distinct value + a broadcast one-row total; the exact form IS
+    the scale shape (see docstring for the sketch trade-off)."""
+    from tmdataloader_spark.statistic.profile import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", 0.05)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (statistic/profile.py
+    histogram): per-group (min,max) broadcast back, pure-codegen bin
+    math, one groupBy(bin) count. Identical double expression shape on
+    both engines so floor() lands on the same IEEE result."""
+    from tmdataloader_spark.statistic.profile import histogram
+
+    return histogram(_t(spark, sf_dir, "events"), "value", nbins=12,
+                     group_col="event_type")
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs (llmdata/fuzzy.py): the
     typo-class duplicates exact-hash and shingle-Jaccard both miss on
@@ -1917,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "heavy_hitters": q_heavy_hitters,  # NEW in r5 -> window
+        "histogram": q_histogram,  # NEW in r5 -> window
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -2815,6 +2839,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "heavy_hitters": """
+            WITH c AS (
+              SELECT event_type AS value, count(*) AS n
+              FROM events GROUP BY event_type
+            ),
+            t AS (SELECT count(*) AS total FROM events)
+            SELECT value, n, round(n / (total * 1.0), 6) AS share
+            FROM c, t WHERE n >= total * 0.05
+        """,
+        "histogram": """
+            WITH rng AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events GROUP BY event_type
+            ),
+            b AS (
+              SELECT e.event_type,
+                     CASE WHEN r.hi = r.lo THEN 0
+                          ELSE CAST(least(11, floor((e.value - r.lo)
+                                 / ((r.hi - r.lo) / 12.0))) AS BIGINT)
+                     END AS bin,
+                     r.lo, r.hi
+              FROM events e JOIN rng r USING (event_type)
+            )
+            SELECT event_type, bin,
+                   round(min(lo + bin * ((hi - lo) / 12.0)), 6) AS bin_lo,
+                   count(*) AS n
+            FROM b GROUP BY event_type, bin
         """,
         "fuzzy_dedup": """
             WITH s AS (

@@ -110,3 +110,29 @@ def test_approx_quantile_rank_guarantee(spark, sf_dir):
         # target rank must be coverable by the returned value's rank
         # interval widened by the documented error
         assert frac_lt - eps <= p <= frac_le + eps, (p, v, frac_lt, frac_le)
+
+
+def test_heavy_hitters_threshold(spark):
+    from tmdataloader_spark.statistic.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    hh = {r.value: (r.n, r.share) for r in heavy_hitters(df, "k", 0.3).collect()}
+    assert hh == {"a": (6, 0.6), "b": (3, 0.3)}  # b exactly at threshold stays
+
+
+def test_histogram_edges_and_degenerate(spark):
+    from tmdataloader_spark.statistic.profile import histogram
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(11)] + [("flat", 5.0)] * 3,
+        "k string, v double",
+    )
+    rows = histogram(df, "v", nbins=5, group_col="k").collect()
+    g = {r.bin: (r.n, r.bin_lo) for r in rows if r.k == "g"}
+    # width 2: bins 0..4 get 2 values each, max folds into last bin
+    assert {b: n for b, (n, _) in g.items()} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    assert g[0][1] == 0.0 and g[4][1] == 8.0
+    flat = [r for r in rows if r.k == "flat"]
+    assert len(flat) == 1 and flat[0].bin == 0 and flat[0].n == 3

@@ -166,3 +166,90 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Values of ``col`` whose frequency is ≥ ``threshold`` of all
+    rows, with count and 6dp share — the skew/diagnostics probe
+    (hot join keys, template-duplicated documents, degenerate
+    categories).
+
+    Exact, not sketched: one map-side-combined ``groupBy(col).count``
+    (the only data-sized shuffle, and it carries one long per distinct
+    value), then the one-row total crosses in as a broadcast literal.
+    A Misra-Gries/CMS sketch only wins when the distinct-value set
+    itself is too big to shuffle — at that point no value can clear a
+    meaningful threshold anyway, so the exact form IS the 100 TB
+    shape for thresholds worth reporting."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count("*").alias("n")
+    )
+    total = df.groupBy().agg(F.count("*").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") >= F.col("_total") * F.lit(float(threshold)))
+        .select(
+            "value",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` (optionally per group):
+    bin index, inclusive lower edge, count.  The distribution probe
+    behind every quality-score threshold choice.
+
+    Two passes, both cheap: a per-group (min, max) aggregate
+    broadcasts back onto the rows (group-sized, never data-sized),
+    then one ``groupBy(bin)`` count.  Bin math is pure codegen:
+    ``least(nbins-1, floor((x-min)/width))`` — the ``least`` folds the
+    max value into the last bin (the standard right-closed top edge).
+    Degenerate groups (min == max) collapse to a single bin 0.
+    Edges round to 6dp AFTER binning so rendering never moves a row
+    across a bin boundary."""
+    gname = group_col or "_all"
+    base = df if group_col else df.withColumn("_all", F.lit("all"))
+    rng = base.groupBy(gname).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    binned = (
+        base.join(F.broadcast(rng), gname)
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(nbins - 1),
+                    F.floor((F.col(value_col) - F.col("_lo")) / width),
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        binned.groupBy(gname, "bin")
+        .agg(
+            F.count("*").alias("n"),
+            # every row in a (group, bin) cell shares _lo/_hi; min()
+            # just carries them through the aggregate
+            F.round(
+                F.min(F.col("_lo") + F.col("bin") * width), 6
+            ).alias("bin_lo"),
+        )
+        .select(
+            F.col(gname).alias(group_col or "group_key"),
+            "bin",
+            "bin_lo",
+            "n",
+        )
+    )
