@@ -1864,6 +1864,26 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event type (operators/
+    timeseries.py resample_fill): dense grid from the key-sized span
+    table (sequence+explode — grid rows, never event rows), observed
+    aggregate decimal-exact, carry-forward via one last(ignorenulls)
+    window per key. Empty hours surface with is_gap=true instead of
+    silently vanishing."""
+    from tmdataloader_spark.operators.timeseries import resample_fill
+
+    r = resample_fill(_t(spark, sf_dir, "events"), "event_type")
+    return r.select(
+        F.col("key").alias("event_type"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        "sum_value",
+        "carried_value",
+        "is_gap",
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (statistic/profile.py heavy_hitters): event
     types carrying ≥5% of the log — the hot-key probe that feeds the
@@ -1939,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "resample_fill": q_resample_fill,  # NEW in r5 -> window
         "heavy_hitters": q_heavy_hitters,  # NEW in r5 -> window
         "histogram": q_histogram,  # NEW in r5 -> window
         "bm25": q_bm25,
@@ -2839,6 +2860,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "resample_fill": """
+            WITH agg AS (
+              SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT key, min(bucket) AS lo, max(bucket) AS hi
+              FROM agg GROUP BY key
+            ),
+            grid AS (
+              SELECT key,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM span
+            )
+            SELECT g.key AS event_type,
+                   strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   coalesce(a.n_events, 0) AS n_events,
+                   a.sum_value,
+                   last_value(a.sum_value IGNORE NULLS) OVER (
+                     PARTITION BY g.key ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS carried_value,
+                   a.n_events IS NULL AS is_gap
+            FROM grid g
+            LEFT JOIN agg a ON g.key = a.key AND g.bucket = a.bucket
         """,
         "heavy_hitters": """
             WITH c AS (
