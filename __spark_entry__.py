@@ -1864,6 +1864,20 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time (statistic/
+    regression.py grouped_linear_fit): regr_slope/intercept/corr as ONE
+    map-side-combined aggregate of integer-exact moments (x = epoch
+    seconds since 2024-01-01, y floor-quantized to 6dp, decimal(38,0)
+    sums) with the double closed form mirrored verbatim by the oracle —
+    the algebraic-aggregate shape that never re-shuffles at 100 TB."""
+    from tmdataloader_spark.statistic.regression import grouped_linear_fit
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 1000000 - 1704067200")
+    return grouped_linear_fit(ev, x, "value", "event_type")
+
+
 def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resample per event type (operators/
     timeseries.py resample_fill): dense grid from the key-sized span
@@ -1959,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "trend_fit": q_trend_fit,  # NEW in r5 -> window
         "resample_fill": q_resample_fill,  # NEW in r5 -> window
         "heavy_hitters": q_heavy_hitters,  # NEW in r5 -> window
         "histogram": q_histogram,  # NEW in r5 -> window
@@ -2483,6 +2498,19 @@ def _html_extract_oracle() -> str:
     """
 
 
+def _trend_fit_oracle() -> str:
+    from tmdataloader_spark.statistic.regression import (
+        grouped_linear_fit_oracle_sql,
+    )
+
+    return grouped_linear_fit_oracle_sql(
+        "events",
+        "epoch_us(ts) // 1000000 - 1704067200",
+        "value",
+        "event_type",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from tmdataloader_spark.operators.graph import pagerank_oracle_sql
 
@@ -2861,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey FROM orders
         """,
+        "trend_fit": _trend_fit_oracle(),
         "resample_fill": """
             WITH agg AS (
               SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
