@@ -1864,6 +1864,20 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization (statistic/profile.py
+    winsorize): one sort-based percentile agg per group (both cuts in
+    one pass) broadcast back, codegen clamp. Cuts round to 6dp BEFORE
+    the clamp so the boundary is the engine-agreed quantity — no raw
+    float comparison survives to the output."""
+    from tmdataloader_spark.statistic.profile import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "value", "event_type", lo=0.05, hi=0.95)
+
+
 def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend of event value over time (statistic/
     regression.py grouped_linear_fit): regr_slope/intercept/corr as ONE
@@ -1973,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "winsorize": q_winsorize,  # NEW in r5 -> window
         "trend_fit": q_trend_fit,  # NEW in r5 -> window
         "resample_fill": q_resample_fill,  # NEW in r5 -> window
         "heavy_hitters": q_heavy_hitters,  # NEW in r5 -> window
@@ -2888,6 +2903,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "winsorize": """
+            WITH cuts AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.05), 6) AS lo_cut,
+                     round(quantile_cont(value, 0.95), 6) AS hi_cut
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(least(greatest(e.value, c.lo_cut), c.hi_cut), 6)
+                     AS winsorized,
+                   (e.value < c.lo_cut OR e.value > c.hi_cut) AS was_clipped
+            FROM events e JOIN cuts c USING (event_type)
         """,
         "trend_fit": _trend_fit_oracle(),
         "resample_fill": """

@@ -21,6 +21,7 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "json_rollup",  # r5: rotated out when winsorize entered the window
     "embedding_dedup",  # r5: rotated out when trend_fit entered the window
     "chunk_docs",  # r5: rotated out when resample_fill entered the window
     "ann_lsh",  # r5: rotated out when histogram entered the window

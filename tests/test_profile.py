@@ -136,3 +136,17 @@ def test_histogram_edges_and_degenerate(spark):
     assert g[0][1] == 0.0 and g[4][1] == 8.0
     flat = [r for r in rows if r.k == "flat"]
     assert len(flat) == 1 and flat[0].bin == 0 and flat[0].n == 3
+
+
+def test_winsorize_clamps_tails(spark):
+    from tmdataloader_spark.statistic.profile import winsorize
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = {r.id: r for r in winsorize(df, "v", lo=0.1, hi=0.9).collect()}
+    # exact percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert out[0].winsorized == 10.9 and out[0].was_clipped
+    assert out[99].winsorized == 90.1 and out[99].was_clipped
+    assert out[49].winsorized == 50.0 and not out[49].was_clipped
+    assert len(out) == 100  # every row kept, never filtered

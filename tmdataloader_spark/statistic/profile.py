@@ -253,3 +253,43 @@ def histogram(
             "n",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo, hi] exact percentile
+    band — the outlier-taming transform quality-score pipelines apply
+    before averaging (CCNet buckets choose KEEP/DROP; winsorize keeps
+    the row but tames the tail).
+
+    One group-sized percentile aggregate (both cut points in a single
+    sort-based pass) broadcasts back onto the rows; the clamp is pure
+    codegen.  Cut points are rounded to 6dp BEFORE clamping: the 6dp
+    cut is the engine-agreed quantity (quantile_profile regime), so
+    the clamp — and therefore every output bit — is deterministic
+    cross-engine, with no raw-float boundary to flip."""
+    gname = group_col or "_all"
+    base = df if group_col else df.withColumn("_all", F.lit("all"))
+    pct = F.expr(
+        f"percentile({value_col}, array({lo}D, {hi}D))"
+    )
+    cuts = base.groupBy(gname).agg(
+        F.round(pct[0], 6).alias("_lo_cut"),
+        F.round(pct[1], 6).alias("_hi_cut"),
+    )
+    out_cols = [c for c in df.columns] + [
+        F.round(
+            F.least(F.greatest(F.col(value_col), F.col("_lo_cut")), F.col("_hi_cut")),
+            6,
+        ).alias("winsorized"),
+        (
+            (F.col(value_col) < F.col("_lo_cut"))
+            | (F.col(value_col) > F.col("_hi_cut"))
+        ).alias("was_clipped"),
+    ]
+    return base.join(F.broadcast(cuts), gname).select(*out_cols)
