@@ -1864,6 +1864,51 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event dedup (operators/eventflow.py debounce):
+    drop an event when the same (user, type) fired within the last 10
+    minutes — one lag window per key, integer-microsecond gap math
+    (sessionize regime), single shuffle."""
+    from tmdataloader_spark.operators.eventflow import debounce
+
+    ev = _t(spark, sf_dir, "events")
+    return debounce(
+        ev, ["user_id", "event_type"], gap_seconds=600
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+    )
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key hourly rate limit (operators/eventflow.py throttle):
+    deterministic first-3-per-(user,hour) via one row_number window —
+    the hot-entity tamer that bounds downstream per-key work."""
+    from tmdataloader_spark.operators.eventflow import throttle
+
+    ev = _t(spark, sf_dir, "events")
+    return throttle(ev, ["user_id"], per_hour=3).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-3h distinct users per hour (operators/
+    eventflow.py sliding_distinct): distinct (hour,user) pairs fan out
+    to the ≤3 windows they serve — pair-sized explode, ONE scan of the
+    log, no per-window recount. Distincts don't add; this is the shape
+    that computes them exactly anyway."""
+    from tmdataloader_spark.operators.eventflow import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_distinct(ev, "user_id", window_hours=3).select(
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_distinct",
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type percentile winsorization (statistic/profile.py
     winsorize): one sort-based percentile agg per group (both cuts in
@@ -1987,6 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "debounce": q_debounce,  # NEW in r5 -> window
+        "throttle": q_throttle,  # NEW in r5 -> window
+        "sliding_distinct": q_sliding_distinct,  # NEW in r5 -> window
         "winsorize": q_winsorize,  # NEW in r5 -> window
         "trend_fit": q_trend_fit,  # NEW in r5 -> window
         "resample_fill": q_resample_fill,  # NEW in r5 -> window
@@ -2903,6 +2951,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "debounce": """
+            WITH lagged AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_us
+              FROM events
+            )
+            SELECT event_id, user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+            FROM lagged
+            WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000
+        """,
+        "throttle": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "sliding_distinct": """
+            WITH pairs AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS b, user_id AS e
+              FROM events
+            ),
+            anchors AS (SELECT DISTINCT b AS w FROM pairs),
+            contrib AS (
+              SELECT b + to_hours(i) AS w, e
+              FROM pairs CROSS JOIN range(0, 3) t(i)
+            )
+            SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   count(DISTINCT c.e) AS n_distinct
+            FROM contrib c JOIN anchors a ON c.w = a.w
+            GROUP BY c.w
         """,
         "winsorize": """
             WITH cuts AS (

@@ -113,3 +113,72 @@ def test_user_cardinality_hll_agrees_with_exact(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(2, 0.10 * exact[k]), (
             k, exact[k], approx[k],
         )
+
+
+def test_debounce_keeps_spaced_drops_bursts(spark):
+    import datetime as dt
+
+    from tmdataloader_spark.operators.eventflow import debounce
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, "click", t0),
+        (2, 7, "click", t0 + dt.timedelta(seconds=30)),   # burst -> dropped
+        (3, 7, "click", t0 + dt.timedelta(seconds=700)),  # spaced -> kept
+        (4, 7, "view", t0 + dt.timedelta(seconds=31)),    # other key -> kept
+        (5, 8, "click", t0 + dt.timedelta(seconds=32)),   # other user -> kept
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = {r.event_id for r in debounce(ev, ["user_id", "event_type"],
+                                         gap_seconds=600).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_throttle_first_k_per_hour(spark):
+    import datetime as dt
+
+    from tmdataloader_spark.operators.eventflow import throttle
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, 7, "e", t0 + dt.timedelta(minutes=i)) for i in range(6)] + [
+        (10, 7, "e", t0 + dt.timedelta(hours=1, minutes=1)),  # next hour resets
+        (11, 9, "e", t0 + dt.timedelta(minutes=50)),          # other key
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = {r.event_id for r in throttle(ev, ["user_id"], per_hour=3).collect()}
+    assert kept == {0, 1, 2, 10, 11}  # first three of hour 12, reset at 13
+    assert "_hb" not in throttle(ev, ["user_id"], per_hour=3).columns
+
+
+def test_sliding_distinct_exact_vs_bruteforce(spark):
+    import datetime as dt
+
+    from tmdataloader_spark.operators.eventflow import sliding_distinct
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h, users in [(0, [1, 2]), (1, [2]), (3, [3]), (6, [1, 2, 3])]:
+        for u in users:
+            rows.append((eid, u, "e", t0 + dt.timedelta(hours=h, minutes=u)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.window_end.hour: r.n_distinct
+        for r in sliding_distinct(ev, "user_id", window_hours=3).collect()
+    }
+    # brute force: window at h covers hours h-2..h; anchors = observed hours
+    by_hour = {0: {1, 2}, 1: {2}, 3: {3}, 6: {1, 2, 3}}
+    expect = {}
+    for h in by_hour:
+        s = set()
+        for hh in (h - 2, h - 1, h):
+            s |= by_hour.get(hh, set())
+        expect[h] = len(s)
+    assert got == expect

@@ -175,3 +175,116 @@ def user_cardinality(
             agg.alias("n_users"),
         )
     )
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-bounded dedup ("debounce"): keep an event only if the
+    previous event with the SAME key is more than ``gap_seconds``
+    older — the bot-retry / double-click / at-least-once-delivery
+    collapse every event pipeline applies before counting.
+
+    NOTE this is anchor-based (a kept event re-arms the timer): a
+    burst of events 1s apart for an hour keeps one event per ~gap,
+    not one total.  That needs a running scan over each key's events
+    — implemented here as one lag window per key (one shuffle on the
+    key, Spark reuses the exchange for downstream keyed aggs), with
+    integer-microsecond gap arithmetic (the sessionize determinism
+    regime).
+
+    Simplification caveat: strictly, re-arming only on KEPT events is
+    a sequential recurrence; the standard industry semantics (and
+    this implementation) debounce against the previous RAW event —
+    each event is kept iff the gap from its immediate predecessor
+    exceeds the threshold.  That is expressible as one lag window
+    and is what log dedup means in practice.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    return (
+        events.withColumn(
+            "_keep",
+            prev.isNull() | ((us - prev) > gap_seconds * 1_000_000),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+def throttle(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    per_hour: int = 5,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Rate-limit sampling: at most the FIRST ``per_hour`` events per
+    key per hour bucket (deterministic: ordered by time with a stable
+    tiebreak, never an arbitrary first()).  The hot-entity tamer for
+    logs where one key emits millions of rows/day — bounds any
+    downstream per-key work by construction.
+
+    One row_number window per (key, hour): a single shuffle; the
+    filter drops rows before anything else touches them.  At extreme
+    single-key-single-hour skew the window sort is the cost — cap it
+    upstream with operators/skew.py salting if one key floods one
+    bucket."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols, "_hb").orderBy(ts_col, order_tiebreak)
+    return (
+        events.withColumn("_hb", F.date_trunc("hour", F.col(ts_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_hour)
+        .drop("_rn", "_hb")
+    )
+
+
+def sliding_distinct(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window_hours: int = 3,
+) -> DataFrame:
+    """EXACT distinct entities per trailing ``window_hours``-hour
+    window, one row per hour bucket — the "active users in the last N
+    hours" series.  COUNT(DISTINCT) over a sliding window cannot be
+    composed from per-bucket distinct counts (distincts don't add),
+    and a naive per-window recount scans the log W times.
+
+    Scale shape: collapse the log ONCE to distinct (bucket, entity)
+    pairs (map-side combined — pair count ≤ buckets × entities, far
+    below the event count), then each pair fans out to the ≤W windows
+    it can serve (a bounded W-row ``sequence``/``explode``, pair-sized
+    not event-sized), then one distinct count per window.  Windows are
+    emitted only for buckets that exist in the data (trailing windows
+    anchored at observed hours)."""
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    pairs = events.select(
+        bucket.alias("b"), F.col(entity_col).alias("e")
+    ).distinct()
+    anchors = pairs.select("b").distinct().select(F.col("b").alias("w"))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("b"),
+                F.col("b") + F.expr(f"interval {window_hours - 1} hours"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("w"),
+        "e",
+    )
+    return (
+        contrib.join(anchors, "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count_distinct("e").alias("n_distinct"))
+        .select(F.col("w").alias("window_end"), "n_distinct")
+    )
