@@ -2056,16 +2056,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_counts": q_pair_counts,
         "rollup_agg": q_rollup_agg,
         "moving_avg": q_moving_avg,
-        "fact_assembly": q_fact_assembly,
-        "quota_sample": q_quota_sample,
-        "dedup_clusters": q_dedup_clusters,
+        # r5 late rotation: fact_assembly/quota_sample/dedup_clusters
+        # (r4 driver-green) -> tail, freeing window slots for the
+        # never-driver-checked skew_report/salted_join/bpe_encode
+        "skew_report": q_skew_report,  # NEW in r5 -> window
+        "salted_join": q_salted_join,  # NEW in r5 -> window
+        "bpe_encode": q_bpe_encode,  # NEW in r5 -> window
         "curate": q_curate,
         "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
         "random_projection": q_random_projection,  # NEW in r5 -> window
         "mixture_upsample": q_mixture_upsample,  # NEW in r5 -> window
-        "skew_report": q_skew_report,  # NEW in r5 -> window
-        "salted_join": q_salted_join,  # NEW in r5 -> window
-        "bpe_encode": q_bpe_encode,  # NEW in r5 -> window
+        "fact_assembly": q_fact_assembly,
+        "quota_sample": q_quota_sample,
+        "dedup_clusters": q_dedup_clusters,
         "json_rollup": q_json_rollup,
         "embedding_dedup": q_embedding_dedup,
         "chunk_docs": q_chunk_docs,

@@ -21,9 +21,9 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "skew_report",  # r5: rotated out when sliding_distinct entered the window
-    "salted_join",  # r5: rotated out when throttle entered the window
-    "bpe_encode",  # r5: rotated out when debounce entered the window
+    "fact_assembly",  # r5 late rotation: r4-green, swapped for skew_report
+    "quota_sample",  # r5 late rotation: r4-green, swapped for salted_join
+    "dedup_clusters",  # r5 late rotation: r4-green, swapped for bpe_encode
     "json_rollup",  # r5: rotated out when winsorize entered the window
     "embedding_dedup",  # r5: rotated out when trend_fit entered the window
     "chunk_docs",  # r5: rotated out when resample_fill entered the window
