@@ -21,6 +21,8 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "event_rollup",  # r5 late rotation: r4-green, window slot to ks_drift
+    "curate",  # r5 late rotation: r4-green, window slot to chi_square
     "fact_assembly",  # r5 late rotation: r4-green, swapped for skew_report
     "quota_sample",  # r5 late rotation: r4-green, swapped for salted_join
     "dedup_clusters",  # r5 late rotation: r4-green, swapped for bpe_encode

@@ -1,0 +1,84 @@
+"""statistic/stattests.py: exact KS and chi-square."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tmdataloader_spark.statistic.stattests import chi_square, ks_test
+
+
+def _ks_reference(xs, ys):
+    """Pure-Python exact two-sample KS (evaluated at pooled points)."""
+    points = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    d = 0
+    for p in points:
+        ca = sum(1 for x in xs if x <= p)
+        cb = sum(1 for y in ys if y <= p)
+        d = max(d, abs(ca * nb - cb * na))
+    return d / (na * nb)
+
+
+def test_ks_identical_samples_zero(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    r = ks_test(a, a, "v").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (20, 20, 0.0)
+
+
+def test_ks_disjoint_samples_one(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    b = spark.createDataFrame([(float(i + 100),) for i in range(15)], "v double")
+    r = ks_test(a, b, "v").collect()[0]
+    assert r.d_stat == 1.0
+
+
+def test_ks_matches_reference(spark):
+    xs = [((i * 37) % 101) / 7.0 for i in range(60)]
+    ys = [((i * 53) % 97) / 5.0 for i in range(45)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = ks_test(a, b, "v").collect()[0]
+    assert r.d_stat == pytest.approx(_ks_reference(xs, ys), abs=1e-6)
+    assert (r.n_a, r.n_b) == (60, 45)
+
+
+def test_ks_partition_invariance(spark):
+    xs = [(float((i * 37) % 50),) for i in range(300)]
+    ys = [(float((i * 41) % 50),) for i in range(200)]
+    a = spark.createDataFrame(xs, "v double")
+    b = spark.createDataFrame(ys, "v double")
+    one = ks_test(a.repartition(1), b.repartition(1), "v").collect()[0]
+    many = ks_test(a.repartition(11), b.repartition(7), "v").collect()[0]
+    assert tuple(one) == tuple(many)
+
+
+def test_chi_square_independent_is_zero(spark):
+    # perfectly proportional table -> chi2 == 0
+    rows = []
+    for r_, nr in (("a", 2), ("b", 3)):
+        for c_, nc in (("x", 4), ("y", 6)):
+            rows += [(r_, c_)] * (nr * nc)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square(df, "r", "c").collect()[0]
+    assert (out.n, out.dof, out.chi2) == (50, 1, 0.0)
+
+
+def test_chi_square_matches_hand_formula(spark):
+    # classic 2x2: o = [[10, 20], [30, 5]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square(df, "r", "c").collect()[0]
+    n = 65.0
+    expect = 0.0
+    for o, rt, ct in ((10, 30, 40), (20, 30, 25), (30, 35, 40), (5, 35, 25)):
+        e = rt * ct / n
+        expect += round((o - e) ** 2 / e, 6)
+    assert out.chi2 == pytest.approx(expect, abs=1e-6)
+    assert out.dof == 1
