@@ -1864,6 +1864,30 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/rollup.py): the
+    per-type rollup computed as merge(agg(history), agg(new batch)) —
+    cost ∝ batch + state, history never rescanned. The oracle is the
+    ONE-SHOT full rollup, so the driver row proves the merge algebra
+    (merge(agg(A), agg(B)) == agg(A ∪ B)) on real data; decimal sums
+    make the proof exact, not approximate."""
+    from tmdataloader_spark.operators.rollup import (
+        merge_rollups,
+        rollup_report,
+        rollup_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 != 4)
+    batch = ev.filter(F.col("event_id") % 5 == 4)
+    state = merge_rollups(
+        rollup_state(history, ["event_type"]),
+        rollup_state(batch, ["event_type"]),
+        ["event_type"],
+    )
+    return rollup_report(state)
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for training pairs
     (llmdata/sampling.py negative_samples): md5-derived draws mapped
@@ -2079,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "incremental_rollup": q_incremental_rollup,  # NEW in r5 -> window
         "negative_samples": q_negative_samples,  # NEW in r5 -> window
         "ks_drift": q_ks_drift,  # NEW in r5 -> window
         "chi_square": q_chi_square,  # NEW in r5 -> window
@@ -3021,6 +3046,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "incremental_rollup": """
+            SELECT event_type, count(*) AS n_rows,
+                   min(value) AS min_value, max(value) AS max_value,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_value
+            FROM events GROUP BY event_type
         """,
         "negative_samples": """
             WITH nrow AS (SELECT count(*) AS n FROM documents),

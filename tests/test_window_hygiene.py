@@ -46,6 +46,7 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 # sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
 DEBUT_OVERFLOW = {
     "mixture_upsample": 5,  # r5 introduced 50+ new queries; window is 50
+    "random_projection": 5,
 }
 
 
