@@ -1864,6 +1864,23 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dictionary encoding (operators/encode.py): dense
+    0..V−1 codes in ascending lexical order (total-ordered — not
+    MLlib's frequency-with-arbitrary-ties), ranks from the two-phase
+    prefix sum over the vocabulary-sized distinct set, applied by
+    broadcast join; unseen/NULL → −1 explicitly."""
+    from tmdataloader_spark.operators.encode import (
+        build_dictionary,
+        encode_column,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = encode_column(d, "lang", build_dictionary(d, "lang"))
+    out = encode_column(out, "source", build_dictionary(d, "source"))
+    return out.select("doc_id", "lang", "lang_code", "source_code")
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/rollup.py): the
     per-type rollup computed as merge(agg(history), agg(new batch)) —
@@ -2103,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "dict_encode": q_dict_encode,  # NEW in r5 -> window
         "incremental_rollup": q_incremental_rollup,  # NEW in r5 -> window
         "negative_samples": q_negative_samples,  # NEW in r5 -> window
         "ks_drift": q_ks_drift,  # NEW in r5 -> window
@@ -3046,6 +3064,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "dict_encode": """
+            WITH ld AS (
+              SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
+              FROM (SELECT DISTINCT lang AS value FROM documents
+                    WHERE lang IS NOT NULL)
+            ),
+            sd AS (
+              SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
+              FROM (SELECT DISTINCT source AS value FROM documents
+                    WHERE source IS NOT NULL)
+            )
+            SELECT d.doc_id, d.lang,
+                   coalesce(ld.code, -1) AS lang_code,
+                   coalesce(sd.code, -1) AS source_code
+            FROM documents d
+            LEFT JOIN ld ON d.lang = ld.value
+            LEFT JOIN sd ON d.source = sd.value
         """,
         "incremental_rollup": """
             SELECT event_type, count(*) AS n_rows,

@@ -47,6 +47,7 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 DEBUT_OVERFLOW = {
     "mixture_upsample": 5,  # r5 introduced 50+ new queries; window is 50
     "random_projection": 5,
+    "lm_perplexity": 5,
 }
 
 
