@@ -1864,6 +1864,19 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bin) histogram per event type (statistic/
+    profile.py equi_depth_histogram): all cut points from ONE
+    sort-based percentile agg, 6dp-rounded before comparison; bin =
+    size(filter(cuts, c -> v > c)) — codegen over a 3-element array.
+    The skew-readable companion to the equi-width `histogram`."""
+    from tmdataloader_spark.statistic.profile import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _t(spark, sf_dir, "events"), "value", nbins=4, group_col="event_type"
+    )
+
+
 def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dictionary encoding (operators/encode.py): dense
     0..V−1 codes in ascending lexical order (total-ordered — not
@@ -2120,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "equi_depth": q_equi_depth,  # NEW in r5 -> window
         "dict_encode": q_dict_encode,  # NEW in r5 -> window
         "incremental_rollup": q_incremental_rollup,  # NEW in r5 -> window
         "negative_samples": q_negative_samples,  # NEW in r5 -> window
@@ -3064,6 +3078,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "equi_depth": """
+            WITH cuts AS (
+              SELECT event_type,
+                     [round(quantile_cont(value, 0.25), 6),
+                      round(quantile_cont(value, 0.5), 6),
+                      round(quantile_cont(value, 0.75), 6)] AS cs
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   length(list_filter(c.cs, x -> e.value > x)) AS bin,
+                   count(*) AS n
+            FROM events e JOIN cuts c USING (event_type)
+            GROUP BY 1, 2
         """,
         "dict_encode": """
             WITH ld AS (

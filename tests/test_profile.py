@@ -150,3 +150,24 @@ def test_winsorize_clamps_tails(spark):
     assert out[99].winsorized == 90.1 and out[99].was_clipped
     assert out[49].winsorized == 50.0 and not out[49].was_clipped
     assert len(out) == 100  # every row kept, never filtered
+
+
+def test_equi_depth_balanced_bins(spark):
+    from tmdataloader_spark.statistic.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    out = {r.bin: r.n for r in equi_depth_histogram(df, "v", nbins=4).collect()}
+    # 100 continuous values over quartiles: 25 per bin
+    assert out == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_equi_depth_skew_ties_collapse_low(spark):
+    from tmdataloader_spark.statistic.profile import equi_depth_histogram
+
+    # 90% identical values: ties at the cuts collapse into bin 0
+    df = spark.createDataFrame(
+        [(1.0,)] * 90 + [(float(v),) for v in range(2, 12)], "v double"
+    )
+    out = {r.bin: r.n for r in equi_depth_histogram(df, "v", nbins=4).collect()}
+    assert out[0] == 90  # documented discrete-data caveat
+    assert sum(out.values()) == 100

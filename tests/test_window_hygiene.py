@@ -48,6 +48,7 @@ DEBUT_OVERFLOW = {
     "mixture_upsample": 5,  # r5 introduced 50+ new queries; window is 50
     "random_projection": 5,
     "lm_perplexity": 5,
+    "bpe_encode": 5,
 }
 
 

@@ -293,3 +293,43 @@ def winsorize(
         ).alias("was_clipped"),
     ]
     return base.join(F.broadcast(cuts), gname).select(*out_cols)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-DEPTH histogram (quantile bins): per group, cut points at
+    i/nbins exact percentiles and the count landing in each bin —
+    roughly equal counts by construction, so skewed distributions
+    stay readable where equi-width bins collapse into one bar.
+
+    One sort-based percentile aggregate per group computes ALL cuts
+    in a single pass (group-sized output, broadcast back); the bin
+    index is ``size(filter(cuts, c -> value > c))`` — pure codegen
+    over an nbins-element array.  Cuts round to 6dp BEFORE the
+    comparison (the winsorize/quantile_profile regime) so bin
+    assignment is the engine-agreed quantity.  Ties at a cut collapse
+    that bin's population into the lower bin — the standard equi-depth
+    caveat on discrete data, documented not hidden."""
+    gname = group_col or "_all"
+    base = df if group_col else df.withColumn("_all", F.lit("all"))
+    fracs = ", ".join(f"{i / nbins}D" for i in range(1, nbins))
+    cuts = base.groupBy(gname).agg(
+        F.transform(
+            F.expr(f"percentile({value_col}, array({fracs}))"),
+            lambda c: F.round(c, 6),
+        ).alias("_cuts")
+    )
+    v = F.col(value_col)
+    return (
+        base.join(F.broadcast(cuts), gname)
+        .withColumn(
+            "bin", F.size(F.filter("_cuts", lambda c: v > c)).cast("long")
+        )
+        .groupBy(gname, "bin")
+        .agg(F.count("*").alias("n"))
+        .select(F.col(gname).alias(group_col or "group_key"), "bin", "n")
+    )
