@@ -1864,6 +1864,47 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (llmdata/scoring.py
+    linear_score — the fasttext-style model's public-knowledge core):
+    weights fold into plan literals, one codegen projection, no
+    UDF/join/shuffle — the right 'score every document' shape.
+    Features here: chars/1000 and space-count/100 (space count =
+    len(text) − len(replace(text,' ','')) — byte-identical across
+    engines, unlike regex word splits)."""
+    from tmdataloader_spark.llmdata.scoring import linear_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / 1000).alias("f_len"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            ).cast("double")
+            / 100
+        ).alias("f_words"),
+    )
+    return linear_score(
+        d, {"f_len": 0.8, "f_words": -0.3}, bias=0.1
+    ).select("doc_id", "score")
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed precision/recall sweep (llmdata/scoring.py
+    pr_curve): TP / predicted-positive counts at EVERY distinct score
+    threshold via descending two-phase prefix sums (integer-exact; one
+    division at the end) — the keep/drop-cut chooser for any quality
+    score. Label here: doc_id % 3 == 0 (deterministic synthetic)."""
+    from tmdataloader_spark.llmdata.scoring import pr_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.round(F.col("n_chars") / 100.0, 6).alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("y"),
+    )
+    return pr_curve(d, "s", "y")
+
+
 def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bin) histogram per event type (statistic/
     profile.py equi_depth_histogram): all cut points from ONE
@@ -2143,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "linear_score": q_linear_score,  # NEW in r5 -> window
+        "pr_curve": q_pr_curve,  # NEW in r5 -> window
         "equi_depth": q_equi_depth,  # NEW in r5 -> window
         "dict_encode": q_dict_encode,  # NEW in r5 -> window
         "incremental_rollup": q_incremental_rollup,  # NEW in r5 -> window
@@ -3088,6 +3131,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "linear_score": """
+            SELECT doc_id,
+                   round(0.1
+                         + (CAST(n_chars AS DOUBLE) / 1000) * 0.8
+                         + (CAST(length(text)
+                                 - length(replace(text, ' ', ''))
+                                 AS DOUBLE) / 100) * (-0.3), 6) AS score
+            FROM documents
+        """,
+        "pr_curve": """
+            WITH base AS (
+              SELECT round(n_chars / 100.0, 6) AS s,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+              FROM documents
+            ),
+            per_s AS (SELECT s, count(*) AS n, sum(y) AS pos
+                      FROM base GROUP BY s),
+            c AS (
+              SELECT s,
+                     sum(n) OVER (ORDER BY s DESC) AS np,
+                     sum(pos) OVER (ORDER BY s DESC) AS tp
+              FROM per_s
+            ),
+            t AS (SELECT sum(pos) AS ap FROM per_s)
+            SELECT s AS threshold, np AS n_pred, tp,
+                   round(tp / (np * 1.0), 6) AS precision,
+                   round(CASE WHEN ap > 0 THEN tp / (ap * 1.0) END, 6)
+                     AS recall
+            FROM c, t
         """,
         "equi_depth": """
             WITH cuts AS (

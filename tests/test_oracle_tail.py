@@ -21,6 +21,8 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "skew_report",  # r5 debut overflow (see test_window_hygiene.py)
+    "salted_join",  # r5 debut overflow (see test_window_hygiene.py)
     "bpe_encode",  # r5 debut overflow (see test_window_hygiene.py)
     "lm_perplexity",  # r5 debut overflow (see test_window_hygiene.py)
     "random_projection",  # r5 debut overflow (see test_window_hygiene.py)

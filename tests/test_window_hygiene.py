@@ -49,6 +49,8 @@ DEBUT_OVERFLOW = {
     "random_projection": 5,
     "lm_perplexity": 5,
     "bpe_encode": 5,
+    "skew_report": 5,
+    "salted_join": 5,
 }
 
 

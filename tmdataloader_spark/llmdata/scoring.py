@@ -1,0 +1,115 @@
+"""Model scoring and evaluation curves, Spark-first.
+
+``linear_score`` is the quality-classifier stand-in (CCNet/FineWeb
+pipelines score documents with a fasttext-style linear model; the
+public-knowledge core of such a model is a dot product over handcrafted
+features) — weights enter the PLAN as literals, so scoring is one
+whole-stage-codegen projection: no UDF, no join, no shuffle, exactly
+the right 100 TB shape for "score every document".
+
+``pr_curve`` evaluates any score against binary labels at EVERY
+distinct score threshold — the precision/recall sweep behind choosing
+a keep/drop cut.  It reduces to integer counting: per distinct score,
+(n, positives); cumulative sums DESCENDING by score give TP and
+predicted-positive counts at the threshold "score ≥ s"; precision/
+recall are single divisions at the end (6dp).  Cumulative sums use
+the two-phase prefix recipe (statistic/stattests.py) with
+order-preserving buckets — no global single-task window over the
+distinct-score table.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def linear_score(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    bias: float = 0.0,
+    out_col: str = "score",
+    quantize: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` = bias + Σ w_i·feature_i as pure codegen.
+    Feature columns are the keys of ``weights``; weights/bias fold
+    into plan literals.  With ``quantize`` (default) the result is
+    rounded to 6dp — the engine-agreed rendering, and what downstream
+    threshold comparisons should run on.  Iteration order of
+    ``weights`` does NOT matter: the sum is built in sorted-key order
+    so the double expression shape is reproducible."""
+    expr: Column = F.lit(float(bias))
+    for name in sorted(weights):
+        expr = expr + F.col(name).cast("double") * F.lit(float(weights[name]))
+    if quantize:
+        expr = F.round(expr, 6)
+    return df.withColumn(out_col, expr)
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold (predicting
+    positive when ``score >= threshold``).  Returns
+    ``threshold, n_pred, tp, precision, recall`` — one row per
+    distinct score, ordered by whatever the consumer sorts on.
+
+    ``label_col`` must be 0/1 (or boolean — cast yourself).  Rows
+    with NULL score or label are excluded."""
+    base = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    per_s = base.groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    bkt = bucket_expr if bucket_expr is not None else F.floor(F.col("s"))
+    per_s = per_s.withColumn("_bkt", bkt.cast("long"))
+
+    # cumulative DESCENDING by score: local inclusive run per bucket...
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per_s.withColumn("ln", F.sum("n").over(w_local)).withColumn(
+        "lp", F.sum("pos").over(w_local)
+    )
+    # ...plus bases from the buckets ABOVE this one (descending order)
+    w_b = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        per_s.groupBy("_bkt")
+        .agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp_"))
+        .withColumn("bn", F.coalesce(F.sum("tn").over(w_b), F.lit(0)))
+        .withColumn("bp", F.coalesce(F.sum("tp_").over(w_b), F.lit(0)))
+        .select("_bkt", "bn", "bp")
+    )
+    totals = per_s.groupBy().agg(F.sum("pos").alias("all_pos"))
+    return (
+        local.join(F.broadcast(bases), "_bkt")
+        .join(F.broadcast(totals))
+        .select(
+            F.col("s").alias("threshold"),
+            (F.col("bn") + F.col("ln")).alias("n_pred"),
+            (F.col("bp") + F.col("lp")).alias("tp"),
+            F.round(
+                (F.col("bp") + F.col("lp"))
+                / (F.col("bn") + F.col("ln")).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("all_pos") > 0,
+                    (F.col("bp") + F.col("lp"))
+                    / F.col("all_pos").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
