@@ -1864,6 +1864,20 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (llmdata/scoring.py roc_auc): Mann-Whitney
+    rank-sum with tie midranks, doubled-rank trick keeps EVERYTHING
+    integer until one final division — no float sums; exclusive prefix
+    counts via two-phase order-preserving buckets. One scalar row."""
+    from tmdataloader_spark.llmdata.scoring import roc_auc
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("y"),
+    )
+    return roc_auc(d, "s", "y")
+
+
 def q_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring (llmdata/scoring.py
     linear_score — the fasttext-style model's public-knowledge core):
@@ -2154,7 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail under the SELF-EXPIRING debut exemption
     # (tests/test_window_hygiene.py DEBUT_OVERFLOW: mixture_upsample,
     # random_projection, lm_perplexity, bpe_encode, skew_report,
-    # salted_join). The moment CORRECTNESS_r05.json exists, the
+    # salted_join, moving_avg). The moment CORRECTNESS_r05.json exists, the
     # exemption dies — round 6 MUST rotate those six into the window
     # (swapping out six r5-green queries) or the hygiene test goes
     # red. Until then they are oracle-checked at sf0.01 on every
@@ -2185,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
         "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
         "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
+        "roc_auc": q_roc_auc,  # NEW in r5 -> window
         "linear_score": q_linear_score,  # NEW in r5 -> window
         "pr_curve": q_pr_curve,  # NEW in r5 -> window
         "equi_depth": q_equi_depth,  # NEW in r5 -> window
@@ -3132,6 +3147,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS entity_key FROM customer
             EXCEPT
             SELECT o_custkey FROM orders
+        """,
+        "roc_auc": """
+            WITH base AS (
+              SELECT n_chars AS s,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+              FROM documents
+            ),
+            per_s AS (SELECT s, count(*) AS n, sum(y) AS pos
+                      FROM base GROUP BY s),
+            c AS (
+              SELECT s, n, pos,
+                     coalesce(sum(n) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cb
+              FROM per_s
+            ),
+            t AS (SELECT sum(pos) AS np, sum(n - pos) AS nn FROM per_s)
+            SELECT t.np AS n_pos, t.nn AS n_neg,
+                   round((sum(c.pos * (2 * c.cb + c.n + 1))
+                          - t.np * (t.np + 1))
+                         / (2.0 * t.np * t.nn), 6) AS auc
+            FROM c, t GROUP BY t.np, t.nn
         """,
         "linear_score": """
             SELECT doc_id,

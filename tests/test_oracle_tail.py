@@ -21,6 +21,7 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
+    "moving_avg",  # r5 overflow exemption (see test_window_hygiene.py)
     "skew_report",  # r5 debut overflow (see test_window_hygiene.py)
     "salted_join",  # r5 debut overflow (see test_window_hygiene.py)
     "bpe_encode",  # r5 debut overflow (see test_window_hygiene.py)

@@ -69,3 +69,34 @@ def test_pr_curve_no_positives_null_recall(spark):
     df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "s double, y long")
     for r in pr_curve(df, "s", "y").collect():
         assert r.recall is None and r.tp == 0
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from tmdataloader_spark.llmdata.scoring import roc_auc
+
+    # perfect separation -> 1.0
+    rows = [(float(i), 1 if i >= 10 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "s double, y long")
+    assert roc_auc(df, "s", "y").collect()[0].auc == 1.0
+    # inverted -> 0.0
+    inv = spark.createDataFrame([(s, 1 - y) for s, y in rows], "s double, y long")
+    assert roc_auc(inv, "s", "y").collect()[0].auc == 0.0
+    # all scores tied -> midranks give exactly 0.5
+    tied = spark.createDataFrame([(5.0, i % 2) for i in range(30)],
+                                 "s double, y long")
+    r = roc_auc(tied, "s", "y").collect()[0]
+    assert r.auc == 0.5 and (r.n_pos, r.n_neg) == (15, 15)
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    from tmdataloader_spark.llmdata.scoring import roc_auc
+
+    pairs = [((i * 13 % 7) / 2.0, (i * 5) % 2) for i in range(60)]
+    df = spark.createDataFrame(pairs, "s double, y long")
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc - round(expect, 6)) < 1e-9

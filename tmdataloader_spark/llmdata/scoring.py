@@ -113,3 +113,78 @@ def pr_curve(
             ).alias("recall"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """EXACT ROC-AUC as one scalar row (``n_pos, n_neg, auc``), via
+    the Mann-Whitney rank-sum identity — AUC = U/(n_pos·n_neg) with
+    tie midranks.  The whole computation is INTEGER arithmetic until
+    one final division: with c_before = count of rows scoring strictly
+    below s and n = s's multiplicity, the DOUBLED midrank is
+    2·c_before + n + 1 (an integer even when the midrank is x.5), so
+    2U = Σ_pos(2·rank) − n_pos·(n_pos+1) accumulates exactly and
+    AUC = 2U / (2·n_pos·n_neg).  No float sums anywhere — the
+    partition/engine-invariance regime.
+
+    Scale shape: one groupBy(score) (distinct-score-sized), exclusive
+    prefix counts via the two-phase order-preserving-bucket recipe,
+    one broadcast totals row.  NULL scores/labels excluded."""
+    base = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    per_s = base.groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    bkt = bucket_expr if bucket_expr is not None else F.floor(F.col("s"))
+    per_s = per_s.withColumn("_bkt", bkt.cast("long"))
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_s.withColumn(
+        "lcb", F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    )
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        per_s.groupBy("_bkt")
+        .agg(F.sum("n").alias("tn"))
+        .withColumn("bb", F.coalesce(F.sum("tn").over(w_b), F.lit(0)))
+        .select("_bkt", "bb")
+    )
+    totals = per_s.groupBy().agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("n") - F.sum("pos")).alias("n_neg"),
+    )
+    cb = F.col("bb") + F.col("lcb")
+    return (
+        local.join(F.broadcast(bases), "_bkt")
+        .join(F.broadcast(totals))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.sum(F.col("pos") * (F.lit(2) * cb + F.col("n") + 1)).alias(
+                "_2ranks"
+            )
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.when(
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                    (
+                        F.col("_2ranks")
+                        - F.col("n_pos") * (F.col("n_pos") + 1)
+                    )
+                    / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                ),
+                6,
+            ).alias("auc"),
+        )
+    )
