@@ -2164,14 +2164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail to make room.
     #
     # Round-5 END STATE / round-6 obligations: r5 introduced more new
-    # queries than the 50-row window holds, so six r5 queries wait in
+    # queries than the 50-row window holds, so seven queries wait in
     # the tail under the SELF-EXPIRING debut exemption
     # (tests/test_window_hygiene.py DEBUT_OVERFLOW: mixture_upsample,
     # random_projection, lm_perplexity, bpe_encode, skew_report,
-    # salted_join, moving_avg). The moment CORRECTNESS_r05.json exists, the
-    # exemption dies — round 6 MUST rotate those six into the window
-    # (swapping out six r5-green queries) or the hygiene test goes
-    # red. Until then they are oracle-checked at sf0.01 on every
+    # salted_join, and moving_avg — the last an r4 query that has
+    # never had a driver row). The moment CORRECTNESS_r05.json exists,
+    # the exemption dies — round 6 MUST rotate those seven into the
+    # window (swapping out seven r5-green queries) or the hygiene test
+    # goes red. Until then they are oracle-checked at sf0.01 on every
     # pytest run (test_oracle_tail).
     return {
         # r5 final window: every never-driver-checked query must sit in
