@@ -1571,6 +1571,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=4)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the 1995 co-purchase graph
+    (parts shipped together in one order = an undirected edge). The
+    Spark plan is the degree-oriented wedge join — out-degree after
+    orientation is bounded by O(sqrt(m)), so a skewed hub costs
+    sqrt(m) wedges instead of deg², the only subgraph-counting shape
+    that survives a power-law link corpus at 100 TB. All-integer
+    arithmetic end to end; the oracle replays the id-ordered 3-way
+    self-join (orientation is purely physical — same triangle set)."""
+    from tmdataloader_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    return triangle_counts(cooccurrence_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two derived snapshots of ``orders``: old = keys
     with ``o_orderkey % 10 < 9``, new = keys ``% 10 > 0`` with
@@ -2164,15 +2181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail to make room.
     #
     # Round-5 END STATE / round-6 obligations: r5 introduced more new
-    # queries than the 50-row window holds, so seven queries wait in
+    # queries than the 50-row window holds, so eight queries wait in
     # the tail under the SELF-EXPIRING debut exemption
     # (tests/test_window_hygiene.py DEBUT_OVERFLOW: mixture_upsample,
     # random_projection, lm_perplexity, bpe_encode, skew_report,
-    # salted_join, and moving_avg — the last an r4 query that has
-    # never had a driver row). The moment CORRECTNESS_r05.json exists,
-    # the exemption dies — round 6 MUST rotate those seven into the
-    # window (swapping out seven r5-green queries) or the hygiene test
-    # goes red. Until then they are oracle-checked at sf0.01 on every
+    # salted_join, triangle_count, and moving_avg — the last an r4
+    # query that has never had a driver row). The moment
+    # CORRECTNESS_r05.json exists, the exemption dies — round 6 MUST
+    # rotate those eight into the window (swapping out eight r5-green
+    # queries) or the hygiene test goes red. Until then they are oracle-checked at sf0.01 on every
     # pytest run (test_oracle_tail).
     return {
         # r5 final window: every never-driver-checked query must sit in
@@ -2321,6 +2338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_study": q_delete_study,
         "visual_attributes": q_visual_attributes,
         "timepoints": q_timepoints,
+        # r5 post-bench debut -> tail under the self-expiring
+        # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r6 must
+        # rotate it into the window with the other r5 overflow debuts
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -2772,10 +2793,14 @@ def _trend_fit_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tmdataloader_spark.operators.graph import pagerank_oracle_sql
+    from tmdataloader_spark.operators.graph import (
+        pagerank_oracle_sql,
+        triangle_oracle_sql,
+    )
 
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
+        "triangle_count": triangle_oracle_sql(year=1995),
         "html_extract": _html_extract_oracle(),
         "quantile_profile": """
             SELECT event_type, count(*) AS n_events,

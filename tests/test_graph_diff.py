@@ -104,3 +104,43 @@ def test_snapshot_diff_composite_key(spark):
         for r in snapshot_diff(old, new, keys=["a", "b"]).collect()
     }
     assert got == {(1, 2): "removed", (1, 3): "added"}
+
+
+# ---- triangle_counts --------------------------------------------------
+
+from tmdataloader_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _int_edges(spark, pairs):
+    # canonical form the operator contracts for: src < dst, distinct
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    e = _int_edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # a hub with many spokes but no spoke-spoke edges: the skew case
+    # degree orientation exists for — zero triangles, zero rows
+    e = _int_edges(spark, [(1, k) for k in range(2, 12)])
+    assert triangle_counts(e).count() == 0
+
+
+def test_triangle_counts_two_disjoint_triangles(spark):
+    e = _int_edges(spark, [(1, 2), (1, 3), (2, 3), (10, 20), (10, 30), (20, 30)])
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(e).collect()}
+    assert got == {n: 1 for n in (1, 2, 3, 10, 20, 30)}
+
+
+def test_triangle_counts_k5_complete(spark):
+    # K5: C(4,2)=6 triangles per node, 10 total triangles
+    nodes = range(1, 6)
+    e = _int_edges(
+        spark, [(a, b) for a in nodes for b in nodes if a < b]
+    )
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(e).collect()}
+    assert got == {n: 6 for n in nodes}

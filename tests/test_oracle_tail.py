@@ -100,6 +100,7 @@ TAIL = [
     "delete_study",
     "visual_attributes",
     "timepoints",
+    "triangle_count",  # r5 post-bench debut (overflow exemption, r6 windows it)
 ]
 
 

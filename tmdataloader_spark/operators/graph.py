@@ -174,3 +174,135 @@ def pagerank_oracle_sql(iters: int = 4) -> str:
         )
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT node, rank_micro FROM r{iters}"
+
+
+def cooccurrence_edges(lineitem: DataFrame, year: int = 1995) -> DataFrame:
+    """Part co-purchase graph: one canonical undirected edge
+    ``(src < dst)`` per DISTINCT pair of parts shipped in the same
+    order during ``year`` (the year filter is the natural partition-
+    pruning predicate a 100 TB event log would carry — it reaches the
+    parquet scan as a pushed filter).
+
+    Plan: one self-equi-join of the pruned two-column projection on
+    the order key with the ``<`` canonicalization INSIDE the join
+    condition (no post-join filter to reorder), then one distinct.
+    Pair fan-out is bounded by order size (TPC-H ≤ 7 lineitems), not
+    corpus size."""
+    li = lineitem.filter(F.year("l_shipdate") == year).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation ``(node, tri_cnt)`` over a
+    canonical undirected edge list (``src < dst``, deduplicated) —
+    the local-clustering / spam-farm signal of a link corpus
+    (extension; subgraph counting has no reference analog).
+
+    Scale shape — DEGREE ORIENTATION (Schank/Wagner 2005; the
+    MapReduce formulation of Suri & Vassilvitskii, WWW'11): each
+    undirected edge is directed from its lower-(degree, id) endpoint
+    to the higher one, which bounds every node's out-degree by
+    O(sqrt(m)) regardless of how skewed the raw degree distribution
+    is — the wedge join below fans out per HIGH-degree hub not by
+    deg² (a 10M-follower hub would otherwise emit 10¹⁴ wedges) but
+    by the sqrt(m) cap. Triangles are then wedges (u→v, u→w) closed
+    by an oriented edge (v→w): two equi-joins + one count
+    aggregation, all map-side-combinable, zero driver state. Every
+    quantity is integer, so the result is bit-identical across
+    engines and partitionings. The DuckDB oracle replays the
+    id-ordered 3-way self-join instead — orientation changes WHICH
+    join finds a triangle, never the triangle set."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ann = edges.join(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst"
+    )
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ann.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    )
+    # oriented feeds BOTH wedge-join sides AND the closing join — a
+    # lazy localCheckpoint (materialized once, at first action)
+    # collapses the 3x-expanded subplan (edge build + degree join
+    # re-derived per consumer; ~139 Exchanges pre-AQE without it,
+    # the dedup_clusters lineage-break regime with it)
+    oriented = oriented.localCheckpoint(eager=False)
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            (F.col("x.vdeg") < F.col("y.vdeg"))
+            | (
+                (F.col("x.vdeg") == F.col("y.vdeg"))
+                & (F.col("x.v") < F.col("y.v"))
+            )
+        ),
+    ).select(
+        F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.v").alias("c")
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    members = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").alias("tri_cnt"))
+
+
+def triangle_oracle_sql(year: int = 1995) -> str:
+    """DuckDB twin of :func:`cooccurrence_edges` +
+    :func:`triangle_counts`: the id-ordered 3-way self-join over the
+    canonical edge list. With ``src < dst`` canonical edges, the
+    join ``(a,b)(b,c)(a,c)`` enumerates each triangle ``a<b<c``
+    exactly once — the same set the degree-oriented wedge join
+    finds, so per-node participation counts agree exactly (all
+    integers, no float anywhere)."""
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = {year}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+n AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b AS node FROM t
+  UNION ALL SELECT c AS node FROM t
+)
+SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM n GROUP BY node
+"""
