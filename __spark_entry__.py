@@ -1588,6 +1588,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(cooccurrence_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the 1995 co-purchase graph:
+    non-adjacent part pairs sharing ≥3 neighbors — the candidate-pair
+    generator for recommender / graph-ML training data. Wedge
+    equi-join + count + LEFT ANTI vs existing edges, all integers
+    (bit-identical under any partitioning). The deg² hub fan-out is
+    inherent to the semantics; the operator's ``neighbor_cap`` is the
+    documented 100 TB mitigation (deterministic per-center truncation
+    — unused here so the oracle is the exact uncapped algebra)."""
+    from tmdataloader_spark.operators.graph import (
+        common_neighbors,
+        cooccurrence_edges,
+    )
+
+    return common_neighbors(
+        cooccurrence_edges(_t(spark, sf_dir, "lineitem")), min_common=3
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two derived snapshots of ``orders``: old = keys
     with ``o_orderkey % 10 < 9``, new = keys ``% 10 > 0`` with
@@ -2181,16 +2200,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail to make room.
     #
     # Round-5 END STATE / round-6 obligations: r5 introduced more new
-    # queries than the 50-row window holds, so eight queries wait in
+    # queries than the 50-row window holds, so nine queries wait in
     # the tail under the SELF-EXPIRING debut exemption
     # (tests/test_window_hygiene.py DEBUT_OVERFLOW: mixture_upsample,
     # random_projection, lm_perplexity, bpe_encode, skew_report,
-    # salted_join, triangle_count, and moving_avg — the last an r4
-    # query that has never had a driver row). The moment
+    # salted_join, triangle_count, link_predict, and moving_avg — the
+    # last an r4 query that has never had a driver row). The moment
     # CORRECTNESS_r05.json exists, the exemption dies — round 6 MUST
-    # rotate those eight into the window (swapping out eight r5-green
-    # queries) or the hygiene test goes red. Until then they are oracle-checked at sf0.01 on every
-    # pytest run (test_oracle_tail).
+    # rotate those nine into the window (swapping out nine r5-green
+    # queries) or the hygiene test goes red. Until then they are
+    # oracle-checked at sf0.01 on every pytest run (test_oracle_tail).
     return {
         # r5 final window: every never-driver-checked query must sit in
         # the first 50 (hygiene test). sessionize keeps its slot — the
@@ -2338,10 +2357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_study": q_delete_study,
         "visual_attributes": q_visual_attributes,
         "timepoints": q_timepoints,
-        # r5 post-bench debut -> tail under the self-expiring
+        # r5 post-bench debuts -> tail under the self-expiring
         # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r6 must
-        # rotate it into the window with the other r5 overflow debuts
+        # rotate them into the window with the other r5 overflow debuts
         "triangle_count": q_triangle_count,
+        "link_predict": q_link_predict,
     }
 
 
@@ -2794,6 +2814,7 @@ def _trend_fit_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tmdataloader_spark.operators.graph import (
+        common_neighbors_oracle_sql,
         pagerank_oracle_sql,
         triangle_oracle_sql,
     )
@@ -2801,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_oracle_sql(iters=4),
         "triangle_count": triangle_oracle_sql(year=1995),
+        "link_predict": common_neighbors_oracle_sql(year=1995, min_common=3),
         "html_extract": _html_extract_oracle(),
         "quantile_profile": """
             SELECT event_type, count(*) AS n_events,

@@ -144,3 +144,45 @@ def test_triangle_counts_k5_complete(spark):
     )
     got = {r["node"]: r["tri_cnt"] for r in triangle_counts(e).collect()}
     assert got == {n: 6 for n in nodes}
+
+
+# ---- common_neighbors --------------------------------------------------
+
+from tmdataloader_spark.operators.graph import common_neighbors  # noqa: E402
+
+
+def test_common_neighbors_path_graph(spark):
+    # path 1-2-3-4: (1,3) share {2}, (2,4) share {3}, (1,4) share none
+    e = _int_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        (r["node_a"], r["node_b"]): r["common_cnt"]
+        for r in common_neighbors(e, min_common=1).collect()
+    }
+    assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    # triangle 1-2-3: every pair is adjacent -> no candidates at all
+    e = _int_edges(spark, [(1, 2), (1, 3), (2, 3)])
+    assert common_neighbors(e, min_common=1).count() == 0
+
+
+def test_common_neighbors_min_common_prunes(spark):
+    # 1 and 4 share {2, 3}; threshold 3 drops them, 2 keeps them
+    e = _int_edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    assert common_neighbors(e, min_common=3).count() == 0
+    got = {
+        (r["node_a"], r["node_b"]): r["common_cnt"]
+        for r in common_neighbors(e, min_common=2).collect()
+    }
+    assert got == {(1, 4): 2, (2, 3): 2}
+
+
+def test_common_neighbors_neighbor_cap_deterministic(spark):
+    # star center 1 with spokes 2..6: uncapped gives C(5,2)=10 pairs;
+    # cap=3 keeps neighbors {2,3,4} (id order) -> C(3,2)=3 pairs
+    e = _int_edges(spark, [(1, k) for k in range(2, 7)])
+    assert common_neighbors(e, min_common=1).count() == 10
+    capped = common_neighbors(e, min_common=1, neighbor_cap=3)
+    got = sorted((r["node_a"], r["node_b"]) for r in capped.collect())
+    assert got == [(2, 3), (2, 4), (3, 4)]

@@ -101,6 +101,7 @@ TAIL = [
     "visual_attributes",
     "timepoints",
     "triangle_count",  # r5 post-bench debut (overflow exemption, r6 windows it)
+    "link_predict",  # r5 post-bench debut (overflow exemption, r6 windows it)
 ]
 
 

@@ -52,6 +52,7 @@ DEBUT_OVERFLOW = {
     "skew_report": 5,
     "salted_join": 5,
     "triangle_count": 5,
+    "link_predict": 5,
     # not an r5 debut (r4 query that has never had a driver row), but
     # the same self-expiring contract applies: must be windowed in r6
     "moving_avg": 5,
