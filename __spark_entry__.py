@@ -1298,6 +1298,38 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census (operators/eventflow.py
+    event_transitions): src->dst counts + leave-probabilities over
+    per-user ordered streams — one user_id window shuffle, one
+    (src,dst) agg; probability = one long/long IEEE division."""
+    from tmdataloader_spark.operators.eventflow import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival cadence stats (operators/eventflow.py
+    interarrival_profile): exact integer-microsecond gaps per
+    (user, type) stream, one map-side-combined per-type aggregate —
+    the threshold probe for throttle/debounce/sessionize gaps."""
+    from tmdataloader_spark.operators.eventflow import interarrival_profile
+
+    return interarrival_profile(_t(spark, sf_dir, "events"))
+
+
+def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-diversity profile (statistic/profile.py
+    diversity_profile): Simpson index (pure-integer algebra — no
+    transcendentals, so bit-exact cross-engine) per column over an
+    in-scan unpivot; one scan for all columns."""
+    from tmdataloader_spark.statistic.profile import diversity_profile
+
+    return diversity_profile(
+        _t(spark, sf_dir, "documents"), ["lang", "source"]
+    )
+
+
 _BM25_TERMS = ["spark", "shuffle", "vector", "customer"]
 
 
@@ -2183,76 +2215,103 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 5): the driver's correctness gate checks the
-    # FIRST 50 entries. The 11 round-4 late additions that had never
-    # had a driver-green row (bm25 … ccnet_buckets — r04 VERDICT item
-    # 2) now lead positions 11-21; to make room, 11 queries green in
-    # ≥3 driver rounds (pricing_summary r2-r4; probe_stats/zscore/
-    # median_exact/probeset_collapse/dedup_keep_one/type_inference/
-    # clinical_melt/fill_in_tree/tree_closure/concept_counts r1-r4)
-    # rotate to the tail, where test_oracle_tail.py still
-    # oracle-checks them every pytest run. sessionize/event_rollup
-    # stay at the head: their float sums became decimal-exact this
-    # round and need a fresh driver verdict. Later in r5 four new
-    # queries (pagerank/snapshot_diff/cube_agg/sliding_rollup) enter
-    # the window at positions 6-9; timepoint_minutes/ann_block/
-    # summary_stats/validation_rules (all green r4) rotate to the
-    # tail to make room.
-    #
-    # Round-5 END STATE / round-6 obligations: r5 introduced more new
-    # queries than the 50-row window holds, so nine queries wait in
-    # the tail under the SELF-EXPIRING debut exemption
-    # (tests/test_window_hygiene.py DEBUT_OVERFLOW: mixture_upsample,
-    # random_projection, lm_perplexity, bpe_encode, skew_report,
-    # salted_join, triangle_count, link_predict, and moving_avg — the
-    # last an r4 query that has never had a driver row). The moment
-    # CORRECTNESS_r05.json exists, the exemption dies — round 6 MUST
-    # rotate those nine into the window (swapping out nine r5-green
-    # queries) or the hygiene test goes red. Until then they are
-    # oracle-checked at sf0.01 on every pytest run (test_oracle_tail).
+    # Ordering note (round 6): the driver checks the FIRST 50 entries.
+    # Window composition is annotated inline below; the rotation
+    # policy itself is enforced by tests/test_window_hygiene.py and
+    # the tail stays oracle-checked by tests/test_oracle_tail.py.
     return {
-        # r5 final window: every never-driver-checked query must sit in
-        # the first 50 (hygiene test). sessionize keeps its slot — the
-        # r4 verdict's "done" criterion is a green driver row for it.
-        # event_rollup (same decimal fix, r4-green) and curate moved to
-        # the tail, where test_oracle_tail.py re-verifies them at
-        # sf0.01 on every pytest run.
-        "sessionize": q_sessionize,
-        "profile_table": q_profile_table,  # NEW in r5 -> window
-        "table_checksum": q_table_checksum,  # NEW in r5 -> window
-        "user_cardinality": q_user_cardinality,  # NEW in r5 -> window
-        "pagerank": q_pagerank,  # NEW in r5 -> window immediately
-        "snapshot_diff": q_snapshot_diff,  # NEW in r5 -> window
-        "cube_agg": q_cube_agg,  # NEW in r5 -> window
-        "sliding_rollup": q_sliding_rollup,  # NEW in r5 -> window
-        "html_extract": q_html_extract,  # NEW in r5 -> window
-        "mad_outliers": q_mad_outliers,  # NEW in r5 -> window
-        "scd2_history": q_scd2_history,  # NEW in r5 -> window
-        "token_mixture": q_token_mixture,  # NEW in r5 -> window
-        "trending": q_trending,  # NEW in r5 -> window
-        "range_window": q_range_window,  # NEW in r5 -> window
-        "mixture_drift": q_mixture_drift,  # NEW in r5 -> window
-        "weighted_sample": q_weighted_sample,  # NEW in r5 -> window
-        "quantile_profile": q_quantile_profile,  # NEW in r5 -> window
-        "intersect_retained": q_intersect_retained,  # NEW in r5 -> window
-        "fuzzy_dedup": q_fuzzy_dedup,  # NEW in r5 -> window
-        "roc_auc": q_roc_auc,  # NEW in r5 -> window
-        "linear_score": q_linear_score,  # NEW in r5 -> window
-        "pr_curve": q_pr_curve,  # NEW in r5 -> window
-        "equi_depth": q_equi_depth,  # NEW in r5 -> window
-        "dict_encode": q_dict_encode,  # NEW in r5 -> window
-        "incremental_rollup": q_incremental_rollup,  # NEW in r5 -> window
-        "negative_samples": q_negative_samples,  # NEW in r5 -> window
-        "ks_drift": q_ks_drift,  # NEW in r5 -> window
-        "chi_square": q_chi_square,  # NEW in r5 -> window
-        "debounce": q_debounce,  # NEW in r5 -> window
-        "throttle": q_throttle,  # NEW in r5 -> window
-        "sliding_distinct": q_sliding_distinct,  # NEW in r5 -> window
-        "winsorize": q_winsorize,  # NEW in r5 -> window
-        "trend_fit": q_trend_fit,  # NEW in r5 -> window
-        "resample_fill": q_resample_fill,  # NEW in r5 -> window
-        "heavy_hitters": q_heavy_hitters,  # NEW in r5 -> window
-        "histogram": q_histogram,  # NEW in r5 -> window
+        # --- r6 WINDOW (first 50; driver-checked this round) ---
+        # head: the 4 r5-red rows (HUGEINT oracle types, CAST-fixed
+        # this round) stay windowed until a green driver row lands;
+        # then the 9 never-driver-checked r4/r5 debuts whose
+        # DEBUT_OVERFLOW exemptions expired; then 3 r6 debuts; then
+        # the 23 r3-green queries about to fall out of the last-two
+        # CORRECTNESS files; last 11 slots refresh r4-green queries
+        # so the r7 rotation crunch (49 r4-only rows) shrinks to 38.
+        "sessionize": q_sessionize,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
+        "roc_auc": q_roc_auc,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
+        "pr_curve": q_pr_curve,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
+        "ks_drift": q_ks_drift,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
+        "moving_avg": q_moving_avg,  # never driver-checked (r4 debut) -> windowed r6
+        "skew_report": q_skew_report,  # never driver-checked (r5 overflow) -> windowed r6
+        "salted_join": q_salted_join,  # never driver-checked (r5 overflow) -> windowed r6
+        "bpe_encode": q_bpe_encode,  # never driver-checked (r5 overflow) -> windowed r6
+        "lm_perplexity": q_lm_perplexity,  # never driver-checked (r5 overflow) -> windowed r6
+        "random_projection": q_random_projection,  # never driver-checked (r5 overflow) -> windowed r6
+        "mixture_upsample": q_mixture_upsample,  # never driver-checked (r5 overflow) -> windowed r6
+        "triangle_count": q_triangle_count,  # never driver-checked (r5 overflow) -> windowed r6
+        "link_predict": q_link_predict,  # never driver-checked (r5 overflow) -> windowed r6
+        "event_transitions": q_event_transitions,  # NEW in r6 -> window
+        "interarrival_profile": q_interarrival_profile,  # NEW in r6 -> window
+        "diversity_profile": q_diversity_profile,  # NEW in r6 -> window
+        "vcf_genotypes": q_vcf_genotypes,  # r3-green aged out of last-two files -> re-windowed
+        "visit_suppression": q_visit_suppression,  # r3-green aged out -> re-windowed
+        "hash_split": q_hash_split,  # r3-green aged out -> re-windowed
+        "simhash": q_simhash,  # r3-green aged out -> re-windowed
+        "multimodal_meta": q_multimodal_meta,  # r3-green aged out -> re-windowed
+        "cleansing": q_cleansing,  # r3-green aged out -> re-windowed
+        "dedup_exact": q_dedup_exact,  # r3-green aged out -> re-windowed
+        "text_quality": q_text_quality,  # r3-green aged out -> re-windowed
+        "pii_redaction": q_pii_redaction,  # r3-green aged out -> re-windowed
+        "decontamination": q_decontamination,  # r3-green aged out -> re-windowed
+        "token_count": q_token_count,  # r3-green aged out -> re-windowed
+        "fingerprint": q_fingerprint,  # r3-green aged out -> re-windowed
+        "langid": q_langid,  # r3-green aged out -> re-windowed
+        "anti_join": q_anti_join,  # r3-green aged out -> re-windowed
+        "semi_join": q_semi_join,  # r3-green aged out -> re-windowed
+        "except_dropped": q_except_dropped,  # r3-green aged out -> re-windowed
+        "union_exclusion": q_union_exclusion,  # r3-green aged out -> re-windowed
+        "first_value": q_first_value,  # r3-green aged out -> re-windowed
+        "path_functions": q_path_functions,  # r3-green aged out -> re-windowed
+        "move_study": q_move_study,  # r3-green aged out -> re-windowed
+        "delete_study": q_delete_study,  # r3-green aged out -> re-windowed
+        "visual_attributes": q_visual_attributes,  # r3-green aged out -> re-windowed
+        "timepoints": q_timepoints,  # r3-green aged out -> re-windowed
+        "funnel": q_funnel,  # r4-green refresh (bench watch item: fresh timing + row)
+        "event_rollup": q_event_rollup,  # r4-green refresh (ages out at r7 otherwise)
+        "curate": q_curate,  # r4-green refresh
+        "fact_assembly": q_fact_assembly,  # r4-green refresh
+        "quota_sample": q_quota_sample,  # r4-green refresh
+        "dedup_clusters": q_dedup_clusters,  # r4-green refresh
+        "json_rollup": q_json_rollup,  # r4-green refresh
+        "embedding_dedup": q_embedding_dedup,  # r4-green refresh
+        "chunk_docs": q_chunk_docs,  # r4-green refresh
+        "ann_lsh": q_ann_lsh,  # r4-green refresh
+        "ann_ivf": q_ann_ivf,  # r4-green refresh
+        # --- tail (51+): driver-green r5, oracle-checked at sf0.01
+        # on every pytest run by tests/test_oracle_tail.py ---
+        "profile_table": q_profile_table,
+        "table_checksum": q_table_checksum,
+        "user_cardinality": q_user_cardinality,
+        "pagerank": q_pagerank,
+        "snapshot_diff": q_snapshot_diff,
+        "cube_agg": q_cube_agg,
+        "sliding_rollup": q_sliding_rollup,
+        "html_extract": q_html_extract,
+        "mad_outliers": q_mad_outliers,
+        "scd2_history": q_scd2_history,
+        "token_mixture": q_token_mixture,
+        "trending": q_trending,
+        "range_window": q_range_window,
+        "mixture_drift": q_mixture_drift,
+        "weighted_sample": q_weighted_sample,
+        "quantile_profile": q_quantile_profile,
+        "intersect_retained": q_intersect_retained,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "linear_score": q_linear_score,
+        "equi_depth": q_equi_depth,
+        "dict_encode": q_dict_encode,
+        "incremental_rollup": q_incremental_rollup,
+        "negative_samples": q_negative_samples,
+        "chi_square": q_chi_square,
+        "debounce": q_debounce,
+        "throttle": q_throttle,
+        "sliding_distinct": q_sliding_distinct,
+        "winsorize": q_winsorize,
+        "trend_fit": q_trend_fit,
+        "resample_fill": q_resample_fill,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -2264,54 +2323,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "ann_ivfpq": q_ann_ivfpq,
         "ccnet_buckets": q_ccnet_buckets,
-        # never driver-checked in ANY round (r1-r4 audit this round):
         "stratified_sample": q_stratified_sample,
         "pair_counts": q_pair_counts,
         "rollup_agg": q_rollup_agg,
-        "moving_avg": q_moving_avg,
-        # r5 late rotation: fact_assembly/quota_sample/dedup_clusters
-        # (r4 driver-green) -> tail, freeing window slots for the
-        # never-driver-checked skew_report/salted_join/bpe_encode
-        "skew_report": q_skew_report,  # NEW in r5 -> window
-        "salted_join": q_salted_join,  # NEW in r5 -> window
-        "bpe_encode": q_bpe_encode,  # NEW in r5 -> window
-        "lm_perplexity": q_lm_perplexity,  # NEW in r5 -> window immediately
-        "random_projection": q_random_projection,  # NEW in r5 -> window
-        "mixture_upsample": q_mixture_upsample,  # NEW in r5 -> window
-        "event_rollup": q_event_rollup,  # r5 late rotation -> tail (r4-green)
-        "curate": q_curate,  # r5 late rotation -> tail (r4-green)
-        "fact_assembly": q_fact_assembly,
-        "quota_sample": q_quota_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "json_rollup": q_json_rollup,
-        "embedding_dedup": q_embedding_dedup,
-        "chunk_docs": q_chunk_docs,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "funnel": q_funnel,
+        # --- tail: driver-green r4 (re-window in r7 before their
+        # rows age out of the last-two files) ---
         "retention": q_retention,
-        # --- tail (positions 51+): stable since r01/r02, also covered
-        # by pytest e2e AND oracle-checked per pytest run by
-        # tests/test_oracle_tail.py; outside the driver's 50-row
-        # window. Rotated here in r5 (each green in ≥3 driver rounds)
-        # to make window room for the 15 queries above that had never
-        # had a driver row:
-        "incremental_dedup": q_incremental_dedup,  # r5: window->tail (green r4)
-        "semantic_dedup": q_semantic_dedup,  # r5: window->tail (green r4)
-        "kmeans": q_kmeans,  # r5: window->tail (green r4)
-        "length_profile": q_length_profile,  # r5: window->tail (green r4)
-        "zorder": q_zorder,  # r5: window->tail (green r4)
-        "hdd_leaf_paths": q_hdd_leaf_paths,  # r5: window->tail (green r4)
-        "seq_pack": q_seq_pack,  # r5: window->tail (green r4)
-        "interval_join": q_interval_join,  # r5: window->tail (green r4)
-        "vocab_topk": q_vocab_topk,  # r5: window->tail (green r4)
-        "asof_join": q_asof_join,  # r5: window->tail (green r4)
-        "range_join": q_range_join,  # r5: window->tail (green r4)
-        "gpl_info_join": q_gpl_info_join,  # r5: window->tail (green r4)
-        "timepoint_minutes": q_timepoint_minutes,  # r5: window->tail (green r4)
-        "ann_block": q_ann_block,  # r5: window->tail (green r4)
-        "summary_stats": q_summary_stats,  # r5: window->tail (green r4)
-        "validation_rules": q_validation_rules,  # r5: window->tail (green r4)
+        "incremental_dedup": q_incremental_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans": q_kmeans,
+        "length_profile": q_length_profile,
+        "zorder": q_zorder,
+        "hdd_leaf_paths": q_hdd_leaf_paths,
+        "seq_pack": q_seq_pack,
+        "interval_join": q_interval_join,
+        "vocab_topk": q_vocab_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "gpl_info_join": q_gpl_info_join,
+        "timepoint_minutes": q_timepoint_minutes,
+        "ann_block": q_ann_block,
+        "summary_stats": q_summary_stats,
+        "validation_rules": q_validation_rules,
         "duplicate_detection": q_duplicate_detection,
         "demographics_pivot": q_demographics_pivot,
         "winnow": q_winnow,
@@ -2333,35 +2366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_in_tree": q_fill_in_tree,
         "tree_closure": q_tree_closure,
         "concept_counts": q_concept_counts,
-        # earlier-round tail rotations (see r4 note in git history):
-        "vcf_genotypes": q_vcf_genotypes,
-        "visit_suppression": q_visit_suppression,
-        "hash_split": q_hash_split,
-        "simhash": q_simhash,
-        "multimodal_meta": q_multimodal_meta,
-        "cleansing": q_cleansing,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_redaction": q_pii_redaction,
-        "decontamination": q_decontamination,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "langid": q_langid,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_dropped": q_except_dropped,
-        "union_exclusion": q_union_exclusion,
-        "first_value": q_first_value,
-        "path_functions": q_path_functions,
-        "move_study": q_move_study,
-        "delete_study": q_delete_study,
-        "visual_attributes": q_visual_attributes,
-        "timepoints": q_timepoints,
-        # r5 post-bench debuts -> tail under the self-expiring
-        # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r6 must
-        # rotate them into the window with the other r5 overflow debuts
-        "triangle_count": q_triangle_count,
-        "link_predict": q_link_predict,
     }
 
 
@@ -2793,6 +2797,30 @@ def _ks_drift_oracle() -> str:
     )
 
 
+def _event_transitions_oracle() -> str:
+    from tmdataloader_spark.operators.eventflow import (
+        event_transitions_oracle_sql,
+    )
+
+    return event_transitions_oracle_sql("events")
+
+
+def _interarrival_oracle() -> str:
+    from tmdataloader_spark.operators.eventflow import (
+        interarrival_profile_oracle_sql,
+    )
+
+    return interarrival_profile_oracle_sql("events")
+
+
+def _diversity_profile_oracle() -> str:
+    from tmdataloader_spark.statistic.profile import (
+        diversity_profile_oracle_sql,
+    )
+
+    return diversity_profile_oracle_sql("documents", ["lang", "source"])
+
+
 def _chi_square_oracle() -> str:
     from tmdataloader_spark.statistic.stattests import chi_square_oracle_sql
 
@@ -3212,7 +3240,8 @@ def oracle_sql() -> dict[str, str]:
                      ), 0) AS cb
               FROM per_s
             ),
-            t AS (SELECT sum(pos) AS np, sum(n - pos) AS nn FROM per_s)
+            t AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                         CAST(sum(n - pos) AS BIGINT) AS nn FROM per_s)
             SELECT t.np AS n_pos, t.nn AS n_neg,
                    round((sum(c.pos * (2 * c.cb + c.n + 1))
                           - t.np * (t.np + 1))
@@ -3238,8 +3267,8 @@ def oracle_sql() -> dict[str, str]:
                       FROM base GROUP BY s),
             c AS (
               SELECT s,
-                     sum(n) OVER (ORDER BY s DESC) AS np,
-                     sum(pos) OVER (ORDER BY s DESC) AS tp
+                     CAST(sum(n) OVER (ORDER BY s DESC) AS BIGINT) AS np,
+                     CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp
               FROM per_s
             ),
             t AS (SELECT sum(pos) AS ap FROM per_s)
@@ -3309,6 +3338,9 @@ def oracle_sql() -> dict[str, str]:
               AND neg_id IN (SELECT doc_id FROM documents)
         """,
         "ks_drift": _ks_drift_oracle(),
+        "event_transitions": _event_transitions_oracle(),
+        "interarrival_profile": _interarrival_oracle(),
+        "diversity_profile": _diversity_profile_oracle(),
         "chi_square": _chi_square_oracle(),
         "debounce": """
             WITH lagged AS (
@@ -4244,10 +4276,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT *,
-                     sum(CASE WHEN prev_us IS NULL
+                     CAST(sum(CASE WHEN prev_us IS NULL
                               OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM o
             )
             SELECT user_id, session_seq,

@@ -21,25 +21,53 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "moving_avg",  # r5 overflow exemption (see test_window_hygiene.py)
-    "skew_report",  # r5 debut overflow (see test_window_hygiene.py)
-    "salted_join",  # r5 debut overflow (see test_window_hygiene.py)
-    "bpe_encode",  # r5 debut overflow (see test_window_hygiene.py)
-    "lm_perplexity",  # r5 debut overflow (see test_window_hygiene.py)
-    "random_projection",  # r5 debut overflow (see test_window_hygiene.py)
-    "mixture_upsample",  # r5 debut overflow (see test_window_hygiene.py)
-    "event_rollup",  # r5 late rotation: r4-green, window slot to ks_drift
-    "curate",  # r5 late rotation: r4-green, window slot to chi_square
-    "fact_assembly",  # r5 late rotation: r4-green, swapped for skew_report
-    "quota_sample",  # r5 late rotation: r4-green, swapped for salted_join
-    "dedup_clusters",  # r5 late rotation: r4-green, swapped for bpe_encode
-    "json_rollup",  # r5: rotated out when winsorize entered the window
-    "embedding_dedup",  # r5: rotated out when trend_fit entered the window
-    "chunk_docs",  # r5: rotated out when resample_fill entered the window
-    "ann_lsh",  # r5: rotated out when histogram entered the window
-    "ann_ivf",  # r5: rotated out when heavy_hitters entered the window
-    "funnel",  # r5: rotated out when fuzzy_dedup entered the window
-    "retention",  # r5: rotated out when intersect_retained entered the window
+    "profile_table",
+    "table_checksum",
+    "user_cardinality",
+    "pagerank",
+    "snapshot_diff",
+    "cube_agg",
+    "sliding_rollup",
+    "html_extract",
+    "mad_outliers",
+    "scd2_history",
+    "token_mixture",
+    "trending",
+    "range_window",
+    "mixture_drift",
+    "weighted_sample",
+    "quantile_profile",
+    "intersect_retained",
+    "fuzzy_dedup",
+    "linear_score",
+    "equi_depth",
+    "dict_encode",
+    "incremental_rollup",
+    "negative_samples",
+    "chi_square",
+    "debounce",
+    "throttle",
+    "sliding_distinct",
+    "winsorize",
+    "trend_fit",
+    "resample_fill",
+    "heavy_hitters",
+    "histogram",
+    "bm25",
+    "bm25_batch",
+    "rrf_fuse",
+    "mixture_sample",
+    "dup_ngrams",
+    "curation_report",
+    "substr_dedup",
+    "prototype_scores",
+    "leakage_split",
+    "ann_ivfpq",
+    "ccnet_buckets",
+    "stratified_sample",
+    "pair_counts",
+    "rollup_agg",
+    "retention",
     "incremental_dedup",
     "semantic_dedup",
     "kmeans",
@@ -77,31 +105,6 @@ TAIL = [
     "fill_in_tree",
     "tree_closure",
     "concept_counts",
-    "vcf_genotypes",
-    "visit_suppression",
-    "hash_split",
-    "simhash",
-    "multimodal_meta",
-    "cleansing",
-    "dedup_exact",
-    "text_quality",
-    "pii_redaction",
-    "decontamination",
-    "token_count",
-    "fingerprint",
-    "langid",
-    "anti_join",
-    "semi_join",
-    "except_dropped",
-    "union_exclusion",
-    "first_value",
-    "path_functions",
-    "move_study",
-    "delete_study",
-    "visual_attributes",
-    "timepoints",
-    "triangle_count",  # r5 post-bench debut (overflow exemption, r6 windows it)
-    "link_predict",  # r5 post-bench debut (overflow exemption, r6 windows it)
 ]
 
 

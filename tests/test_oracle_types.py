@@ -1,0 +1,46 @@
+"""Oracle OUTPUT-TYPE assertions over EVERY gate query (r5 VERDICT
+item 4, made permanent).
+
+The driver's value hash is type-sensitive at the Arrow level: DuckDB
+widens integer ``sum()`` to HUGEINT, which Arrow exports as
+decimal128(38,0), so a bit-identical result still hash-mismatches
+(this exact class cost rounds 4 AND 5 — sessionize, roc_auc,
+pr_curve, ks_drift).  tests/test_oracle_tail.py only covers queries
+outside the driver's 50-row window; this module DESCRIBEs every
+oracle (window included) against its Spark plan schema WITHOUT
+executing either, so a generated oracle (bpe_encode, lm_perplexity,
+triangle_count, ...) can never reintroduce the class.
+
+Cheap by construction: no collect() on either engine — Spark only
+builds the plan, DuckDB only binds the SQL.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _names():
+    import __spark_entry__ as entry
+
+    return list(entry.queries())
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    from tools.check_correctness import oracle_connection
+
+    return oracle_connection(SF)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_oracle_types_match_spark(spark, oracle_con, name):
+    from tools.check_correctness import check_query
+
+    err = check_query(spark, oracle_con, name, SF, types_only=True)
+    assert err is None, f"{name}: {err}"

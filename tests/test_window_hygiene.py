@@ -44,18 +44,11 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 # query debuted in), the query must either be in the window or have a
 # driver row, like everyone else.  Tail queries stay oracle-checked at
 # sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
-DEBUT_OVERFLOW = {
-    "mixture_upsample": 5,  # r5 introduced 50+ new queries; window is 50
-    "random_projection": 5,
-    "lm_perplexity": 5,
-    "bpe_encode": 5,
-    "skew_report": 5,
-    "salted_join": 5,
-    "triangle_count": 5,
-    "link_predict": 5,
-    # not an r5 debut (r4 query that has never had a driver row), but
-    # the same self-expiring contract applies: must be windowed in r6
-    "moving_avg": 5,
+DEBUT_OVERFLOW: dict[str, int] = {
+    # empty since r6: the nine r4/r5 overflow debuts were rotated into
+    # the window when their exemptions expired (CORRECTNESS_r05.json
+    # landing), and the three r6 debuts (event_transitions,
+    # interarrival_profile, diversity_profile) were windowed on debut.
 }
 
 

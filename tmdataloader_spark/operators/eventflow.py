@@ -23,7 +23,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel(
@@ -288,3 +288,135 @@ def sliding_distinct(
         .agg(F.count_distinct("e").alias("n_distinct"))
         .select(F.col("w").alias("window_end"), "n_distinct")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition census over per-user event
+    streams: for every ordered pair of consecutive events of one
+    user, count ``src -> dst`` and its row-probability among all
+    transitions leaving ``src``.  The path-analysis primitive behind
+    "what do users do after X" (reference analogue: the eventflow
+    family; sessionize's ordering contract reused verbatim).
+
+    Returns ``(src, dst, n_transitions, p)`` with ``p`` rounded 6dp.
+
+    Scale shape: ONE window shuffle on user_id (``lag`` over the
+    (ts, id) unique ordering — same frame sessionize uses, so the
+    two share an Exchange when composed), then one map-side-combined
+    count on (src, dst).  The probability denominator is a window sum
+    over the (src, dst) AGGREGATE — cardinality |types|^2, never
+    data-sized.  Division of two exact longs is one IEEE op: 6dp
+    round is engine-stable (determinism regime — no float sums)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("dst"),
+            F.lag(type_col).over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(total).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+def event_transitions_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`event_transitions` — identical ordering
+    contract and long/long single-division arithmetic."""
+    return f"""
+        WITH o AS (
+          SELECT event_type AS dst,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS src
+          FROM {table}
+        ),
+        p AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+          FROM o WHERE src IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n_transitions,
+               round(n_transitions
+                     / CAST(sum(n_transitions) OVER (PARTITION BY src)
+                            AS DOUBLE), 6) AS p
+        FROM p
+    """
+
+
+def interarrival_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event-type inter-arrival statistics over per-user streams:
+    gaps between consecutive same-type events of one user, in EXACT
+    integer microseconds, aggregated per type to
+    ``(event_type, n_gaps, min_gap_s, avg_gap_s, max_gap_s)`` (6dp
+    seconds).  The cadence probe behind throttle/debounce threshold
+    choices (operators above) and session-gap tuning.
+
+    Scale shape: one window shuffle on (user, type) — the lag frame —
+    then ONE map-side-combined aggregate on type (|types| rows out).
+    All math is integer until the final /1e6 renders seconds: min/max
+    are exact longs; avg is Spark's exact long-sum/count — one IEEE
+    division both engines perform identically (no float sums)."""
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_gap_s"),
+        F.round(
+            (F.sum("gap_us").cast("double") / F.count("*")) / F.lit(1e6), 6
+        ).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
+def interarrival_profile_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin: same integer-micros gaps, same exact-sum/count
+    then single-division arithmetic (sum cast BIGINT before DOUBLE so
+    the intermediate is the same exact integer both engines divide)."""
+    return f"""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+          FROM {table}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(min(gap_us) / 1e6, 6) AS min_gap_s,
+               round((CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+                      / count(*)) / 1e6, 6) AS avg_gap_s,
+               round(max(gap_us) / 1e6, 6) AS max_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """

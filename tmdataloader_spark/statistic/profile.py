@@ -333,3 +333,84 @@ def equi_depth_histogram(
         .agg(F.count("*").alias("n"))
         .select(F.col(gname).alias(group_col or "group_key"), "bin", "n")
     )
+
+
+def diversity_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Categorical-diversity profile: per column, the non-null count,
+    exact distinct count, and Simpson diversity index
+    ``1 − Σ p_v²`` (probability two random rows differ), 6dp.
+
+    Simpson — not Shannon — on purpose: entropy needs a ``log``
+    whose last-ulp behavior differs between engines, and a 6dp round
+    can flip on that ulp (the sessionize lesson).  Simpson is pure
+    integer arithmetic until one final division — ``Σ n_v²`` and
+    ``N²`` are exact — so every output bit is engine- and
+    partition-invariant by construction.
+
+    Scale shape: ONE scan — columns unpivot in-scan via an inline
+    array-of-structs explode (rows × |cols|, column-pruned to just
+    ``cols``), then one map-side-combined count per (column, value)
+    and one |cols|-row final aggregate.  ``Σ n_v²`` accumulates as
+    decimal(38,0) so a 100 TB value census cannot overflow int64."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+    counts = (
+        pairs.filter(F.col("v").isNotNull())
+        .groupBy("column", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.groupBy("column")
+        .agg(
+            F.sum("n").alias("n_values"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("_ss"),
+        )
+        .select(
+            "column",
+            "n_values",
+            "n_distinct",
+            F.round(
+                F.lit(1.0)
+                - F.col("_ss").cast("double")
+                / (F.col("n_values").cast("double") * F.col("n_values")),
+                6,
+            ).alias("simpson"),
+        )
+    )
+
+
+def diversity_profile_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin: identical unpivot-count-square algebra; the sum
+    of squares stays exact (HUGEINT) and only enters the final
+    division as DOUBLE, matching Spark's decimal→double cast."""
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM {table}"
+        for c in cols
+    )
+    return f"""
+        WITH pairs AS ({selects}),
+        counts AS (
+          SELECT col_name, v, count(*) AS n FROM pairs
+          WHERE v IS NOT NULL GROUP BY col_name, v
+        )
+        SELECT col_name AS "column",
+               CAST(sum(n) AS BIGINT) AS n_values,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(CAST(1 AS DOUBLE)
+                     - CAST(sum(n * n) AS DOUBLE)
+                       / (CAST(sum(n) AS DOUBLE)
+                          * CAST(sum(n) AS DOUBLE)), 6) AS simpson
+        FROM counts GROUP BY col_name
+    """

@@ -129,7 +129,8 @@ def ks_test_oracle_sql(a_sql: str, b_sql: str, value_sql: str) -> str:
                  sum(cb) OVER (ORDER BY v) AS cum_b
           FROM pv
         ),
-        t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv)
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM pv)
         SELECT t.n_a, t.n_b,
                round(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
                      / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) AS d_stat
