@@ -1643,7 +1643,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two derived snapshots of ``orders``: old = keys
     with ``o_orderkey % 10 < 9``, new = keys ``% 10 > 0`` with
     status rewritten to 'X' for keys divisible by 7 — so the diff
-    emits added (%10==0), removed (%10==9) and changed rows. ONE
+    emits added (%10==9), removed (%10==0) and changed rows. ONE
     full-outer equi-join on the key; change classification is a
     codegen CASE over null-safe column equality (native values, no
     stringified-payload md5 — float formatting is engine-specific)."""

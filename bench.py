@@ -81,6 +81,15 @@ def main() -> None:
             qs["bm25_batch"](spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
+    # ...and the chained-Window funnel shape (r6 restructure: k
+    # dependent RANGE-frame window stages over one sort — first run
+    # pays ~1.5 s of codegen for the chain, warm runs ~1.0 s at
+    # sf0.1)
+    if "funnel" in qs:
+        try:
+            qs["funnel"](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
     # ...and the iterative-join loop shape: pagerank's 12
     # per-iteration stages need ~3 executions before HotSpot C2
     # compiles the join/agg codegen (measured: run1 6-10 s, run2
@@ -121,17 +130,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(v for v in timings.values() if v == v), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # Sidecar with the FULL per-query dict: the round artifact keeps
+    # only a 2,000-char stdout tail, which truncated 44 of 131 r5
+    # timings out of the audit trail (r5 VERDICT item 6). Written
+    # before the regression guard so even a guard-exit preserves it.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last_run.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
     # Regression guard: compare against the checked-in baseline on the
     # common query set and exit nonzero on a >2x total regression —

@@ -622,9 +622,26 @@ def negative_samples(
     broadcasts.  Requires corpus ids dense 0..n−1 (the layout zorder /
     packing tooling emits dense ids; a non-dense corpus first gets a
     row_number index — that global window is the caller's documented
-    cost, not hidden here)."""
-    n_row = corpus.groupBy().agg(
-        F.count("*").alias("_n"), F.max(corpus_id_col).alias("_max_id")
+    cost, not hidden here).  The density precondition is ENFORCED:
+    ``assert_true(max_id == n-1)`` rides the one-row broadcast, so a
+    sparse corpus fails loudly instead of silently losing draws
+    beyond the documented ~k/|corpus|."""
+    n_row = (
+        corpus.groupBy()
+        .agg(F.count("*").alias("_n"), F.max(corpus_id_col).alias("_max_id"))
+        # filter (not a dropped column) so column pruning can't
+        # eliminate the assertion; assert_true yields NULL when it
+        # passes, so isNull() keeps the row
+        .filter(
+            F.assert_true(
+                F.col("_max_id") == F.col("_n") - 1,
+                F.lit(
+                    "negative_samples requires dense 0..n-1 corpus ids "
+                    "(add a row_number index first)"
+                ),
+            ).isNull()
+        )
+        .select("_n")
     )
     draws = (
         positives.select(
