@@ -185,6 +185,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visit-name-first", action="store_true")
     p.add_argument("--data-value-first", action="store_true")
     p.add_argument("--always-set-visit-name", action="store_true")
+    p.add_argument(
+        "--add-platform",
+        metavar="GPL_ID;NAME;ORGANISM;MARKER_TYPE[;GENOME_BUILD[;RELEASE]]",
+        help="register a platform in de_gpl_info without loading data "
+        "(I2B2_ADD_PLATFORM analog; idempotent on GPL_ID)",
+    )
     p.add_argument("--delete-study-by-id", metavar="STUDY_ID")
     p.add_argument("--delete-study-by-path", metavar="PATH")
     p.add_argument("--force-start", action="store_true", help="skip the single-instance lock")
@@ -215,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     ops = [args.move_study, args.delete_study_by_id, args.delete_study_by_path,
-           args.copy_security_settings_from, args.data_dir]
+           args.copy_security_settings_from, args.add_platform, args.data_dir]
     if not any(ops):
         build_parser().print_help()
         return 2
@@ -224,6 +230,23 @@ def main(argv: list[str] | None = None) -> int:
     wh_dir = args.warehouse
 
     # operations path (§3.4): bypasses directory processing
+    if args.add_platform:
+        from tmdataloader_spark.sources.gpl import add_platform
+
+        parts = args.add_platform.split(";")
+        if len(parts) < 4:
+            print(
+                "--add-platform needs GPL_ID;NAME;ORGANISM;MARKER_TYPE",
+                file=sys.stderr,
+            )
+            return 2
+        wh = read_warehouse(spark, wh_dir)
+        wh.deapp["de_gpl_info"] = add_platform(
+            spark, wh.deapp.get("de_gpl_info"), *parts[:6]
+        )
+        write_warehouse(wh, wh_dir)
+        print(f">>> PLATFORM {parts[0]} registered")
+        return 0
     if args.move_study:
         old, _, new = args.move_study.partition(";")
         wh = read_warehouse(spark, wh_dir)

@@ -60,6 +60,12 @@ HEADER_PATTERNS = [
     (r"Drug name", "drug_name"),
     (r"Condition", "condition"),
     (r"(Species|Organism)", "species"),
+    # not mapped by MetaDataProcessor.groovy (its INSERT hardwires
+    # PUBMED_IDS to NULL), but lt_src_study_metadata carries the
+    # column and I2B2_LOAD_STUDY_METADATA.sql:758-880 consumes it —
+    # accepting the header here is the Spark-side way to reach that
+    # documented stored-procedure path
+    (r"PubMed IDs", "pubmed_ids"),
 ]
 
 
@@ -69,6 +75,17 @@ class MetadataLoadResult:
     bio_experiment: DataFrame
     bio_data_uid: DataFrame
     tags: DataFrame  # (study_id, tag, tag_type) per non-core column
+    # typed biomart link frames (I2B2_LOAD_STUDY_METADATA.sql loops;
+    # None-able only in the sense of being empty when the source
+    # column is absent):
+    compounds: DataFrame  # bio_compound analog: (generic_name)
+    data_compounds: DataFrame  # bio_data_compound: (accession, generic_name, etl_source)
+    diseases: DataFrame  # bio_disease analog: (disease)
+    data_diseases: DataFrame  # bio_data_disease: (accession, disease, etl_source)
+    taxonomies: DataFrame  # bio_taxonomy analog: (taxon_name)
+    data_taxonomies: DataFrame  # bio_data_taxonomy: (accession, taxon_name, etl_source)
+    contents: DataFrame  # bio_content analog: (location, title, file_type, etl_id)
+    content_references: DataFrame  # bio_content_reference: (accession, location, content_reference_type, etl_id)
 
 
 def map_headers(columns: list[str]) -> dict[str, str]:
@@ -167,6 +184,112 @@ def build_tags(landing: DataFrame) -> DataFrame:
     )
 
 
+def _split_links(
+    landing: DataFrame, field: str, name_col: str, sep: str = ";"
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shape of the reference's compound/disease/organism
+    loops (I2B2_LOAD_STUDY_METADATA.sql:336-403 compound, :432-503
+    disease, :529-600 organism), set-based instead of the plpgsql
+    parse_nth_value cursor: split the ``sep``-delimited field, trim,
+    dedupe the dimension case-insensitively (the reference's
+    ``not exists (… upper(x) = upper(tmp))`` novelty guard — we keep
+    the lexicographically-least variant so the survivor is
+    deterministic, where the reference keeps whichever study loaded
+    first), and emit (study, value) link rows with the
+    ``METADATA:<study_id>`` etl marker.
+
+    Returns ``(dimension, links)``.  Tiny frames (metadata is one row
+    per study) — every join downstream of these broadcasts."""
+    if field in landing.columns:
+        exploded = (
+            landing.select(
+                F.upper(F.col("study_id")).alias("accession"),
+                F.explode(F.split(F.col(field), re.escape(sep))).alias("_v"),
+            )
+            .select("accession", F.trim(F.col("_v")).alias(name_col))
+            .filter(F.coalesce(F.col(name_col), F.lit("")) != "")
+        )
+    else:
+        exploded = landing.sparkSession.createDataFrame(
+            [], f"accession string, {name_col} string"
+        )
+    dim = (
+        exploded.groupBy(F.upper(F.col(name_col)).alias("_k"))
+        .agg(F.min(name_col).alias(name_col))
+        .select(name_col)
+    )
+    links = (
+        exploded.select(
+            "accession",
+            F.upper(F.col(name_col)).alias("_k"),
+            F.concat(F.lit("METADATA:"), F.col("accession")).alias("etl_source"),
+        )
+        .distinct()
+        .join(dim.select(F.upper(F.col(name_col)).alias("_k"), name_col), "_k")
+        .select("accession", name_col, "etl_source")
+    )
+    return dim, links
+
+
+def build_content_links(landing: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """bio_content / bio_content_reference analogs
+    (I2B2_LOAD_STUDY_METADATA.sql:636-707 GEO web links, :758-880
+    PubMed links): GSE-accession studies get an
+    ``Experiment Web Link`` row pointing at
+    ``geo/query/acc.cgi?acc=<study>``; a ``pubmed_ids`` column (the
+    landing field the stored procedure reads; ``|``-separated
+    ``id@title`` entries, title optional) becomes
+    ``Publication Web Link`` rows.  Returns ``(contents,
+    references)`` keyed on (location, file_type, etl_id) — the
+    columns the reference's not-exists guards key on."""
+    sid = F.upper(F.col("study_id"))
+    geo = (
+        landing.filter(sid.like("GSE%"))
+        .select(
+            F.concat(F.lit("geo/query/acc.cgi?acc="), sid).alias("location"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit("Experiment Web Link").alias("file_type"),
+            F.concat(F.lit("METADATA:"), sid).alias("etl_id"),
+            sid.alias("accession"),
+        )
+        .distinct()
+    )
+    if "pubmed_ids" in landing.columns:
+        entry = F.trim(F.col("_e"))
+        at = F.instr(entry, "@")
+        pub = (
+            landing.filter(F.coalesce(F.col("pubmed_ids"), F.lit("")) != "")
+            .select(
+                sid.alias("accession"),
+                F.explode(F.split(F.col("pubmed_ids"), r"\|")).alias("_e"),
+            )
+            .filter(F.coalesce(entry, F.lit("")) != "")
+            .select(
+                F.when(at == 0, entry)
+                .otherwise(F.substring_index(entry, "@", 1))
+                .alias("location"),
+                F.when(at == 0, F.lit(None).cast("string"))
+                .otherwise(F.expr("substring(trim(_e), instr(trim(_e), '@') + 1)"))
+                .alias("title"),
+                F.lit("Publication Web Link").alias("file_type"),
+                F.concat(F.lit("METADATA:"), F.col("accession")).alias("etl_id"),
+                F.col("accession"),
+            )
+            .distinct()
+        )
+        both = geo.unionByName(pub)
+    else:
+        both = geo
+    contents = both.select("location", "title", "file_type", "etl_id").distinct()
+    references = both.select(
+        "accession",
+        "location",
+        F.col("file_type").alias("content_reference_type"),
+        "etl_id",
+    ).distinct()
+    return contents, references
+
+
 def load_study_metadata(
     spark: SparkSession,
     data_dir: str,
@@ -195,9 +318,21 @@ def load_study_metadata(
                 f"metadata study id does not match {study_id}"
             )
     bio_experiment = build_bio_experiment(landing, existing_bio_experiment)
+    compounds, data_compounds = _split_links(landing, "drug_name", "generic_name")
+    diseases, data_diseases = _split_links(landing, "condition", "disease")
+    taxonomies, data_taxonomies = _split_links(landing, "species", "taxon_name")
+    contents, content_references = build_content_links(landing)
     return MetadataLoadResult(
         landing=landing,
         bio_experiment=bio_experiment,
         bio_data_uid=build_bio_data_uid(bio_experiment),
         tags=build_tags(landing),
+        compounds=compounds,
+        data_compounds=data_compounds,
+        diseases=diseases,
+        data_diseases=data_diseases,
+        taxonomies=taxonomies,
+        data_taxonomies=data_taxonomies,
+        contents=contents,
+        content_references=content_references,
     )

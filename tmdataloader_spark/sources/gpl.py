@@ -97,3 +97,35 @@ def attach_platform_info(mapping: DataFrame, gpl_info: DataFrame) -> DataFrame:
         F.col("marker_type").alias("platform_marker_type"),
     )
     return mapping.join(F.broadcast(dim), on="platform", how="left")
+
+
+def add_platform(
+    spark,
+    existing: DataFrame | None,
+    platform: str,
+    title: str,
+    organism: str,
+    marker_type: str,
+    genome_build: str | None = None,
+    release_nbr: str | None = None,
+) -> DataFrame:
+    """Standalone platform registration
+    (I2B2_ADD_PLATFORM.sql:1-58): one de_gpl_info row from scalar
+    arguments, independent of any HDD load.  Novelty upsert keyed on
+    ``platform`` — re-adding an existing id keeps the registered row
+    (idempotent), where the reference's bare INSERT would abort the
+    job on the PK; the upsert form matches how every other dimension
+    (bio_experiment, tree nodes) behaves in this engine.  One-row
+    literal frame; the anti-join against the platform-keyed dimension
+    broadcasts."""
+    incoming = spark.createDataFrame(
+        [(platform, title, organism, marker_type, genome_build, release_nbr)],
+        "platform string, title string, organism string, "
+        "marker_type string, genome_build string, release_nbr string",
+    )
+    if existing is None:
+        return incoming
+    novel = incoming.join(
+        existing.select("platform"), on="platform", how="left_anti"
+    )
+    return existing.unionByName(novel, allowMissingColumns=True)
