@@ -182,3 +182,62 @@ def test_sliding_distinct_exact_vs_bruteforce(spark):
             s |= by_hour.get(hh, set())
         expect[h] = len(s)
     assert got == expect
+
+
+@pytest.fixture(scope="module")
+def idlog(spark):
+    rows = [
+        # u1: a -> b -> b -> a (3 transitions)
+        (1, 1, "a", "2024-01-01 10:00:00"),
+        (2, 1, "b", "2024-01-01 10:05:00"),
+        (3, 1, "b", "2024-01-01 10:10:00"),
+        (4, 1, "a", "2024-01-01 10:20:00"),
+        # u2: single event -> no transitions, no gaps
+        (5, 2, "a", "2024-01-01 11:00:00"),
+        # u3: a -> a with a tie broken by event_id
+        (6, 3, "a", "2024-01-01 12:00:00"),
+        (7, 3, "a", "2024-01-01 12:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_event_transitions_counts_and_probs(spark, idlog):
+    from tmdataloader_spark.operators.eventflow import event_transitions
+
+    got = {
+        (r.src, r.dst): (r.n_transitions, r.p)
+        for r in event_transitions(idlog).collect()
+    }
+    # u1: a->b, b->b, b->a; u3: a->a.  Leaving 'a': a->b 1, a->a 1
+    # (p=0.5 each); leaving 'b': b->b 1, b->a 1 (p=0.5 each).
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+        ("b", "a"): (1, 0.5),
+    }
+
+
+def test_event_transitions_single_event_user_excluded(spark, idlog):
+    from tmdataloader_spark.operators.eventflow import event_transitions
+
+    # u2's lone event produces no transition rows at all
+    only_u2 = idlog.filter("user_id = 2")
+    assert event_transitions(only_u2).count() == 0
+
+
+def test_interarrival_profile_exact_micros(spark, idlog):
+    from tmdataloader_spark.operators.eventflow import interarrival_profile
+
+    got = {
+        r.event_type: (r.n_gaps, r.min_gap_s, r.avg_gap_s, r.max_gap_s)
+        for r in interarrival_profile(idlog).collect()
+    }
+    # per-(user,type) gaps: u1/a 1200s, u1/b 300s, u3/a 0s (tie);
+    # u2 contributes none.  type a: gaps {1200, 0} -> avg 600.
+    assert got == {
+        "a": (2, 0.0, 600.0, 1200.0),
+        "b": (1, 300.0, 300.0, 300.0),
+    }

@@ -171,3 +171,33 @@ def test_equi_depth_skew_ties_collapse_low(spark):
     out = {r.bin: r.n for r in equi_depth_histogram(df, "v", nbins=4).collect()}
     assert out[0] == 90  # documented discrete-data caveat
     assert sum(out.values()) == 100
+
+
+def test_diversity_profile_simpson_exact(spark):
+    from tmdataloader_spark.statistic.profile import diversity_profile
+
+    df = spark.createDataFrame(
+        [("en", "a"), ("en", "a"), ("fr", None), (None, "b")],
+        "lang string, src string",
+    )
+    got = {
+        r.column: (r.n_values, r.n_distinct, r.simpson)
+        for r in diversity_profile(df, ["lang", "src"]).collect()
+    }
+    # lang: en:2, fr:1 (null excluded) -> 1 - (4+1)/9 = 0.444444
+    # src:  a:2, b:1               -> same
+    assert got == {
+        "lang": (3, 2, 0.444444),
+        "src": (3, 2, 0.444444),
+    }
+
+
+def test_diversity_profile_uniform_vs_constant(spark):
+    from tmdataloader_spark.statistic.profile import diversity_profile
+
+    df = spark.createDataFrame(
+        [(str(i % 4), "k") for i in range(8)], "u string, c string"
+    )
+    got = {r.column: r.simpson for r in diversity_profile(df, ["u", "c"]).collect()}
+    assert got["u"] == 0.75  # uniform over 4 -> 1 - 4*(1/16)
+    assert got["c"] == 0.0  # constant column -> no diversity
