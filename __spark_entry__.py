@@ -1298,6 +1298,17 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (llmdata/vocab.py pmi_collocations):
+    top-50 adjacent pairs by pointwise mutual information with a
+    min-count floor — vocabulary-sized aggs + two token-key joins;
+    one fixed-shape double expression per row, 6dp-rounded BEFORE
+    ranking (single per-row ln: tfidf/mixture_drift precedent)."""
+    from tmdataloader_spark.llmdata.vocab import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=50, min_count=5)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition census (operators/eventflow.py
     event_transitions): src->dst counts + leave-probabilities over
@@ -2366,6 +2377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_in_tree": q_fill_in_tree,
         "tree_closure": q_tree_closure,
         "concept_counts": q_concept_counts,
+        # --- r6 post-rotation debut -> tail under the self-expiring
+        # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r7 must
+        # window it ---
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -2795,6 +2810,12 @@ def _ks_drift_oracle() -> str:
         "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
         "n_chars",
     )
+
+
+def _pmi_oracle() -> str:
+    from tmdataloader_spark.llmdata.vocab import pmi_collocations_oracle_sql
+
+    return pmi_collocations_oracle_sql("documents", k=50, min_count=5)
 
 
 def _event_transitions_oracle() -> str:
@@ -3339,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_drift": _ks_drift_oracle(),
         "event_transitions": _event_transitions_oracle(),
+        "pmi_collocations": _pmi_oracle(),
         "interarrival_profile": _interarrival_oracle(),
         "diversity_profile": _diversity_profile_oracle(),
         "chi_square": _chi_square_oracle(),

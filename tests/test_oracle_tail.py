@@ -105,6 +105,7 @@ TAIL = [
     "fill_in_tree",
     "tree_closure",
     "concept_counts",
+    "pmi_collocations",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

@@ -143,3 +143,37 @@ def test_pair_counts_bpe_census(spark):
     assert got[0] == ("a b", 3, 1)
     assert set(got[1:]) == {("b a", 1, 2), ("b c", 1, 3)}  # tie: pair asc
     assert got[1] == ("b a", 1, 2)
+
+
+def test_pmi_collocations_ranks_phrases(spark):
+    import math
+
+    from tmdataloader_spark.llmdata.vocab import pmi_collocations
+
+    # "new york" always co-occurs (high PMI); "the a" pairs are
+    # frequent but both words are common everywhere (low PMI)
+    df = spark.createDataFrame(
+        [(i, "new york " + "the a " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, k=10, min_count=2).collect()
+    got = {r.pair: (r.n_pair, r.pmi, r.rank) for r in rows}
+    assert rows[0].pair == "new york"
+    # exact check of one PMI value: M=32 tokens (8/doc*4), N=28
+    # bigrams (7/doc*4); new:4 york:4 -> ln(4*32*32/(28*4*4))
+    want = round(math.log((4 * 32 * 32) / (28 * 4 * 4)), 6)
+    assert got["new york"] == (4, want, 1)
+    # support floor: "york the" occurs 4x (>=2) so it's present;
+    # every pair here repeats per-doc, so just assert ordering sanity
+    assert got["new york"][1] > got["the a"][1]
+
+
+def test_pmi_min_count_floor(spark):
+    from tmdataloader_spark.llmdata.vocab import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q p q")], "doc_id long, text string"
+    )
+    pairs = {r.pair for r in pmi_collocations(df, k=10, min_count=2).collect()}
+    assert "x y" not in pairs  # count 1 < floor
+    assert "p q" in pairs  # count 2

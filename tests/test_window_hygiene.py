@@ -45,10 +45,13 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 # driver row, like everyone else.  Tail queries stay oracle-checked at
 # sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
 DEBUT_OVERFLOW: dict[str, int] = {
-    # empty since r6: the nine r4/r5 overflow debuts were rotated into
-    # the window when their exemptions expired (CORRECTNESS_r05.json
-    # landing), and the three r6 debuts (event_transitions,
-    # interarrival_profile, diversity_profile) were windowed on debut.
+    # The nine r4/r5 overflow debuts were rotated into the window when
+    # their exemptions expired (CORRECTNESS_r05.json landing), and
+    # three r6 debuts (event_transitions, interarrival_profile,
+    # diversity_profile) were windowed on debut.  pmi_collocations
+    # debuted after the r6 window filled (50/50) — exemption dies when
+    # CORRECTNESS_r06.json lands; r7 must window it.
+    "pmi_collocations": 6,
 }
 
 

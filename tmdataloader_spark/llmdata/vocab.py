@@ -127,3 +127,112 @@ def length_profile(
             F.max(chars).alias("max_chars"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-``k``
+    adjacent token pairs by ``PMI = ln(p(xy) / (p(x)·p(y)))`` with a
+    ``min_count`` support floor — the phrase-detection census run
+    before tokenizer training (high-PMI pairs are the multi-word
+    units worth atomic tokens: "new york", "machine learning").
+
+    Determinism: PMI's argument is ONE fixed-shape double expression
+    over exact long counts — ``(cxy·M·M) / (N·cx·cy)`` with explicit
+    casts and parenthesization mirrored by the oracle, so both
+    engines evaluate identical IEEE ops; the single per-row ``ln``
+    matches engines at 6dp (the tfidf/mixture_drift precedent — no
+    cross-row float sums anywhere), and ranking happens on the
+    ROUNDED value with the pair as tiebreak (BM25 ordering regime).
+
+    Scale shape: one bigram explode + agg and one unigram explode +
+    agg (both map-side combined, outputs vocabulary-sized, never
+    corpus-sized); the pair frame joins the unigram counts twice on
+    the token key; corpus totals M and N cross in as one-row
+    broadcast aggregates (the scalar-subquery shape).  Selection is
+    per-task k-heaps via ``orderBy().limit(k)`` — never a global
+    sort of the pair vocabulary."""
+    from tmdataloader_spark.llmdata.dedup import _word_ngrams
+
+    toks = tokens(F.col(text_col))
+    uni = df.select(F.explode(toks).alias("term"))
+    uc = uni.groupBy("term").agg(F.count("*").alias("cx"))
+    m = uni.groupBy().agg(F.count("*").alias("_m"))
+    pairs = df.select(F.explode(_word_ngrams(toks, 2)).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("n_pair"))
+    n = pairs.groupBy().agg(F.count("*").alias("_n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = (
+        pc.filter(F.col("n_pair") >= min_count)
+        .withColumn("_x", F.split(F.col("pair"), " ")[0])
+        .withColumn("_y", F.split(F.col("pair"), " ")[1])
+        .join(uc.select(F.col("term").alias("_x"), F.col("cx").alias("_cx")), "_x")
+        .join(uc.select(F.col("term").alias("_y"), F.col("cx").alias("_cy")), "_y")
+        .join(F.broadcast(m))
+        .join(F.broadcast(n))
+    )
+    scored = joined.select(
+        "pair",
+        "n_pair",
+        F.round(
+            F.log(
+                ((d("n_pair") * d("_m")) * d("_m"))
+                / ((d("_n") * d("_cx")) * d("_cy"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("pair")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def pmi_collocations_oracle_sql(
+    table: str = "documents", k: int = 50, min_count: int = 5
+) -> str:
+    """DuckDB twin with the identical cast/parenthesization shape."""
+    return f"""
+        WITH t AS (
+          SELECT string_split_regex(trim(lower(text)), ' +') AS toks
+          FROM {table}
+        ),
+        u AS (SELECT unnest(toks) AS term FROM t),
+        uc AS (SELECT term, count(*) AS cx FROM u GROUP BY term),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS _m FROM u),
+        p AS (
+          SELECT unnest(list_transform(
+            range(1, greatest(len(toks), 1)),
+            i -> toks[i] || ' ' || toks[i+1])) AS pair
+          FROM t WHERE len(toks) >= 2
+        ),
+        pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pair
+               FROM p GROUP BY pair),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM p),
+        j AS (
+          SELECT pair, n_pair, ux.cx AS _cx, uy.cx AS _cy
+          FROM pc
+          JOIN uc ux ON string_split(pair, ' ')[1] = ux.term
+          JOIN uc uy ON string_split(pair, ' ')[2] = uy.term
+          WHERE n_pair >= {min_count}
+        )
+        SELECT pair, n_pair,
+               round(ln(
+                 ((CAST(n_pair AS DOUBLE) * CAST(_m AS DOUBLE))
+                    * CAST(_m AS DOUBLE))
+                 / ((CAST(_n AS DOUBLE) * CAST(_cx AS DOUBLE))
+                    * CAST(_cy AS DOUBLE))), 6) AS pmi,
+               CAST(row_number() OVER (ORDER BY round(ln(
+                 ((CAST(n_pair AS DOUBLE) * CAST(_m AS DOUBLE))
+                    * CAST(_m AS DOUBLE))
+                 / ((CAST(_n AS DOUBLE) * CAST(_cx AS DOUBLE))
+                    * CAST(_cy AS DOUBLE))), 6) DESC, pair) AS INT) AS rank
+        FROM j, m, n
+        ORDER BY pmi DESC, pair LIMIT {k}
+    """
