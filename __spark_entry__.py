@@ -1329,6 +1329,16 @@ def q_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_profile(_t(spark, sf_dir, "events"))
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/eventflow.py
+    attribution): per-user min/max pre-conversion touch picked by
+    exact (micros, id) struct ordering — one converter aggregate, one
+    co-partitioned user_id join, two |types|-sized census aggs."""
+    from tmdataloader_spark.operators.eventflow import attribution
+
+    return attribution(_t(spark, sf_dir, "events"))
+
+
 def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-diversity profile (statistic/profile.py
     diversity_profile): Simpson index (pure-integer algebra — no
@@ -2377,10 +2387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_in_tree": q_fill_in_tree,
         "tree_closure": q_tree_closure,
         "concept_counts": q_concept_counts,
-        # --- r6 post-rotation debut -> tail under the self-expiring
+        # --- r6 post-rotation debuts -> tail under the self-expiring
         # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r7 must
-        # window it ---
+        # window them ---
         "pmi_collocations": q_pmi_collocations,
+        "attribution": q_attribution,
     }
 
 
@@ -2832,6 +2843,12 @@ def _interarrival_oracle() -> str:
     )
 
     return interarrival_profile_oracle_sql("events")
+
+
+def _attribution_oracle() -> str:
+    from tmdataloader_spark.operators.eventflow import attribution_oracle_sql
+
+    return attribution_oracle_sql("events")
 
 
 def _diversity_profile_oracle() -> str:
@@ -4746,4 +4763,5 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM r
         """,
+        "attribution": _attribution_oracle(),
     }

@@ -241,3 +241,56 @@ def test_interarrival_profile_exact_micros(spark, idlog):
         "a": (2, 0.0, 600.0, 1200.0),
         "b": (1, 300.0, 300.0, 300.0),
     }
+
+
+@pytest.fixture(scope="module")
+def convlog(spark):
+    rows = [
+        # u1: view -> click -> purchase -> click(after, ignored)
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        (3, 1, "purchase", "2024-01-01 10:10:00"),
+        (4, 1, "click", "2024-01-01 10:20:00"),
+        # u2: purchase FIRST -> no pre-conversion touch -> excluded
+        (5, 2, "purchase", "2024-01-02 09:00:00"),
+        (6, 2, "view", "2024-01-02 10:00:00"),
+        # u3: never converts -> excluded
+        (7, 3, "view", "2024-01-03 10:00:00"),
+        # u4: same-timestamp tie with the purchase: the touch with a
+        # SMALLER event_id at the identical ts counts (strict (ts,id)
+        # tuple order), the one with a larger id does not
+        (8, 4, "click", "2024-01-04 10:00:00"),
+        (9, 4, "purchase", "2024-01-04 10:00:00"),
+        (10, 4, "view", "2024-01-04 10:00:00"),
+        # u5: single touch -> same type is both first AND last touch
+        (11, 5, "error", "2024-01-05 09:00:00"),
+        (12, 5, "purchase", "2024-01-05 10:00:00"),
+        # u5's second purchase must not double-count
+        (13, 5, "purchase", "2024-01-05 11:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_attribution_first_last_touch(spark, convlog):
+    from tmdataloader_spark.operators.eventflow import attribution
+
+    got = {
+        r.event_type: (r.first_touch_users, r.last_touch_users)
+        for r in attribution(convlog).collect()
+    }
+    # converters with >=1 touch: u1 (first=view, last=click),
+    # u4 (only the id-8 click qualifies), u5 (error both)
+    assert got == {
+        "view": (1, 0),
+        "click": (1, 2),
+        "error": (1, 1),
+    }
+
+
+def test_attribution_no_converters(spark, convlog):
+    from tmdataloader_spark.operators.eventflow import attribution
+
+    out = attribution(convlog.filter(F.col("event_type") != "purchase"))
+    assert out.count() == 0

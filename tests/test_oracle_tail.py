@@ -106,6 +106,7 @@ TAIL = [
     "tree_closure",
     "concept_counts",
     "pmi_collocations",  # r6 post-rotation debut (overflow exemption)
+    "attribution",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

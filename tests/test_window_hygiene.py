@@ -52,6 +52,7 @@ DEBUT_OVERFLOW: dict[str, int] = {
     # debuted after the r6 window filled (50/50) — exemption dies when
     # CORRECTNESS_r06.json lands; r7 must window it.
     "pmi_collocations": 6,
+    "attribution": 6,
 }
 
 

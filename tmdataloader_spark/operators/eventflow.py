@@ -421,3 +421,113 @@ def interarrival_profile_oracle_sql(table: str = "events") -> str:
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type
     """
+
+
+def attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: among users
+    with at least one ``conversion`` event, credit the event type of
+    the EARLIEST pre-conversion touch (first-touch) and of the LATEST
+    pre-conversion touch (last-touch), where touches are the user's
+    non-conversion events strictly before their first conversion in
+    ``(ts, event_id)`` order.  The channel-credit census every event
+    warehouse runs next to its funnel (funnel/retention above;
+    reference analogue: the eventflow counting family).
+
+    Returns one row per touched event type:
+    ``(event_type, first_touch_users, last_touch_users)`` — exact
+    long counts, zero-filled where a type is only ever first or only
+    ever last.
+
+    Scale shape: the conversion frame is ONE filtered aggregate (its
+    ``event_type = conversion`` predicate pushes to parquet) of
+    per-user min (ts, id) structs — |converters| rows, map-side
+    combined.  Touches join that frame on user_id (co-partitioned
+    shuffle equi-join; never a window over the raw log), the
+    first/last pick is one more per-user min/max struct aggregate on
+    the SAME user_id partitioning (AQE reuses the exchange), and the
+    census is ONE conditional aggregate over a 2-row-per-user explode
+    of the picks — the log is scanned and joined exactly once (a
+    first-census/last-census branch pair would recompute the join
+    per branch).  No caches, no collect; all comparisons are exact
+    (struct lexicographic on long micros + long id), so the result
+    is partition-order invariant."""
+    us = F.unix_micros(F.col(ts_col))
+    conv = (
+        events.filter(F.col(type_col) == conversion)
+        .groupBy(user_col)
+        .agg(F.min(F.struct(us.alias("us"), F.col(id_col).alias("id"))).alias("_c"))
+    )
+    touch = (
+        events.filter(F.col(type_col) != conversion)
+        .join(conv, user_col)
+        .filter(F.struct(us.alias("us"), F.col(id_col).alias("id")) < F.col("_c"))
+    )
+    picks = touch.groupBy(user_col).agg(
+        F.min(
+            F.struct(us.alias("us"), F.col(id_col).alias("id"), F.col(type_col).alias("t"))
+        ).alias("_f"),
+        F.max(
+            F.struct(us.alias("us"), F.col(id_col).alias("id"), F.col(type_col).alias("t"))
+        ).alias("_l"),
+    )
+    kinds = picks.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("f").alias("k"), F.col("_f.t").alias("event_type")),
+                F.struct(F.lit("l").alias("k"), F.col("_l.t").alias("event_type")),
+            )
+        ).alias("x")
+    )
+    return kinds.groupBy(F.col("x.event_type").alias("event_type")).agg(
+        F.sum(F.when(F.col("x.k") == "f", 1).otherwise(0)).alias(
+            "first_touch_users"
+        ),
+        F.sum(F.when(F.col("x.k") == "l", 1).otherwise(0)).alias(
+            "last_touch_users"
+        ),
+    )
+
+
+def attribution_oracle_sql(table: str = "events", conversion: str = "purchase") -> str:
+    """DuckDB twin of :func:`attribution` — identical (ts, id) tuple
+    ordering via row_number windows instead of struct min/max."""
+    return f"""
+        WITH conv AS (
+          SELECT user_id, ts AS cts, event_id AS cid
+          FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM {table} WHERE event_type = '{conversion}'
+          ) WHERE rn = 1
+        ),
+        touch AS (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id
+          FROM {table} e JOIN conv c ON e.user_id = c.user_id
+          WHERE e.event_type <> '{conversion}'
+            AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid))
+        ),
+        ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+          FROM touch
+        ),
+        f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _nf
+              FROM ranked WHERE rf = 1 GROUP BY event_type),
+        l AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _nl
+              FROM ranked WHERE rl = 1 GROUP BY event_type)
+        SELECT coalesce(f.event_type, l.event_type) AS event_type,
+               coalesce(_nf, 0) AS first_touch_users,
+               coalesce(_nl, 0) AS last_touch_users
+        FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+    """
