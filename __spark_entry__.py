@@ -1339,6 +1339,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution(_t(spark, sf_dir, "events"))
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/association.py
+    basket_rules): co-occurrence self equi-join on the basket key
+    (fanout bounded by basket size), support/confidence/lift as
+    single mirrored double expressions over exact longs, per-task
+    k-heap top-k on (n_xy, pair)."""
+    from tmdataloader_spark.operators.association import basket_rules
+
+    return basket_rules(_t(spark, sf_dir, "lineitem"))
+
+
 def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-diversity profile (statistic/profile.py
     diversity_profile): Simpson index (pure-integer algebra — no
@@ -2392,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window them ---
         "pmi_collocations": q_pmi_collocations,
         "attribution": q_attribution,
+        "basket_rules": q_basket_rules,
     }
 
 
@@ -2849,6 +2861,12 @@ def _attribution_oracle() -> str:
     from tmdataloader_spark.operators.eventflow import attribution_oracle_sql
 
     return attribution_oracle_sql("events")
+
+
+def _basket_rules_oracle() -> str:
+    from tmdataloader_spark.operators.association import basket_rules_oracle_sql
+
+    return basket_rules_oracle_sql("lineitem")
 
 
 def _diversity_profile_oracle() -> str:
@@ -4764,4 +4782,5 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "attribution": _attribution_oracle(),
+        "basket_rules": _basket_rules_oracle(),
     }

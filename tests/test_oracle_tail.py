@@ -107,6 +107,7 @@ TAIL = [
     "concept_counts",
     "pmi_collocations",  # r6 post-rotation debut (overflow exemption)
     "attribution",  # r6 post-rotation debut (overflow exemption)
+    "basket_rules",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

@@ -56,3 +56,33 @@ def test_merge_is_associative_over_three_batches(spark):
     f = {tuple(r) for r in full.collect()}
     assert {tuple(r) for r in left.collect()} == f
     assert {tuple(r) for r in right.collect()} == f
+
+
+def test_basket_rules_metrics_and_cap(spark):
+    from tmdataloader_spark.operators.association import basket_rules
+
+    rows = [
+        # baskets: {1,2,3}, {1,2}, {1,2}, {3}, {2,4,...big}
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 2),  # duplicate line collapses
+        (13, 3),
+        (14, 2), (14, 4), (14, 5), (14, 6),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.part_x, r.part_y): r for r in basket_rules(df, k=10).collect()}
+    r = out[(1, 2)]
+    # n_xy=3 of N=5 baskets; n_1=3, n_2=4
+    assert (r.n_xy, r.n_x, r.n_y) == (3, 3, 4)
+    assert r.support == round(3 / 5, 6)
+    assert r.conf_x_y == round(3 / 3, 6)
+    assert r.conf_y_x == round(3 / 4, 6)
+    assert r.lift == round((3.0 * 5) / (3.0 * 4), 6)
+    # min_count=2 drops every singleton pair
+    assert set(out) == {(1, 2)}
+
+    # the mega-basket guard drops basket 14 BEFORE pair generation
+    capped = basket_rules(df, k=10, min_count=1, max_basket_size=3)
+    assert all(
+        r.part_x != 4 and r.part_y != 4 for r in capped.collect()
+    )

@@ -53,6 +53,7 @@ DEBUT_OVERFLOW: dict[str, int] = {
     # CORRECTNESS_r06.json lands; r7 must window it.
     "pmi_collocations": 6,
     "attribution": 6,
+    "basket_rules": 6,
 }
 
 
