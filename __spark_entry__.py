@@ -1339,6 +1339,16 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution(_t(spark, sf_dir, "events"))
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto frontier (operators/skyline.py skyline /
+    supplier_frontier): two-phase 2-D skyline — per-x max aggregate
+    then a strictly-greater RANGE window over |distinct x| rows,
+    equi-join back for ties; all-exact-long comparisons."""
+    from tmdataloader_spark.operators.skyline import supplier_frontier
+
+    return supplier_frontier(_t(spark, sf_dir, "lineitem"))
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/association.py
     basket_rules): co-occurrence self equi-join on the basket key
@@ -2404,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
+        "skyline": q_skyline,
     }
 
 
@@ -2867,6 +2878,12 @@ def _basket_rules_oracle() -> str:
     from tmdataloader_spark.operators.association import basket_rules_oracle_sql
 
     return basket_rules_oracle_sql("lineitem")
+
+
+def _skyline_oracle() -> str:
+    from tmdataloader_spark.operators.skyline import supplier_frontier_oracle_sql
+
+    return supplier_frontier_oracle_sql("lineitem")
 
 
 def _diversity_profile_oracle() -> str:
@@ -4783,4 +4800,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "attribution": _attribution_oracle(),
         "basket_rules": _basket_rules_oracle(),
+        "skyline": _skyline_oracle(),
     }

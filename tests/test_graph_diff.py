@@ -186,3 +186,27 @@ def test_common_neighbors_neighbor_cap_deterministic(spark):
     capped = common_neighbors(e, min_common=1, neighbor_cap=3)
     got = sorted((r["node_a"], r["node_b"]) for r in capped.collect())
     assert got == [(2, 3), (2, 4), (3, 4)]
+
+
+def test_skyline_dominance(spark):
+    from tmdataloader_spark.operators.skyline import skyline
+
+    rows = [
+        ("a", 5, 10),  # frontier (max x)
+        ("b", 5, 10),  # tie on the same corner -> also frontier
+        ("c", 5, 9),   # dominated within x-group by a/b
+        ("d", 3, 20),  # frontier (higher y than any x>3)
+        ("e", 3, 15),  # dominated by d
+        ("f", 4, 10),  # dominated by a (x 5>=4, y 10>=10, strict on x)
+        ("g", 1, 20),  # dominated by d (y equal, x strictly less)
+    ]
+    df = spark.createDataFrame(rows, "id string, x long, y long")
+    got = sorted(r.id for r in skyline(df, "x", "y").collect())
+    assert got == ["a", "b", "d"]
+
+
+def test_skyline_single_point(spark):
+    from tmdataloader_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame([("a", 1, 1)], "id string, x long, y long")
+    assert [r.id for r in skyline(df, "x", "y").collect()] == ["a"]

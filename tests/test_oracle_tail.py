@@ -108,6 +108,7 @@ TAIL = [
     "pmi_collocations",  # r6 post-rotation debut (overflow exemption)
     "attribution",  # r6 post-rotation debut (overflow exemption)
     "basket_rules",  # r6 post-rotation debut (overflow exemption)
+    "skyline",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

@@ -54,6 +54,7 @@ DEBUT_OVERFLOW: dict[str, int] = {
     "pmi_collocations": 6,
     "attribution": 6,
     "basket_rules": 6,
+    "skyline": 6,
 }
 
 
