@@ -1360,6 +1360,32 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_rules(_t(spark, sf_dir, "lineitem"))
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization per event type
+    (operators/timeseries.py cusum_changepoint): peak of the n-scaled
+    cumulative deviation S_i = n·C_i − i·T over micro-unit-quantized
+    values — exact decimals until the one report division; earliest-
+    position tiebreak."""
+    from tmdataloader_spark.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration reliability bins (llmdata/scoring.py
+    calibration_curve): equal-width bins over [0,1], per-bin count /
+    positives / mean score (decimal-sum) / positive rate; score =
+    (n_chars % 1000)/1000, label = doc_id % 3 == 0 (the roc_auc/
+    pr_curve synthetic-label convention)."""
+    from tmdataloader_spark.llmdata.scoring import calibration_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 1000) / F.lit(1000.0)).alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("y"),
+    )
+    return calibration_curve(d, "s", "y", bins=10)
+
+
 def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-diversity profile (statistic/profile.py
     diversity_profile): Simpson index (pure-integer algebra — no
@@ -2415,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
         "skyline": q_skyline,
+        "cusum_changepoint": q_cusum_changepoint,
+        "calibration_curve": q_calibration_curve,
     }
 
 
@@ -2884,6 +2912,27 @@ def _skyline_oracle() -> str:
     from tmdataloader_spark.operators.skyline import supplier_frontier_oracle_sql
 
     return supplier_frontier_oracle_sql("lineitem")
+
+
+def _cusum_changepoint_oracle() -> str:
+    from tmdataloader_spark.operators.timeseries import (
+        cusum_changepoint_oracle_sql,
+    )
+
+    return cusum_changepoint_oracle_sql("events", "event_type")
+
+
+def _calibration_curve_oracle() -> str:
+    from tmdataloader_spark.llmdata.scoring import (
+        calibration_curve_oracle_sql,
+    )
+
+    return calibration_curve_oracle_sql(
+        "documents",
+        "(n_chars % 1000) / CAST(1000 AS DOUBLE)",
+        "doc_id % 3 = 0",
+        bins=10,
+    )
 
 
 def _diversity_profile_oracle() -> str:
@@ -4801,4 +4850,6 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _attribution_oracle(),
         "basket_rules": _basket_rules_oracle(),
         "skyline": _skyline_oracle(),
+        "cusum_changepoint": _cusum_changepoint_oracle(),
+        "calibration_curve": _calibration_curve_oracle(),
     }

@@ -109,6 +109,8 @@ TAIL = [
     "attribution",  # r6 post-rotation debut (overflow exemption)
     "basket_rules",  # r6 post-rotation debut (overflow exemption)
     "skyline",  # r6 post-rotation debut (overflow exemption)
+    "cusum_changepoint",  # r6 post-rotation debut (overflow exemption)
+    "calibration_curve",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

@@ -100,3 +100,20 @@ def test_roc_auc_matches_pair_counting(spark):
     ties = sum(1 for p in pos for n in neg if p == n)
     expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(got.auc - round(expect, 6)) < 1e-9
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    from tmdataloader_spark.llmdata.scoring import calibration_curve
+
+    rows = [
+        (0.05, 0), (0.08, 1),          # bin 0: pos_rate 0.5
+        (0.55, 1), (0.55, 1), (0.5, 0),  # bin 5: pos_rate 2/3
+        (1.0, 1),                      # top edge folds into bin 9
+    ]
+    df = spark.createDataFrame(rows, "s double, y long")
+    got = {r.bin: r for r in calibration_curve(df, "s", "y").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0].n == 2 and got[0].pos_rate == 0.5
+    assert got[5].n == 3 and got[5].n_pos == 2
+    assert got[9].n == 1 and got[9].pos_rate == 1.0
+    assert abs(got[0].avg_score - 0.065) < 1e-9

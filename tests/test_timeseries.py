@@ -4,6 +4,8 @@ import datetime as dt
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -51,3 +53,42 @@ def test_partition_invariance(spark):
     one = sorted(map(tuple, resample_fill(ev.repartition(1), "k").collect()))
     many = sorted(map(tuple, resample_fill(ev.repartition(7), "k").collect()))
     assert one == many
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from tmdataloader_spark.operators.timeseries import cusum_changepoint
+
+    # 10 points at level 1.0 then 10 at level 5.0 -> peak |S_i| at the
+    # boundary (position 10), where the cumulative deviation from the
+    # overall mean (3.0) is largest.
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", 1.0 if i < 10 else 5.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = cusum_changepoint(df, "event_type").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.pos == 10 and r.n == 20
+    # |S_10| = |n*C_10 - 10*T| = |20*10e6 - 10*60e6| = 400e6; /n = 2e7
+    assert r.stat == 400e6 / 20
+
+
+def test_cusum_changepoint_tie_breaks_earliest(spark):
+    from tmdataloader_spark.operators.timeseries import cusum_changepoint
+
+    # Symmetric up-down series: |S_i| peaks equally at both ends of the
+    # plateau; earliest position must win.
+    vals = [0.0, 10.0, 10.0, 0.0]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = cusum_changepoint(df, "event_type").collect()[0]
+    # S_1 = |4*0 - 1*20e6| = 20e6 ... S_2=|4*10e6-2*20e6|=0,
+    # S_3 = |4*20e6 - 3*20e6| = 20e6 -> tie between pos 1 and 3
+    assert r.pos == 1

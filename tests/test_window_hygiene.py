@@ -55,6 +55,8 @@ DEBUT_OVERFLOW: dict[str, int] = {
     "attribution": 6,
     "basket_rules": 6,
     "skyline": 6,
+    "cusum_changepoint": 6,
+    "calibration_curve": 6,
 }
 
 

@@ -188,3 +188,64 @@ def roc_auc(
             ).alias("auc"),
         )
     )
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram bins: does a score of ~0.7 actually mean a
+    ~70% positive rate?  The companion readout to roc_auc/pr_curve
+    (those rank; this checks the score's face value) — the standard
+    probe before using a quality-classifier score as a sampling
+    weight or threshold (Niculescu-Mizil & Caruana, ICML'05).
+
+    Scores are binned into ``bins`` equal-width buckets over [0, 1]
+    (the top edge closes into the last bin).  Per bin: count,
+    positives, mean score, and empirical positive rate.  One
+    map-side-combined aggregate over |bins| groups; mean score sums
+    decimal(38,6) (the repo's float regime — per-row quantization is
+    deterministic, the sum is exact, ONE division at the end).
+
+    Output: ``bin, n, n_pos, avg_score, pos_rate``.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("long"), F.lit(bins - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(F.col(score_col).cast("decimal(38,6)")).alias("_ss"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("_ss").cast("double") / F.col("n")).alias("avg_score"),
+            (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        )
+    )
+
+
+def calibration_curve_oracle_sql(
+    table: str, score_sql: str, label_sql: str, bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_curve` — identical binning
+    edge handling, decimal score sum, and report divisions."""
+    return f"""
+        WITH v AS (
+          SELECT least(CAST(floor(({score_sql}) * {bins}) AS BIGINT),
+                       {bins - 1}) AS bin,
+                 CAST({label_sql} AS BIGINT) AS y,
+                 CAST({score_sql} AS DECIMAL(38,6)) AS s
+          FROM {table}
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(s) AS DOUBLE) / count(*) AS avg_score,
+               CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+        FROM v GROUP BY bin
+    """
