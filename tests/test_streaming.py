@@ -6,6 +6,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from tmdataloader_spark.streaming import (
+    heavy_hitters_stream,
     read_event_stream,
     sessionize_batch,
     sessionize_stream,
@@ -512,3 +513,87 @@ def test_interval_join_batch_left_outer_matches_stream_contract(spark):
         for r in interval_join_batch(left, right, how="left_outer").collect()
     }
     assert out == {(1, None), (2, 100)}
+
+
+def test_heavy_hitters_stream_exact_when_k_covers(spark, tmp_path):
+    """With k >= distinct users the Misra-Gries sketch degenerates to
+    the exact census: the final update-mode emission must equal the
+    batch groupBy count (lambda reconciliation)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    mk = lambda eid, uid: (eid, uid, "click", t0, 1.0)
+    batch1 = [mk(1, 1), mk(2, 1), mk(3, 2), mk(4, 3)]
+    batch2 = [mk(5, 1), mk(6, 2), mk(7, 2), mk(8, 2)]
+    src = str(tmp_path / "hh_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        heavy_hitters_stream(stream, k=8)
+        .writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode re-emits per batch; keep the LAST emission per key
+        rows = spark.sql(
+            "select * from hh_test"
+        ).collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # memory sink appends update rows in batch order
+        final[(r.event_type, r.user_id)] = r.est_count
+    assert final == {
+        ("click", 1): 3,
+        ("click", 2): 4,
+        ("click", 3): 1,
+    }
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_heavy_hitters_stream_caps_state(spark, tmp_path):
+    """With k=2 the sketch must keep <= 2 counters and still surface
+    the dominant key with a count no larger than its true frequency
+    (Misra-Gries undercount guarantee)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    rows = [(i, 7 if i % 4 != 3 else 100 + i, "click", t0, 1.0) for i in range(16)]
+    src = str(tmp_path / "hh_cap_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        heavy_hitters_stream(stream, k=2)
+        .writeStream.format("memory")
+        .queryName("hh_cap_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from hh_cap_test").collect()
+    finally:
+        q.stop()
+    assert len(got) <= 2
+    by_uid = {r.user_id: r.est_count for r in got}
+    # user 7 truly appears 12 times; sketch keeps it, undercounted
+    assert 7 in by_uid and 0 < by_uid[7] <= 12
+    shutil.rmtree(src, ignore_errors=True)

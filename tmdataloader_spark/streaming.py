@@ -542,3 +542,76 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+_HH_STATE_SCHEMA = "ids array<long>, counts array<long>"
+_HH_OUTPUT_SCHEMA = "event_type string, user_id long, est_count long"
+
+
+def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters per event type via a Misra–Gries
+    summary in ``applyInPandasWithState`` state — the streaming twin
+    of the gate's exact batch ``heavy_hitters`` (statistic/profile.py:
+    the exact census IS the batch scale shape; on an unbounded feed
+    the census grows without bound, which is exactly what the k-counter
+    sketch caps).
+
+    State per event type is ≤ k (user_id, count) pairs, merged each
+    micro-batch with the batch's exact value_counts using the
+    mergeable-summaries rule (Agarwal et al., PODS'12): combine
+    counts, then subtract the (k+1)-th largest and drop non-positive —
+    every surviving count is an UNDERcount by at most (dropped total)/k,
+    and any user with true frequency > n/(k+1) is guaranteed present.
+    Emission is ``update`` mode: the current candidate set after each
+    micro-batch, ordered by (count desc, user_id) downstream of the
+    sink.
+
+    Reconciliation: with k ≥ distinct users the sketch is exact and
+    must equal the batch census — the lambda check pytest runs.
+    """
+
+    def fn(key, pdfs: Iterable, state) -> Iterator:
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            ids, counts = state.get
+            summary = dict(zip(ids, counts))
+        else:
+            summary = {}
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for uid, c in batch["user_id"].value_counts().items():
+                summary[int(uid)] = summary.get(int(uid), 0) + int(c)
+            if len(summary) > k:
+                # mergeable-summary shrink: subtract the (k+1)-th
+                # largest count, drop non-positives (ties at the
+                # boundary all drop — deterministic regardless of
+                # arrival order)
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    u: c - cut for u, c in summary.items() if c - cut > 0
+                }
+
+        items = sorted(summary.items(), key=lambda t: (-t[1], t[0]))
+        state.update((
+            [u for u, _ in items],
+            [c for _, c in items],
+        ))
+        yield pd.DataFrame(
+            [
+                {"event_type": event_type, "user_id": u, "est_count": c}
+                for u, c in items
+            ],
+            columns=["event_type", "user_id", "est_count"],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_HH_OUTPUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
