@@ -1371,6 +1371,24 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(_t(spark, sf_dir, "events"), "event_type")
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sample quantile normalization (operators/zscore.py
+    quantile_normalize — Bolstad 2003, the preprocessing step upstream
+    of the reference's z-score kernel): rank within sample, replace
+    with the across-sample rank mean; micro-unit quantization before
+    ranking, decimal rank sums, one division; max_rank=100 prunes both
+    sides losslessly."""
+    from tmdataloader_spark.operators.zscore import quantile_normalize
+
+    return quantile_normalize(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        tie_cols=("event_id",),
+        max_rank=100,
+    )
+
+
 def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-calibration reliability bins (llmdata/scoring.py
     calibration_curve): equal-width bins over [0,1], per-bin count /
@@ -2443,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "cusum_changepoint": q_cusum_changepoint,
         "calibration_curve": q_calibration_curve,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -2920,6 +2939,16 @@ def _cusum_changepoint_oracle() -> str:
     )
 
     return cusum_changepoint_oracle_sql("events", "event_type")
+
+
+def _quantile_normalize_oracle() -> str:
+    from tmdataloader_spark.operators.zscore import (
+        quantile_normalize_oracle_sql,
+    )
+
+    return quantile_normalize_oracle_sql(
+        "events", "event_type", "value", "event_id", max_rank=100
+    )
 
 
 def _calibration_curve_oracle() -> str:
@@ -4852,4 +4881,5 @@ def oracle_sql() -> dict[str, str]:
         "skyline": _skyline_oracle(),
         "cusum_changepoint": _cusum_changepoint_oracle(),
         "calibration_curve": _calibration_curve_oracle(),
+        "quantile_normalize": _quantile_normalize_oracle(),
     }

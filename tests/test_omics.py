@@ -150,3 +150,41 @@ def test_omics_nodes_and_samples(spark, omics):
         for r in res.i2b2.filter("c_visualattributes = 'LAH'").collect()
     }
     assert all(p.startswith(TOP) for p in leaf_paths) and leaf_paths
+
+
+def test_quantile_normalize_equal_depth(spark):
+    """Two samples of equal depth: after normalization both samples
+    carry the identical distribution (the across-sample rank means)."""
+    from tmdataloader_spark.operators.zscore import quantile_normalize
+
+    rows = [
+        ("s1", 1, 2.0), ("s1", 2, 4.0), ("s1", 3, 6.0),
+        ("s2", 4, 3.0), ("s2", 5, 5.0), ("s2", 6, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "sample string, rid long, v double")
+    got = quantile_normalize(df, "sample", "v", tie_cols=("rid",))
+    by = {(r.sample, r.rnk): r.norm_value for r in got.collect()}
+    # rank means: (2+3)/2, (4+5)/2, (6+100)/2
+    assert by[("s1", 1)] == by[("s2", 1)] == 2.5
+    assert by[("s1", 2)] == by[("s2", 2)] == 4.5
+    assert by[("s1", 3)] == by[("s2", 3)] == 53.0
+
+
+def test_quantile_normalize_unequal_depth_and_prune(spark):
+    from tmdataloader_spark.operators.zscore import quantile_normalize
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 9.0),
+        ("b", 3, 3.0),  # depth 1: rank 2 averages over sample a only
+    ]
+    df = spark.createDataFrame(rows, "sample string, rid long, v double")
+    by = {
+        (r.sample, r.rnk): r.norm_value
+        for r in quantile_normalize(df, "sample", "v", tie_cols=("rid",)).collect()
+    }
+    assert by[("a", 1)] == by[("b", 1)] == 2.0  # mean(1, 3)
+    assert by[("a", 2)] == 9.0
+    pruned = quantile_normalize(
+        df, "sample", "v", tie_cols=("rid",), max_rank=1
+    ).collect()
+    assert {r.rnk for r in pruned} == {1} and len(pruned) == 2

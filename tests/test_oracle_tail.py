@@ -111,6 +111,7 @@ TAIL = [
     "skyline",  # r6 post-rotation debut (overflow exemption)
     "cusum_changepoint",  # r6 post-rotation debut (overflow exemption)
     "calibration_curve",  # r6 post-rotation debut (overflow exemption)
+    "quantile_normalize",  # r6 post-rotation debut (overflow exemption)
 ]
 
 

@@ -57,6 +57,7 @@ DEBUT_OVERFLOW: dict[str, int] = {
     "skyline": 6,
     "cusum_changepoint": 6,
     "calibration_curve": 6,
+    "quantile_normalize": 6,
 }
 
 

@@ -20,7 +20,7 @@ are small so the sort is cheap and local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 CLAMP = 2.5
 
@@ -102,3 +102,92 @@ def collapse_probesets(
     """A4/J2 tail: duplicate probes per sample collapse to their mean
     (I2B2_PROCESS_MRNA_DATA.sql:143-161)."""
     return df.groupBy(probe_col, assay_col).agg(F.avg(value_col).alias(value_col))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_col: str,
+    value_col: str,
+    tie_cols: tuple[str, ...] = (),
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Cross-sample quantile normalization (Bolstad et al.,
+    Bioinformatics 2003) — the standard microarray preprocessing step
+    UPSTREAM of the reference's z-score kernel (I2B2_PROCESS_MRNA_
+    DATA.sql applies log2 then per-probe stats; production expression
+    pipelines quantile-normalize the per-sample distributions first so
+    arrays are comparable): rank each value WITHIN its sample, replace
+    it with the across-sample mean at that rank, so every sample ends
+    up with an identical distribution.
+
+    Exactness: values quantize to micro-unit longs BEFORE ranking (so
+    rank order is engine-portable), rank means sum decimal(38,0) with
+    ONE double division at the end.  Ties within a sample take
+    distinct consecutive ranks via the ``tie_cols`` tiebreak
+    (deterministic row_number; the reference-R implementation's
+    tie-averaging variant is a documented difference).  Samples of
+    unequal depth are allowed — rank r averages over the samples that
+    reach depth r.
+
+    Scale shape: ONE shuffle+sort per sample for ranking (the
+    inherent cost — same frame the z-score kernel shuffles), one
+    map-side-combined rank-keyed aggregate (depth-sized, i.e. rows
+    per sample, never corpus-sized), broadcast-joinable back onto the
+    ranked rows.  ``max_rank`` prunes BOTH sides losslessly (the mean
+    at rank r only involves values at rank r).
+
+    Output: ``sample, rnk, norm_value``.
+    """
+    order = [F.col("_x")] + [F.col(c) for c in tie_cols]
+    w = Window.partitionBy("_sample").orderBy(*order)
+    ranked = df.select(
+        F.col(sample_col).alias("_sample"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("_x"),
+        *tie_cols,
+    ).select(
+        "_sample", "_x", F.row_number().over(w).alias("rnk")
+    )
+    if max_rank is not None:
+        ranked = ranked.filter(F.col("rnk") <= max_rank)
+    means = ranked.groupBy("rnk").agg(
+        (
+            F.sum(F.col("_x").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / F.lit(1e6)
+        ).alias("norm_value")
+    )
+    return ranked.join(F.broadcast(means), "rnk").select(
+        F.col("_sample").alias("sample"), "rnk", "norm_value"
+    )
+
+
+def quantile_normalize_oracle_sql(
+    table: str,
+    sample_sql: str,
+    value_sql: str,
+    tie_sql: str,
+    max_rank: int,
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize` — identical
+    quantization, ranking tiebreak, and mean expression."""
+    return f"""
+        WITH ranked AS (
+          SELECT {sample_sql} AS sample,
+                 CAST(round(({value_sql}) * 1e6) AS BIGINT) AS x,
+                 row_number() OVER (
+                   PARTITION BY {sample_sql}
+                   ORDER BY CAST(round(({value_sql}) * 1e6) AS BIGINT),
+                            {tie_sql}
+                 ) AS rnk
+          FROM {table}
+        ),
+        pruned AS (SELECT * FROM ranked WHERE rnk <= {max_rank}),
+        means AS (
+          SELECT rnk,
+                 CAST(sum(x) AS DOUBLE) / count(*) / 1e6 AS norm_value
+          FROM pruned GROUP BY rnk
+        )
+        SELECT pruned.sample, CAST(pruned.rnk AS BIGINT) AS rnk,
+               means.norm_value
+        FROM pruned JOIN means USING (rnk)
+    """
