@@ -6,6 +6,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from tmdataloader_spark.streaming import (
+    drift_monitor_stream,
     heavy_hitters_stream,
     read_event_stream,
     sessionize_batch,
@@ -597,3 +598,47 @@ def test_heavy_hitters_stream_caps_state(spark, tmp_path):
     # user 7 truly appears 12 times; sketch keeps it, undercounted
     assert 7 in by_uid and 0 < by_uid[7] <= 12
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_drift_monitor_alerts_on_level_shift(spark, tmp_path):
+    """Batch 1 seeds history (no alert possible); batch 2 at a shifted
+    level must alert with drift = |batch mean - historical mean|."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    batch1 = [(i, 1, "m", t0, 1.0) for i in range(4)]
+    batch2 = [(10 + i, 1, "m", t0, 5.0) for i in range(4)]
+    src = str(tmp_path / "drift_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        drift_monitor_stream(stream, threshold=1.0)
+        .writeStream.format("memory")
+        .queryName("drift_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("select * from drift_test").collect(),
+            key=lambda r: r.hist_n,
+        )
+    finally:
+        q.stop()
+    assert len(rows) == 2
+    seed, shifted = rows
+    assert seed.hist_n == 0 and not seed.alert and seed.drift is None
+    assert shifted.hist_n == 4 and shifted.hist_mean == 1.0
+    assert shifted.batch_mean == 5.0 and shifted.drift == 4.0
+    assert shifted.alert

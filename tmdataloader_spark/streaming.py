@@ -615,3 +615,74 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+_DRIFT_STATE_SCHEMA = "n long, total long"
+_DRIFT_OUTPUT_SCHEMA = (
+    "event_type string, batch_n long, batch_mean double, "
+    "hist_n long, hist_mean double, drift double, alert boolean"
+)
+
+
+def drift_monitor_stream(
+    events: DataFrame, threshold: float = 1.0
+) -> DataFrame:
+    """Streaming level-shift monitor per event type — the unbounded-
+    feed twin of the batch ``cusum_changepoint`` localizer
+    (operators/timeseries.py): CUSUM answers "where DID the level
+    shift" over a closed log; this answers "is the feed shifting NOW"
+    with O(1) state.
+
+    State per key is the running (count, micro-unit sum) of all PRIOR
+    micro-batches.  Each micro-batch emits one row comparing the
+    batch mean against the historical mean (both exact-integer sums,
+    two divisions at emission); ``alert`` fires when the absolute
+    drift exceeds ``threshold`` (value units).  The first batch of a
+    key seeds history and cannot alert.  State never grows — two
+    longs per key — so this runs indefinitely; the batch CUSUM replay
+    over the landed log is the reconciliation path that localizes any
+    alert precisely.
+    """
+    thr = float(threshold)
+
+    def fn(key, pdfs: Iterable, state) -> Iterator:
+        import pandas as pd
+
+        (event_type,) = key
+        hist_n, hist_total = state.get if state.exists else (0, 0)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        vq = [round(float(v) * 1_000_000) for v in batch["value"]]
+        bn, btotal = len(vq), sum(vq)
+        bmean = btotal / bn / 1e6
+        if hist_n > 0:
+            hmean = hist_total / hist_n / 1e6
+            drift = abs(bmean - hmean)
+            alert = drift > thr
+        else:
+            hmean, drift, alert = None, None, False
+        state.update((hist_n + bn, hist_total + btotal))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "batch_n": bn,
+                    "batch_mean": bmean,
+                    "hist_n": hist_n,
+                    "hist_mean": hmean,
+                    "drift": drift,
+                    "alert": alert,
+                }
+            ]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
