@@ -153,6 +153,72 @@ def q_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_visit_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: visit-name consistency violation report — (category, label,
+    value) groups whose visit_name is PARTIALLY null are the rows the
+    reference aborts on (I2B2_LOAD_CLINICAL_DATA.sql:697-716); the
+    report frame is what its exception message samples."""
+    from tmdataloader_spark.operators.dedup import visit_consistency_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    eav = li.select(
+        F.col("l_returnflag").alias("category_cd"),
+        F.col("l_linestatus").alias("data_label"),
+        # floor both engines: Spark's double->long cast truncates but
+        # DuckDB's rounds; floor is identical semantics for these
+        # non-negative integral quantities
+        (F.floor(F.col("l_quantity")).cast("long") % 5)
+        .cast("string")
+        .alias("data_value"),
+        F.when(F.col("l_suppkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("V"), (F.col("l_suppkey") % 3).cast("string")))
+        .alias("visit_name"),
+    )
+    return visit_consistency_report(eav)
+
+
+def q_study_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: study-id uniqueness report — every distinct study id a
+    load would carry with row/file counts; >1 output row (or a
+    null/empty id) is the reference's cross-file abort condition
+    (etl/ClinicalDataProcessor.groovy:253-277)."""
+    from tmdataloader_spark.operators.dedup import study_id_report
+
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        F.concat(F.lit("S"), (F.col("o_custkey") % 4).cast("string")).alias(
+            "study_id"
+        ),
+        F.col("o_orderpriority").alias("source_file"),
+    )
+    return study_id_report(rows, file_col="source_file")
+
+
+def q_tag_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: ``$$TAG`` / ``$${TAG}`` category_cd substitution with
+    mangled ``$$A``/``$$B`` markers, ``+``→``(plus)`` inside values,
+    and the empty-tag row drop (TagReplacer.groovy:14-44,104-110) —
+    pure per-row codegen, no shuffle."""
+    from tmdataloader_spark.sources.mapping import substitute_tags
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("Grp+"), (F.col("c_nationkey") % 5).cast("string"))
+        )
+        .alias("cohort"),
+    )
+    out = substitute_tags(
+        base,
+        "Clinical+$$SEGMENT+Data+$${COHORT}",
+        {"SEGMENT": "segment", "COHORT": "cohort"},
+    )
+    return out.select("c_custkey", "category_cd")
+
+
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/W2/W5: DISTINCT ON keep-one with deterministic min-record
     tiebreak (I2B2_LOAD_CLINICAL_DATA.sql:634-645,
@@ -2301,71 +2367,78 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 6): the driver checks the FIRST 50 entries.
+    # Ordering note (round 7): the driver checks the FIRST 50 entries.
     # Window composition is annotated inline below; the rotation
     # policy itself is enforced by tests/test_window_hygiene.py and
     # the tail stays oracle-checked by tests/test_oracle_tail.py.
     return {
-        # --- r6 WINDOW (first 50; driver-checked this round) ---
-        # head: the 4 r5-red rows (HUGEINT oracle types, CAST-fixed
-        # this round) stay windowed until a green driver row lands;
-        # then the 9 never-driver-checked r4/r5 debuts whose
-        # DEBUT_OVERFLOW exemptions expired; then 3 r6 debuts; then
-        # the 23 r3-green queries about to fall out of the last-two
-        # CORRECTNESS files; last 11 slots refresh r4-green queries
-        # so the r7 rotation crunch (49 r4-only rows) shrinks to 38.
-        "sessionize": q_sessionize,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
-        "roc_auc": q_roc_auc,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
-        "pr_curve": q_pr_curve,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
-        "ks_drift": q_ks_drift,  # r5 RED (HUGEINT oracle, now CAST) -> stays until green
-        "moving_avg": q_moving_avg,  # never driver-checked (r4 debut) -> windowed r6
-        "skew_report": q_skew_report,  # never driver-checked (r5 overflow) -> windowed r6
-        "salted_join": q_salted_join,  # never driver-checked (r5 overflow) -> windowed r6
-        "bpe_encode": q_bpe_encode,  # never driver-checked (r5 overflow) -> windowed r6
-        "lm_perplexity": q_lm_perplexity,  # never driver-checked (r5 overflow) -> windowed r6
-        "random_projection": q_random_projection,  # never driver-checked (r5 overflow) -> windowed r6
-        "mixture_upsample": q_mixture_upsample,  # never driver-checked (r5 overflow) -> windowed r6
-        "triangle_count": q_triangle_count,  # never driver-checked (r5 overflow) -> windowed r6
-        "link_predict": q_link_predict,  # never driver-checked (r5 overflow) -> windowed r6
-        "event_transitions": q_event_transitions,  # NEW in r6 -> window
-        "interarrival_profile": q_interarrival_profile,  # NEW in r6 -> window
-        "diversity_profile": q_diversity_profile,  # NEW in r6 -> window
-        "vcf_genotypes": q_vcf_genotypes,  # r3-green aged out of last-two files -> re-windowed
-        "visit_suppression": q_visit_suppression,  # r3-green aged out -> re-windowed
-        "hash_split": q_hash_split,  # r3-green aged out -> re-windowed
-        "simhash": q_simhash,  # r3-green aged out -> re-windowed
-        "multimodal_meta": q_multimodal_meta,  # r3-green aged out -> re-windowed
-        "cleansing": q_cleansing,  # r3-green aged out -> re-windowed
-        "dedup_exact": q_dedup_exact,  # r3-green aged out -> re-windowed
-        "text_quality": q_text_quality,  # r3-green aged out -> re-windowed
-        "pii_redaction": q_pii_redaction,  # r3-green aged out -> re-windowed
-        "decontamination": q_decontamination,  # r3-green aged out -> re-windowed
-        "token_count": q_token_count,  # r3-green aged out -> re-windowed
-        "fingerprint": q_fingerprint,  # r3-green aged out -> re-windowed
-        "langid": q_langid,  # r3-green aged out -> re-windowed
-        "anti_join": q_anti_join,  # r3-green aged out -> re-windowed
-        "semi_join": q_semi_join,  # r3-green aged out -> re-windowed
-        "except_dropped": q_except_dropped,  # r3-green aged out -> re-windowed
-        "union_exclusion": q_union_exclusion,  # r3-green aged out -> re-windowed
-        "first_value": q_first_value,  # r3-green aged out -> re-windowed
-        "path_functions": q_path_functions,  # r3-green aged out -> re-windowed
-        "move_study": q_move_study,  # r3-green aged out -> re-windowed
-        "delete_study": q_delete_study,  # r3-green aged out -> re-windowed
-        "visual_attributes": q_visual_attributes,  # r3-green aged out -> re-windowed
-        "timepoints": q_timepoints,  # r3-green aged out -> re-windowed
-        "funnel": q_funnel,  # r4-green refresh (bench watch item: fresh timing + row)
-        "event_rollup": q_event_rollup,  # r4-green refresh (ages out at r7 otherwise)
-        "curate": q_curate,  # r4-green refresh
-        "fact_assembly": q_fact_assembly,  # r4-green refresh
-        "quota_sample": q_quota_sample,  # r4-green refresh
-        "dedup_clusters": q_dedup_clusters,  # r4-green refresh
-        "json_rollup": q_json_rollup,  # r4-green refresh
-        "embedding_dedup": q_embedding_dedup,  # r4-green refresh
-        "chunk_docs": q_chunk_docs,  # r4-green refresh
-        "ann_lsh": q_ann_lsh,  # r4-green refresh
-        "ann_ivf": q_ann_ivf,  # r4-green refresh
-        # --- tail (51+): driver-green r5, oracle-checked at sf0.01
-        # on every pytest run by tests/test_oracle_tail.py ---
+        # --- r7 WINDOW (first 50; driver-checked this round) ---
+        # head: the single r6 red (random_projection — driver
+        # canonicalizer choked on its array column, now flattened to
+        # scalar p0..p15) stays windowed until a green row lands;
+        # then the 7 never-driver-checked r6 tail debuts whose
+        # DEBUT_OVERFLOW exemptions expired with CORRECTNESS_r06;
+        # then the 38 r4-only tail queries whose rows age out of the
+        # last-two files this round; then 3 r7 debuts (A9/A10/F12
+        # abort/tag contracts, first-ever oracle rows); last slot
+        # refreshes ann_ivfpq (r6-touched: 24% faster, wants a fresh
+        # row + timing).  That leaves the 45 r5-green tail queries as
+        # the r8 rotation obligation (45 ≤ 50 — fits).
+        "random_projection": q_random_projection,  # r6 RED (array output, now flat) -> stays until green
+        "pmi_collocations": q_pmi_collocations,  # r6 tail debut, never driver-checked -> windowed
+        "attribution": q_attribution,  # r6 tail debut, never driver-checked -> windowed
+        "basket_rules": q_basket_rules,  # r6 tail debut, never driver-checked -> windowed
+        "skyline": q_skyline,  # r6 tail debut, never driver-checked -> windowed
+        "cusum_changepoint": q_cusum_changepoint,  # r6 tail debut, never driver-checked -> windowed
+        "calibration_curve": q_calibration_curve,  # r6 tail debut, never driver-checked -> windowed
+        "quantile_normalize": q_quantile_normalize,  # r6 tail debut, never driver-checked -> windowed
+        "retention": q_retention,  # r4-green aging out -> re-windowed
+        "incremental_dedup": q_incremental_dedup,  # r4-green aging out -> re-windowed
+        "semantic_dedup": q_semantic_dedup,  # r4-green aging out -> re-windowed
+        "kmeans": q_kmeans,  # r4-green aging out -> re-windowed
+        "length_profile": q_length_profile,  # r4-green aging out -> re-windowed
+        "zorder": q_zorder,  # r4-green aging out -> re-windowed
+        "hdd_leaf_paths": q_hdd_leaf_paths,  # r4-green aging out -> re-windowed
+        "seq_pack": q_seq_pack,  # r4-green aging out -> re-windowed
+        "interval_join": q_interval_join,  # r4-green aging out -> re-windowed
+        "vocab_topk": q_vocab_topk,  # r4-green aging out -> re-windowed
+        "asof_join": q_asof_join,  # r4-green aging out -> re-windowed
+        "range_join": q_range_join,  # r4-green aging out -> re-windowed
+        "gpl_info_join": q_gpl_info_join,  # r4-green aging out -> re-windowed
+        "timepoint_minutes": q_timepoint_minutes,  # r4-green aging out -> re-windowed
+        "ann_block": q_ann_block,  # r4-green aging out -> re-windowed
+        "summary_stats": q_summary_stats,  # r4-green aging out -> re-windowed
+        "validation_rules": q_validation_rules,  # r4-green aging out -> re-windowed
+        "duplicate_detection": q_duplicate_detection,  # r4-green aging out -> re-windowed
+        "demographics_pivot": q_demographics_pivot,  # r4-green aging out -> re-windowed
+        "winnow": q_winnow,  # r4-green aging out -> re-windowed
+        "merge_update": q_merge_update,  # r4-green aging out -> re-windowed
+        "tfidf": q_tfidf,  # r4-green aging out -> re-windowed
+        "repetition": q_repetition,  # r4-green aging out -> re-windowed
+        "ann_cosine": q_ann_cosine,  # r4-green aging out -> re-windowed
+        "ngram_jaccard": q_ngram_jaccard,  # r4-green aging out -> re-windowed
+        "minhash_lsh": q_minhash_lsh,  # r4-green aging out -> re-windowed
+        "simhash_pairs": q_simhash_pairs,  # r4-green aging out -> re-windowed
+        "pricing_summary": q_pricing_summary,  # r4-green aging out -> re-windowed
+        "probe_stats": q_probe_stats,  # r4-green aging out -> re-windowed
+        "zscore": q_zscore,  # r4-green aging out -> re-windowed
+        "median_exact": q_median_exact,  # r4-green aging out -> re-windowed
+        "probeset_collapse": q_probeset_collapse,  # r4-green aging out -> re-windowed
+        "dedup_keep_one": q_dedup_keep_one,  # r4-green aging out -> re-windowed
+        "type_inference": q_type_inference,  # r4-green aging out -> re-windowed
+        "clinical_melt": q_clinical_melt,  # r4-green aging out -> re-windowed
+        "fill_in_tree": q_fill_in_tree,  # r4-green aging out -> re-windowed
+        "tree_closure": q_tree_closure,  # r4-green aging out -> re-windowed
+        "concept_counts": q_concept_counts,  # r4-green aging out -> re-windowed
+        "visit_consistency": q_visit_consistency,  # NEW in r7 (A9 abort report) -> window
+        "study_uniqueness": q_study_uniqueness,  # NEW in r7 (A10 abort report) -> window
+        "tag_substitution": q_tag_substitution,  # NEW in r7 (F12 $$TAG subst) -> window
+        "ann_ivfpq": q_ann_ivfpq,  # r5-green refresh (r6-touched, 24% faster)
+        # --- tail (51+): driver-green r5/r6, oracle-checked at
+        # sf0.01 on every pytest run by tests/test_oracle_tail.py;
+        # ALL of these have rows in CORRECTNESS_r05/r06 so none is
+        # stale under the two-round hygiene rule.  The 45 r5-green
+        # entries here are the r8 window obligation. ---
         "profile_table": q_profile_table,
         "table_checksum": q_table_checksum,
         "user_cardinality": q_user_cardinality,
@@ -2407,61 +2480,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "prototype_scores": q_prototype_scores,
         "leakage_split": q_leakage_split,
-        "ann_ivfpq": q_ann_ivfpq,
         "ccnet_buckets": q_ccnet_buckets,
         "stratified_sample": q_stratified_sample,
         "pair_counts": q_pair_counts,
         "rollup_agg": q_rollup_agg,
-        # --- tail: driver-green r4 (re-window in r7 before their
-        # rows age out of the last-two files) ---
-        "retention": q_retention,
-        "incremental_dedup": q_incremental_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "kmeans": q_kmeans,
-        "length_profile": q_length_profile,
-        "zorder": q_zorder,
-        "hdd_leaf_paths": q_hdd_leaf_paths,
-        "seq_pack": q_seq_pack,
-        "interval_join": q_interval_join,
-        "vocab_topk": q_vocab_topk,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "gpl_info_join": q_gpl_info_join,
-        "timepoint_minutes": q_timepoint_minutes,
-        "ann_block": q_ann_block,
-        "summary_stats": q_summary_stats,
-        "validation_rules": q_validation_rules,
-        "duplicate_detection": q_duplicate_detection,
-        "demographics_pivot": q_demographics_pivot,
-        "winnow": q_winnow,
-        "merge_update": q_merge_update,
-        "tfidf": q_tfidf,
-        "repetition": q_repetition,
-        "ann_cosine": q_ann_cosine,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "pricing_summary": q_pricing_summary,
-        "probe_stats": q_probe_stats,
-        "zscore": q_zscore,
-        "median_exact": q_median_exact,
-        "probeset_collapse": q_probeset_collapse,
-        "dedup_keep_one": q_dedup_keep_one,
-        "type_inference": q_type_inference,
-        "clinical_melt": q_clinical_melt,
-        "fill_in_tree": q_fill_in_tree,
-        "tree_closure": q_tree_closure,
-        "concept_counts": q_concept_counts,
-        # --- r6 post-rotation debuts -> tail under the self-expiring
-        # DEBUT_OVERFLOW exemption (test_window_hygiene.py); r7 must
-        # window them ---
-        "pmi_collocations": q_pmi_collocations,
-        "attribution": q_attribution,
-        "basket_rules": q_basket_rules,
-        "skyline": q_skyline,
-        "cusum_changepoint": q_cusum_changepoint,
-        "calibration_curve": q_calibration_curve,
-        "quantile_normalize": q_quantile_normalize,
+        # --- tail: driver-green r6 (fresh rows; r8 may leave these
+        # in the tail one more round) ---
+        "sessionize": q_sessionize,
+        "roc_auc": q_roc_auc,
+        "pr_curve": q_pr_curve,
+        "ks_drift": q_ks_drift,
+        "moving_avg": q_moving_avg,
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
+        "bpe_encode": q_bpe_encode,
+        "lm_perplexity": q_lm_perplexity,
+        "mixture_upsample": q_mixture_upsample,
+        "triangle_count": q_triangle_count,
+        "link_predict": q_link_predict,
+        "event_transitions": q_event_transitions,
+        "interarrival_profile": q_interarrival_profile,
+        "diversity_profile": q_diversity_profile,
+        "vcf_genotypes": q_vcf_genotypes,
+        "visit_suppression": q_visit_suppression,
+        "hash_split": q_hash_split,
+        "simhash": q_simhash,
+        "multimodal_meta": q_multimodal_meta,
+        "cleansing": q_cleansing,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "visual_attributes": q_visual_attributes,
+        "timepoints": q_timepoints,
+        "funnel": q_funnel,
+        "event_rollup": q_event_rollup,
+        "curate": q_curate,
+        "fact_assembly": q_fact_assembly,
+        "quota_sample": q_quota_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "json_rollup": q_json_rollup,
+        "embedding_dedup": q_embedding_dedup,
+        "chunk_docs": q_chunk_docs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -3294,6 +3367,44 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_detection": """
             SELECT user_id, event_type, count(*) AS dup_count
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+        """,
+        "visit_consistency": """
+            WITH eav AS (
+              SELECT l_returnflag AS category_cd,
+                     l_linestatus AS data_label,
+                     CAST(CAST(floor(l_quantity) AS BIGINT) % 5 AS VARCHAR) AS data_value,
+                     CASE WHEN l_suppkey % 7 = 0 THEN NULL
+                          ELSE 'V' || CAST(l_suppkey % 3 AS VARCHAR)
+                     END AS visit_name
+              FROM lineitem
+            )
+            SELECT category_cd, data_label, data_value,
+                   CAST(sum(CASE WHEN visit_name IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(sum(CASE WHEN visit_name IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_set
+            FROM eav
+            GROUP BY category_cd, data_label, data_value
+            HAVING sum(CASE WHEN visit_name IS NULL THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN visit_name IS NOT NULL THEN 1 ELSE 0 END) > 0
+        """,
+        "study_uniqueness": """
+            SELECT 'S' || CAST(o_custkey % 4 AS VARCHAR) AS study_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_files
+            FROM orders
+            GROUP BY 'S' || CAST(o_custkey % 4 AS VARCHAR)
+        """,
+        "tag_substitution": """
+            SELECT c_custkey,
+                   'Clinical+$$A' || replace(c_mktsegment, '+', '(plus)')
+                   || '+Data+$$B{'
+                   || replace('Grp+' || CAST(c_nationkey % 5 AS VARCHAR),
+                              '+', '(plus)')
+                   || '}' AS category_cd
+            FROM customer
+            WHERE c_custkey % 11 <> 0
+              AND coalesce(c_mktsegment, '') <> ''
         """,
         "dedup_keep_one": """
             SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity

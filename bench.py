@@ -142,7 +142,10 @@ def main() -> None:
     # only a 2,000-char stdout tail, which truncated 44 of 131 r5
     # timings out of the audit trail (r5 VERDICT item 6). Written
     # before the regression guard so even a guard-exit preserves it.
-    sidecar = os.path.join(
+    # SPARK_GRAFT_BENCH_OUT redirects it so a smoke/subset run (e.g.
+    # tests/test_bench_smoke.py) never clobbers the driver's full-run
+    # record (r6 VERDICT item 3).
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last_run.json"
     )
     with open(sidecar, "w") as fh:

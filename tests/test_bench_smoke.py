@@ -9,13 +9,15 @@ import subprocess
 import sys
 
 
-def test_bench_runs_and_emits_contract_json():
+def test_bench_runs_and_emits_contract_json(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_QUERIES="pricing_summary,zorder,vocab_topk",
         SPARK_GRAFT_BENCH_NO_GUARD="1",
         SPARK_GRAFT_CPUS="8",
+        # never clobber the driver's full-run sidecar (r6 VERDICT #3)
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_smoke.json"),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -32,3 +34,6 @@ def test_bench_runs_and_emits_contract_json():
     assert set(d["queries"]) == {"pricing_summary", "zorder", "vocab_topk"}
     assert all(v == v and v >= 0 for v in d["queries"].values())  # no NaN errors
     assert d["sf"] == 0.001
+    # sidecar honored SPARK_GRAFT_BENCH_OUT (didn't clobber repo-root copy)
+    side = json.load(open(env["SPARK_GRAFT_BENCH_OUT"]))
+    assert set(side["queries"]) == set(d["queries"])

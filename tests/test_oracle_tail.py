@@ -62,56 +62,59 @@ TAIL = [
     "substr_dedup",
     "prototype_scores",
     "leakage_split",
-    "ann_ivfpq",
     "ccnet_buckets",
     "stratified_sample",
     "pair_counts",
     "rollup_agg",
-    "retention",
-    "incremental_dedup",
-    "semantic_dedup",
-    "kmeans",
-    "length_profile",
-    "zorder",
-    "hdd_leaf_paths",
-    "seq_pack",
-    "interval_join",
-    "vocab_topk",
-    "asof_join",
-    "range_join",
-    "gpl_info_join",
-    "timepoint_minutes",
-    "ann_block",
-    "summary_stats",
-    "validation_rules",
-    "duplicate_detection",
-    "demographics_pivot",
-    "winnow",
-    "merge_update",
-    "tfidf",
-    "repetition",
-    "ann_cosine",
-    "ngram_jaccard",
-    "minhash_lsh",
-    "simhash_pairs",
-    "pricing_summary",
-    "probe_stats",
-    "zscore",
-    "median_exact",
-    "probeset_collapse",
-    "dedup_keep_one",
-    "type_inference",
-    "clinical_melt",
-    "fill_in_tree",
-    "tree_closure",
-    "concept_counts",
-    "pmi_collocations",  # r6 post-rotation debut (overflow exemption)
-    "attribution",  # r6 post-rotation debut (overflow exemption)
-    "basket_rules",  # r6 post-rotation debut (overflow exemption)
-    "skyline",  # r6 post-rotation debut (overflow exemption)
-    "cusum_changepoint",  # r6 post-rotation debut (overflow exemption)
-    "calibration_curve",  # r6 post-rotation debut (overflow exemption)
-    "quantile_normalize",  # r6 post-rotation debut (overflow exemption)
+    "sessionize",
+    "roc_auc",
+    "pr_curve",
+    "ks_drift",
+    "moving_avg",
+    "skew_report",
+    "salted_join",
+    "bpe_encode",
+    "lm_perplexity",
+    "mixture_upsample",
+    "triangle_count",
+    "link_predict",
+    "event_transitions",
+    "interarrival_profile",
+    "diversity_profile",
+    "vcf_genotypes",
+    "visit_suppression",
+    "hash_split",
+    "simhash",
+    "multimodal_meta",
+    "cleansing",
+    "dedup_exact",
+    "text_quality",
+    "pii_redaction",
+    "decontamination",
+    "token_count",
+    "fingerprint",
+    "langid",
+    "anti_join",
+    "semi_join",
+    "except_dropped",
+    "union_exclusion",
+    "first_value",
+    "path_functions",
+    "move_study",
+    "delete_study",
+    "visual_attributes",
+    "timepoints",
+    "funnel",
+    "event_rollup",
+    "curate",
+    "fact_assembly",
+    "quota_sample",
+    "dedup_clusters",
+    "json_rollup",
+    "embedding_dedup",
+    "chunk_docs",
+    "ann_lsh",
+    "ann_ivf",
 ]
 
 

@@ -44,3 +44,21 @@ def test_oracle_types_match_spark(spark, oracle_con, name):
 
     err = check_query(spark, oracle_con, name, SF, types_only=True)
     assert err is None, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_complex_output_types(spark, name):
+    """No gate query may emit a top-level ARRAY/MAP/STRUCT column —
+    the driver's pandas canonicalizer sorts output columns with
+    ``sort_values`` and raises ``unhashable type: 'list'`` on them
+    (r6 random_projection).  Plan-only; covers rows-only queries the
+    oracle DESCRIBE sweep skips."""
+    import __spark_entry__ as entry
+    from tools.check_correctness import is_complex_dtype
+
+    sdf = entry.queries()[name](spark, SF)
+    bad = [(c, t) for c, t in sdf.dtypes if is_complex_dtype(t)]
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} — the driver "
+        f"cannot canonicalize these; flatten to scalar columns"
+    )

@@ -25,7 +25,10 @@ def test_projection_matches_numpy_exactly(spark):
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     dim = len(e.first().embedding)
-    got = {r.vec_id: list(r.proj) for r in random_projection(e, dim, 16).collect()}
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(16)]
+        for r in random_projection(e, dim, 16).collect()
+    }
     vecs = {r.vec_id: list(r.embedding) for r in e.collect()}
     assert got == _np_project(vecs, dim, 16)
 
@@ -43,7 +46,7 @@ def test_projection_preserves_geometry(spark):
     dim = len(e.first().embedding)
     orig = {r.vec_id: np.array(r.embedding) for r in e.collect()}
     proj = {
-        r.vec_id: np.array(r.proj, dtype=float)
+        r.vec_id: np.array([r[f"p{j}"] for j in range(32)], dtype=float)
         for r in random_projection(e, dim, 32).collect()
     }
 
@@ -81,13 +84,16 @@ def test_projection_oracle_matches_duckdb(spark):
 
     sf = "/root/testdata/sf0.001"
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    got = {r.vec_id: list(r.proj) for r in random_projection(e, 64, 8).collect()}
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in random_projection(e, 64, 8).collect()
+    }
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
     )
     oracle = {
-        r[0]: list(r[1])
+        r[0]: list(r[1:])
         for r in con.execute(random_projection_oracle_sql(64, 8)).fetchall()
     }
     assert got == oracle

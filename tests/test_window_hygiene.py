@@ -45,19 +45,11 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 # driver row, like everyone else.  Tail queries stay oracle-checked at
 # sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
 DEBUT_OVERFLOW: dict[str, int] = {
-    # The nine r4/r5 overflow debuts were rotated into the window when
-    # their exemptions expired (CORRECTNESS_r05.json landing), and
-    # three r6 debuts (event_transitions, interarrival_profile,
-    # diversity_profile) were windowed on debut.  pmi_collocations
-    # debuted after the r6 window filled (50/50) — exemption dies when
-    # CORRECTNESS_r06.json lands; r7 must window it.
-    "pmi_collocations": 6,
-    "attribution": 6,
-    "basket_rules": 6,
-    "skyline": 6,
-    "cusum_changepoint": 6,
-    "calibration_curve": 6,
-    "quantile_normalize": 6,
+    # Empty in r7: the seven r6 overflow debuts (pmi_collocations …
+    # quantile_normalize) were rotated into the window when their
+    # exemptions expired (CORRECTNESS_r06.json landing), and the
+    # three r7 debuts (visit_consistency, study_uniqueness,
+    # tag_substitution) were windowed on debut.
 }
 
 

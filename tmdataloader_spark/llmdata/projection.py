@@ -59,11 +59,16 @@ def random_projection(
     quant: int = QUANT,
 ) -> DataFrame:
     """Project ``vec_col`` (``in_dim`` floats) to ``out_dim`` exact
-    integer components: ``proj[j] = Σ_i floor(v_i·quant)·sign(i,j)``.
+    integer components: ``p<j> = Σ_i floor(v_i·quant)·sign(i,j)``.
 
-    Returns ``(id_col, proj array<bigint>)``. Downstream cosine /
-    L2 on ``proj`` approximates the original geometry (JL); scale
-    factors cancel in cosine, so no division is needed anywhere."""
+    Returns ``(id_col, p0 .. p<out_dim-1>)`` as scalar BIGINT
+    columns — flat on purpose: every downstream consumer (LSH
+    banding, IVF assignment) reads individual components, and flat
+    scalars keep the output canonicalizable by column sort (array
+    columns are not orderable in a pandas sort_values). Downstream
+    cosine / L2 on the components approximates the original geometry
+    (JL); scale factors cancel in cosine, so no division is needed
+    anywhere."""
     signs = projection_signs(in_dim, out_dim)
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
@@ -74,12 +79,10 @@ def random_projection(
             F.zip_with(q, F.lit(signs[j]), lambda a, s: a * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
-        ).alias(f"_p{j}")
+        ).alias(f"p{j}")
         for j in range(out_dim)
     ]
-    return df.select(F.col(id_col), *comps).select(
-        id_col, F.array(*[F.col(f"_p{j}") for j in range(out_dim)]).alias("proj")
-    )
+    return df.select(F.col(id_col), *comps)
 
 
 def random_projection_oracle_sql(
@@ -110,5 +113,5 @@ def random_projection_oracle_sql(
         ), c AS (
           SELECT {id_col}, {comp_cols} FROM e
         )
-        SELECT {id_col}, [{plist}] AS proj FROM c
+        SELECT {id_col}, {plist} FROM c
     """

@@ -634,7 +634,12 @@ def negative_samples(
         # passes, so isNull() keeps the row
         .filter(
             F.assert_true(
-                F.col("_max_id") == F.col("_n") - 1,
+                # empty corpus: max(_max_id) is NULL and the dense-id
+                # predicate would evaluate NULL, tripping assert_true
+                # with a misleading message — an empty corpus is legal
+                # and yields zero draws downstream
+                (F.col("_n") == 0)
+                | (F.col("_max_id") == F.col("_n") - 1),
                 F.lit(
                     "negative_samples requires dense 0..n-1 corpus ids "
                     "(add a row_number index first)"

@@ -89,6 +89,34 @@ def dedup_keep_one(
     )
 
 
+def visit_consistency_report(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    visit_col: str = "visit_name",
+) -> DataFrame:
+    """A9 violation report: groups where ``visit_col`` is PARTIALLY
+    null — the rows that WOULD abort the load
+    (I2B2_LOAD_CLINICAL_DATA.sql:697-716).  Returns
+    ``(group_cols..., n_null bigint, n_set bigint)``; an empty frame
+    means the load is consistent.
+
+    Scale shape: one map-side-combined aggregate on the group key —
+    the same single shuffle the abort probe already paid."""
+    group_cols = group_cols or ["category_cd", "data_label", "data_value"]
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(F.col(visit_col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when(F.col(visit_col).isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_set"),
+        )
+        .filter((F.col("n_null") > 0) & (F.col("n_set") > 0))
+    )
+
+
 def assert_visit_name_consistency(
     df: DataFrame,
     group_cols: list[str] | None = None,
@@ -96,19 +124,29 @@ def assert_visit_name_consistency(
 ) -> None:
     """A9: per (category,label,value) group, visit_name must be all-null
     or all-non-null (I2B2_LOAD_CLINICAL_DATA.sql:697-716)."""
-    group_cols = group_cols or ["category_cd", "data_label", "data_value"]
-    bad = (
-        df.groupBy(*group_cols)
-        .agg(
-            F.sum(F.when(F.col(visit_col).isNull(), 1).otherwise(0)).alias("n_null"),
-            F.sum(F.when(F.col(visit_col).isNotNull(), 1).otherwise(0)).alias("n_set"),
-        )
-        .filter((F.col("n_null") > 0) & (F.col("n_set") > 0))
-        .limit(1)
-        .collect()
-    )
+    bad = visit_consistency_report(df, group_cols, visit_col).limit(1).collect()
     if bad:
         raise LoadValidationError(f"inconsistent visit names in group {bad[0].asDict()}")
+
+
+def study_id_report(
+    df: DataFrame,
+    study_col: str = "study_id",
+    file_col: str | None = None,
+) -> DataFrame:
+    """A10 violation report: the distinct study ids a load would
+    carry, with row counts (and, when ``file_col`` is given, how many
+    source files each id appears in) — more than one output row, or a
+    null/empty id, is the condition the reference aborts on
+    (etl/ClinicalDataProcessor.groovy:253-277).  Returns
+    ``(study_id, n_rows bigint[, n_files bigint])``.
+
+    Scale shape: one aggregate on the study id — |distinct ids| rows
+    out (normally 1)."""
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    if file_col is not None:
+        aggs.append(F.count_distinct(F.col(file_col)).cast("long").alias("n_files"))
+    return df.groupBy(F.col(study_col).alias("study_id")).agg(*aggs)
 
 
 def assert_single_study_id(df: DataFrame, study_col: str = "study_id") -> str:

@@ -377,7 +377,8 @@ def interarrival_profile(
     Scale shape: one window shuffle on (user, type) — the lag frame —
     then ONE map-side-combined aggregate on type (|types| rows out).
     All math is integer until the final /1e6 renders seconds: min/max
-    are exact longs; avg is Spark's exact long-sum/count — one IEEE
+    are exact longs; avg sums gap_us as decimal(38,0) — exact at any
+    scale, no silent int64 wraparound under non-ANSI — then one IEEE
     division both engines perform identically (no float sums)."""
     w = Window.partitionBy(user_col, type_col).orderBy(
         F.col(ts_col), F.col(id_col)
@@ -394,7 +395,8 @@ def interarrival_profile(
         F.count("*").alias("n_gaps"),
         F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_gap_s"),
         F.round(
-            (F.sum("gap_us").cast("double") / F.count("*")) / F.lit(1e6), 6
+            (F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+             / F.count("*")) / F.lit(1e6), 6
         ).alias("avg_gap_s"),
         F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
     )
@@ -402,8 +404,10 @@ def interarrival_profile(
 
 def interarrival_profile_oracle_sql(table: str = "events") -> str:
     """DuckDB twin: same integer-micros gaps, same exact-sum/count
-    then single-division arithmetic (sum cast BIGINT before DOUBLE so
-    the intermediate is the same exact integer both engines divide)."""
+    then single-division arithmetic (HUGEINT sum cast straight to
+    DOUBLE, matching Spark's exact decimal(38,0) sum cast to double —
+    neither side ever narrows through int64, so neither wraps nor
+    errors at extreme scale)."""
     return f"""
         WITH g AS (
           SELECT event_type,
@@ -415,7 +419,7 @@ def interarrival_profile_oracle_sql(table: str = "events") -> str:
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_gaps,
                round(min(gap_us) / 1e6, 6) AS min_gap_s,
-               round((CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+               round((CAST(sum(gap_us) AS DOUBLE)
                       / count(*)) / 1e6, 6) AS avg_gap_s,
                round(max(gap_us) / 1e6, 6) AS max_gap_s
         FROM g WHERE gap_us IS NOT NULL

@@ -224,6 +224,35 @@ def _category_cd_expr(
     return F.concat(*parts), referenced
 
 
+def substitute_tags(
+    df: DataFrame,
+    template: str,
+    tag_to_col: dict[str, str],
+    out_col: str = "category_cd",
+    mangler: _Mangler | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """F12 as a public operator: substitute ``$$TAG`` / ``$${TAG}``
+    references in ``template`` with the referenced columns' values,
+    prefixing each with its mangled ``$$A``/``$$B``… marker
+    (TagReplacer.groovy:14-44; marker names TagNameMangler) and
+    mapping ``+`` inside values to ``(plus)``.  Rows where any
+    referenced value is null/empty are dropped when ``drop_empty``
+    (TagReplacer.groovy:104-110), exactly as the melt path does.
+
+    Pure per-row codegen — no shuffle, no Python; the template
+    compiles once driver-side into a concat chain."""
+    mangler = mangler or _Mangler()
+    expr, referenced = _category_cd_expr(template, tag_to_col, mangler)
+    out = df.withColumn(out_col, expr)
+    if drop_empty:
+        for src in referenced:
+            out = out.filter(
+                F.coalesce(F.col(src).cast("string"), F.lit("")) != ""
+            )
+    return out
+
+
 def _inject_datalabel(cat_cd: str, source_type: str) -> str:
     """DATALABEL placeholder injection for label-from-column entries
     (ClinicalDataProcessor.groovy:125-134): 'A' inserts before the

@@ -11,9 +11,21 @@ batch backfill — the standard lambda-check."""
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _micro_q(v: float) -> int:
+    """HALF_UP (away-from-zero) micro-unit quantization — the exact
+    semantics of Spark ``F.round(x*1e6)`` / ``decimal(38,6)`` casts
+    the batch twins use.  Python's builtin ``round()`` is
+    half-to-even (banker's), which disagrees on values landing
+    exactly on a .5 micro-unit boundary, so the documented
+    stream-vs-batch-replay reconciliation would diverge there."""
+    x = float(v) * 1_000_000
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
 
 def read_event_stream(
@@ -104,7 +116,7 @@ _SESSION_OUTPUT_SCHEMA = (
     "session_end string, n_events long, sum_value double"
 )
 # state: ordinal of the open session, its start/last-event micros,
-# running count and the value sum in exact micro-units (round(v*1e6)
+# running count and the value sum in exact micro-units (_micro_q(v)
 # accumulated as an integer — the same per-value 6dp quantization the
 # batch twin's decimal(38,6) sum applies, so stream and batch agree
 # bit-for-bit, not merely to rounding).
@@ -183,7 +195,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             )
             vals = pdf["value"].to_numpy()
             for t, v in zip(ts_us, vals):
-                vq = round(float(v) * 1_000_000)  # exact micro-units
+                vq = _micro_q(v)  # exact micro-units, HALF_UP like batch
                 if start_us is None:
                     seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
                 elif t - last_us > gap_us:
@@ -655,7 +667,7 @@ def drift_monitor_stream(
         if not chunks:
             return
         batch = pd.concat(chunks, ignore_index=True)
-        vq = [round(float(v) * 1_000_000) for v in batch["value"]]
+        vq = [_micro_q(v) for v in batch["value"]]
         bn, btotal = len(vq), sum(vq)
         bmean = btotal / bn / 1e6
         if hist_n > 0:

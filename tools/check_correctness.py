@@ -65,11 +65,21 @@ _DUCK_TO_SPARK = {
 def _spark_types_for(duck_type: str) -> set[str]:
     """Spark dtypes compatible with a DuckDB result type."""
     t = str(duck_type).upper().strip()
-    if t.endswith("[]"):
-        return {f"array<{s}>" for s in _spark_types_for(t[:-2])}
     if t.startswith("DECIMAL"):
         return {t.lower().replace(" ", "")}
     return _DUCK_TO_SPARK.get(t, set())
+
+
+def is_complex_dtype(dtype: str) -> bool:
+    """True for Spark/DuckDB output types the driver's pandas
+    canonicalizer cannot sort (``sort_values`` over list/dict values
+    raises ``unhashable type``) — the r6 ``random_projection``
+    failure mode.  Gate queries must emit only scalar columns."""
+    t = str(dtype).lower().replace(" ", "")
+    return (
+        t.endswith("[]")
+        or t.startswith(("array<", "map<", "struct<", "list(", "map(", "struct("))
+    )
 
 
 def check_types(spark_dtypes, duck_cols, duck_types) -> str | None:
@@ -77,8 +87,21 @@ def check_types(spark_dtypes, duck_cols, duck_types) -> str | None:
     name.  Returns a failure description or None."""
     sd = dict(spark_dtypes)
     problems = []
+    for col, dtype in sd.items():
+        if is_complex_dtype(dtype):
+            problems.append(
+                f"{col}: spark output type {dtype} is ARRAY/MAP/STRUCT — "
+                f"the driver's pandas canonicalizer cannot sort it "
+                f"(r6 random_projection failure); flatten to scalar columns"
+            )
     for col, dtype in zip(duck_cols, duck_types):
         t = str(dtype).upper().strip()
+        if is_complex_dtype(t):
+            problems.append(
+                f"{col}: oracle type {t} is a LIST/STRUCT/MAP — "
+                f"flatten to scalar columns (driver cannot canonicalize)"
+            )
+            continue
         allowed = _spark_types_for(t)
         if t == "HUGEINT":
             problems.append(
