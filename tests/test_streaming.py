@@ -642,3 +642,33 @@ def test_drift_monitor_alerts_on_level_shift(spark, tmp_path):
     assert shifted.hist_n == 4 and shifted.hist_mean == 1.0
     assert shifted.batch_mean == 5.0 and shifted.drift == 4.0
     assert shifted.alert
+
+
+def test_micro_quantizer_matches_batch_half_up(spark):
+    """The streaming micro-unit quantizer must agree with the batch
+    twins' Spark HALF_UP rounding (F.round(v*1e6)) on every value,
+    INCLUDING exact .5 micro-unit boundaries — Python's builtin
+    round() is half-to-even and diverges there (r6 ADVICE), which
+    would break the documented stream-vs-batch-replay reconciliation."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.streaming import _micro_q
+
+    # .5 micro-unit boundaries of both parities, negatives, and
+    # ordinary values; all as the exact doubles Arrow would carry
+    values = (
+        [(k + 0.5) / 1e6 for k in range(0, 12)]
+        + [-(k + 0.5) / 1e6 for k in range(0, 12)]
+        + [0.0, 1.0, 2.7, -3.14159, 123.456789, -0.000001]
+    )
+    df = spark.createDataFrame([(v,) for v in values], "v double").select(
+        "v", F.round(F.col("v") * 1e6).cast("long").alias("q")
+    )
+    batch = {r.v: r.q for r in df.collect()}
+    for v in values:
+        assert _micro_q(v) == batch[v], (
+            f"stream quantizer diverges from batch HALF_UP at v={v!r}: "
+            f"{_micro_q(v)} != {batch[v]}"
+        )
+    # teeth: banker's rounding actually disagrees somewhere on this grid
+    assert any(round(v * 1e6) != _micro_q(v) for v in values)
