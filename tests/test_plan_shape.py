@@ -308,3 +308,26 @@ def test_ivfpq_probe_is_equi_join_dtabs_broadcast(spark):
     plan = _plan(spark, entry.q_ann_ivfpq(spark, SF), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tag_substitution_is_pure_map(spark):
+    """F12: $$TAG substitution compiles to one codegen projection —
+    no shuffle, no Python boundary, no join (sources/mapping.py
+    substitute_tags). At 100 TB this is a zero-cost in-scan rewrite."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_tag_substitution(spark, SF), "simple")
+    for bad in ("Exchange", "Join", "EvalPython", "MapInPandas"):
+        assert bad not in plan, f"{bad} in tag_substitution plan"
+
+
+def test_abort_reports_single_keyed_aggregate(spark):
+    """A9: the visit-consistency report is ONE map-side-combined
+    aggregate on the group key — the same single shuffle the abort
+    probe pays; no join, no window."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_visit_consistency(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+    for bad in ("Join", "Window", "EvalPython"):
+        assert bad not in plan, f"{bad} in visit_consistency plan"

@@ -113,3 +113,40 @@ def test_recorded_driver_rows_were_green():
         f"{parked_red} were RED in their most recent driver check but sit "
         "in the tail — keep failing queries in the window until green"
     )
+
+
+def test_rotation_capacity_not_exceeded():
+    """Forward guards on the rotation math.
+
+    (1) Hard ceiling: with a 50-row window and the two-round hygiene
+    rule, a period-3 rotation covers at most 3×WINDOW queries.  The
+    144th gate query left only 6 slots of lifetime headroom — a new
+    gate query beyond 150 makes the hygiene rule UNSATISFIABLE for
+    somebody, forever.
+
+    (2) Next-round obligation: assuming the current window all lands
+    green, next round must re-window every query whose only recent
+    driver row is in the OLDER of the last-two files.  If that count
+    exceeds WINDOW, the crunch is already unavoidable — fail now, at
+    authoring time, not next round."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert len(names) <= 3 * WINDOW, (
+        f"{len(names)} gate queries > {3 * WINDOW} — the 50-row window "
+        "with two-round hygiene cannot rotate this many; retire or "
+        "merge queries before adding more"
+    )
+
+    files = _last_correctness_files(2)
+    if len(files) < 2:
+        return
+    with open(files[-1]) as f:  # newest file (will be 2nd-newest next round)
+        newest = set(json.load(f))
+    window = set(names[:WINDOW])
+    next_obligation = [q for q in names if q not in newest and q not in window]
+    assert len(next_obligation) <= WINDOW, (
+        f"{len(next_obligation)} queries will need next round's "
+        f"{WINDOW}-row window (only rows in the aging-out file): "
+        f"{next_obligation[:10]}… — restructure THIS round's window"
+    )
