@@ -1,0 +1,130 @@
+"""Deterministic HLL sketch (operators/cardinality.py): Spark/Python
+hash-split agreement, register-exact stream-vs-batch reconciliation,
+merge order-independence, and estimate accuracy vs exact distinct."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spark_and_python_hash_split_agree(spark):
+    """The (bucket, rank) split must be identical in both engines —
+    the whole reconciliation contract rests on it."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.cardinality import (
+        _bucket_rank,
+        _hash60,
+        hll_registers,
+    )
+
+    ids = [str(i) for i in range(500)] + ["", "abc", "user-42"]
+    df = spark.createDataFrame([(v, "k") for v in ids], "user_id string, event_type string")
+    got = {
+        (r.bucket, r.rank)
+        for r in hll_registers(df, "event_type", "user_id", b=9).collect()
+    }
+    expected = {}
+    for v in ids:
+        bucket, rank = _bucket_rank(_hash60(v), 9)
+        expected[bucket] = max(expected.get(bucket, 0), rank)
+    assert got == set(expected.items())
+
+
+def test_hll_estimate_within_rsd_of_exact(spark):
+    """b=9 → rsd ≈ 4.6%; assert within 4 sigma on the events table."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.operators.cardinality import hll_cardinality
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {r.key: r.est_distinct for r in hll_cardinality(ev).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(4 * 0.046 * n, 3.0), (
+            f"{k}: est {est[k]} vs exact {n}"
+        )
+
+
+def test_registers_merge_is_order_independent(spark):
+    """Register state from A∪B equals max-merge of A's and B's
+    registers — the mergeability that makes the sketch streamable."""
+    from tmdataloader_spark.operators.cardinality import hll_registers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.filter("event_id % 2 = 0")
+    b_ = ev.filter("event_id % 2 = 1")
+
+    def regmap(df):
+        return {
+            (r.key, r.bucket): r.rank for r in hll_registers(df).collect()
+        }
+
+    whole = regmap(ev)
+    ra, rb = regmap(a), regmap(b_)
+    merged = dict(ra)
+    for k, v in rb.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+
+
+def test_stream_registers_reconcile_with_batch(spark, tmp_path):
+    """The streaming monitor's final estimate must equal the batch
+    hll_estimate over the union of all micro-batches (registers are
+    max-merged, so batching cannot change them), and the running
+    filled_buckets must be non-decreasing per key."""
+    from tmdataloader_spark.operators.cardinality import (
+        cardinality_monitor_stream,
+        hll_cardinality,
+    )
+
+    schema = "event_id long, user_id string, event_type string"
+    batch1 = [(i, f"u{i % 37}", "click") for i in range(100)]
+    batch2 = [(i + 100, f"u{i % 61}", "click") for i in range(100)] + [
+        (999, "solo", "view")
+    ]
+    src = str(tmp_path / "card_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        cardinality_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("card_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from card_test").collect()
+    finally:
+        q.stop()
+
+    # last emitted estimate per key == batch estimate over everything
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    batch_est = {r.key: r.est_distinct for r in hll_cardinality(all_events).collect()}
+    last = {}
+    fills = {}
+    for r in rows:  # memory sink preserves batch order
+        last[r.key] = r.est_distinct
+        fills.setdefault(r.key, []).append(r.filled_buckets)
+    assert set(last) == set(batch_est)
+    for k in last:
+        # registers identical => same exact-integer Z => same division;
+        # ln path only differs by libm-vs-JVM last-ulp
+        assert last[k] == pytest.approx(batch_est[k], rel=1e-12)
+        assert fills[k] == sorted(fills[k])
