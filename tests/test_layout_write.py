@@ -160,3 +160,47 @@ def test_compact_parquet_restores_file_count_and_rows(spark, tmp_path):
     assert sum(m["rows"] for m in man) == li.count()
     ranges = sorted(m["columns"]["l_orderkey"] for m in man)
     assert ranges[0][1] <= ranges[1][0], "range-sorted files overlap fully"
+
+
+def test_epoch_shuffle_is_deterministic_and_seed_sensitive(spark):
+    """Same seed → identical order and shard assignment on any input
+    partitioning (the resumability contract); different seed → a
+    genuinely different permutation."""
+    from tmdataloader_spark.llmdata.layout import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+
+    def order(df, seed, parts):
+        out = epoch_shuffle(df.repartition(parts), seed=seed, n_shards=4)
+        return [(r.shard, r.shuffle_key, r.doc_id) for r in out.collect()]
+
+    a = sorted(order(docs, 7, 2))
+    b = sorted(order(docs, 7, 13))
+    assert a == b, "epoch order depends on input partitioning"
+    c = sorted(order(docs, 8, 2))
+    assert [x[2] for x in a] != [x[2] for x in c] or len(a) < 2
+    # hash-shard balance: multinomial concentration, generous bound
+    import collections
+
+    by_shard = collections.Counter(s for s, _, _ in a)
+    n, k = len(a), 4
+    assert set(by_shard) == set(range(k))
+    assert max(by_shard.values()) < 2 * n / k
+
+
+def test_epoch_shuffle_plan_one_hash_shuffle_no_python(spark):
+    """One codegen projection + one hash repartition + in-partition
+    sort — no range sampling, no global sort, no Python boundary."""
+    from tmdataloader_spark.llmdata.layout import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = epoch_shuffle(docs, n_shards=8)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    for bad in ("EvalPython", "MapInPandas", "Join"):
+        assert bad not in plan

@@ -193,3 +193,50 @@ def table_manifest(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between
+    curation/mixing and shard writing that decorrelates document
+    order from ingest order (crawl order is heavily clustered by
+    host/time, and a model trained in ingest order sees highly
+    non-IID batches).
+
+    Every row gets ``shuffle_key = md5("ep:<seed>:" || id)``; the
+    reproducible epoch order IS the ascending key order, and
+    changing ``seed`` re-derives an independent permutation —
+    ``rand()`` is banned here like everywhere else in the engine
+    (resuming a failed epoch must land the same order).
+
+    With ``n_shards``, rows also get ``shard = first 60 hash bits
+    mod n_shards`` — hash sharding, NOT range sharding, so the
+    assignment is exact and partitioning-independent (Spark's
+    ``repartitionByRange`` SAMPLES the key space; two runs over
+    different input layouts may split ranges differently, which
+    breaks resumability). Shard sizes concentrate tightly
+    (multinomial, CV ≈ 1/sqrt(rows/shards)).
+
+    100 TB shape: one codegen projection + exactly one hash
+    shuffle (``repartition(n_shards, shard)``) with an in-partition
+    sort — no global sort, no sampling pass, no Python.  Writers
+    emit ``partitionBy(shard)``-style files a dataloader can stream
+    in key order per shard.
+    """
+    key = F.md5(F.concat(F.lit(f"ep:{seed}:"), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key)
+    if n_shards is None:
+        return out.sortWithinPartitions("shuffle_key")
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("long")
+    return (
+        out.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
