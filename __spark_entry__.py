@@ -4923,12 +4923,23 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
               SELECT doc_id, count(*) AS nb, sum(q) AS sq
               FROM sc GROUP BY doc_id
+            ), am AS (
+              -- HALF_UP(sq/nb) in exact integers: sq/nb can land
+              -- EXACTLY on a .5 micro-unit boundary where double
+              -- rounding is engine-dependent (r7, sf0.1)
+              SELECT doc_id, nb,
+                     CASE WHEN sq >= 0
+                          THEN (2 * sq + nb) // (2 * nb)
+                          ELSE -(((-2 * sq) + nb) // (2 * nb))
+                     END AS avg_micro
+              FROM agg
             )
             SELECT d.doc_id,
-                   CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
-                   round((agg.sq / 1000000.0) / agg.nb, 6) AS avg_logprob,
-                   round(exp(-((agg.sq / 1000000.0) / agg.nb)), 6) AS perplexity
-            FROM documents d LEFT JOIN agg USING (doc_id)
+                   CAST(coalesce(am.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(am.avg_micro AS DOUBLE) / 1000000.0 AS avg_logprob,
+                   round(exp(-(CAST(am.avg_micro AS DOUBLE) / 1000000.0)), 6)
+                     AS perplexity
+            FROM documents d LEFT JOIN am USING (doc_id)
         """,
         # Split keyed on the near-dup cluster id: the dedup_clusters
         # closure feeds the same md5-bucket CASE the hash_split oracle

@@ -128,3 +128,104 @@ def test_stream_registers_reconcile_with_batch(spark, tmp_path):
         # ln path only differs by libm-vs-JVM last-ulp
         assert last[k] == pytest.approx(batch_est[k], rel=1e-12)
         assert fills[k] == sorted(fills[k])
+
+
+# ---- quantile monitor (fixed-histogram family sibling) ----
+
+
+def test_fixed_histogram_matches_python_binning(spark):
+    """Bin assignment is the same IEEE op sequence both engines run."""
+    import math
+
+    from tmdataloader_spark.statistic.profile import fixed_histogram
+
+    lo, hi, nbins = 0.0, 100.0, 16
+    width = (hi - lo) / nbins
+    vals = [-5.0, 0.0, 6.25, 6.2499999, 50.0, 99.999999, 100.0, 250.0, 12.5]
+    df = spark.createDataFrame([(v, "k") for v in vals], "value double, event_type string")
+    got = {
+        (r.bin): r.n
+        for r in fixed_histogram(df, "value", lo, hi, nbins, "event_type").collect()
+    }
+    expected = {}
+    for v in vals:
+        if v < lo:
+            b = -1
+        elif v >= hi:
+            b = nbins
+        else:
+            b = min(nbins - 1, int(math.floor((v - lo) / width)))
+        expected[b] = expected.get(b, 0) + 1
+    assert got == expected
+
+
+def test_quantiles_from_counts_basics():
+    from tmdataloader_spark.statistic.profile import quantiles_from_counts
+
+    # 100 uniform values in [0,100) over 10 bins -> p50 = 50, p90 = 90
+    counts = [10] * 10
+    p50, p90 = quantiles_from_counts(counts, 0, 0, 0.0, 100.0, [0.5, 0.9])
+    assert p50 == 50.0 and p90 == 90.0
+    # all mass below lo pins to lo; empty histogram -> None
+    assert quantiles_from_counts([0, 0], 5, 0, 0.0, 1.0, [0.5]) == [0.0]
+    assert quantiles_from_counts([0, 0], 0, 0, 0.0, 1.0, [0.5]) == [None]
+    # all mass above hi pins to hi
+    assert quantiles_from_counts([0, 0], 0, 7, 0.0, 1.0, [0.5]) == [1.0]
+
+
+def test_quantile_stream_reconciles_with_fixed_histogram(spark, tmp_path):
+    """Final stream state counts == batch fixed_histogram over the
+    union of micro-batches, and the emitted quantiles equal the
+    shared estimator applied to the batch counts."""
+    from tmdataloader_spark.statistic.profile import (
+        fixed_histogram,
+        quantiles_from_counts,
+    )
+    from tmdataloader_spark.streaming import quantile_monitor_stream
+
+    schema = "event_id long, event_type string, value double"
+    lo, hi, nbins = 0.0, 100.0, 20
+    batch1 = [(i, "lat", float((7 * i) % 100)) for i in range(80)] + [
+        (900, "lat", -3.0)
+    ]
+    batch2 = [(i + 100, "lat", float((11 * i) % 130)) for i in range(60)]
+    src = str(tmp_path / "quant_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        quantile_monitor_stream(stream, lo=lo, hi=hi, nbins=nbins)
+        .writeStream.format("memory")
+        .queryName("quant_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from quant_test").collect()
+    finally:
+        q.stop()
+
+    assert len(rows) == 2  # one emission per micro-batch
+    last = rows[-1]
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    hist = {
+        r.bin: r.n
+        for r in fixed_histogram(
+            all_events, "value", lo, hi, nbins, "event_type"
+        ).collect()
+    }
+    below = hist.pop(-1, 0)
+    above = hist.pop(nbins, 0)
+    counts = [hist.get(i, 0) for i in range(nbins)]
+    assert last.n_total == below + above + sum(counts) == len(batch1) + len(batch2)
+    assert last.below == below and last.above == above
+    p50, p90, p99 = quantiles_from_counts(
+        counts, below, above, lo, hi, [0.5, 0.9, 0.99]
+    )
+    assert (last.p50, last.p90, last.p99) == (p50, p90, p99)
+    # running totals are cumulative: first emission covers batch1 only
+    assert rows[0].n_total == len(batch1)

@@ -168,10 +168,20 @@ def score_with_lm(
     batch-fit/stream-apply operators that need windows.
 
     Output ``(id, n_bigrams, avg_logprob, perplexity)``:
-    ``avg_logprob = (Σ logp_q / 1e6) / n`` (exact integer sum, fixed
-    scalar ops), ``perplexity = exp(−avg_logprob)``, both rounded to
-    6 decimals; single-token documents keep their row with
-    ``n_bigrams = 0`` and NULL scores."""
+    ``avg_logprob`` is the exact-integer HALF_UP rounding of
+    ``Σ logp_q / n`` to micro-units, divided by 1e6 — NOT
+    ``round(double, 6)``: the true rational Σq/n lands EXACTLY on a
+    .5 micro-unit boundary whenever 2·Σq ≡ n (mod 2n) (caught live
+    at sf0.1: one doc with n=96 hit −327752592/96 = −3414089.5
+    micro-units and Spark/DuckDB double-rounding split), and an
+    exact half has no engine-portable double rounding.  The integer
+    form ``±((2·|Σq| + n) div 2n)`` is the same value on any engine.
+    ``perplexity = round(exp(−avg_logprob), 6)`` — exp of the
+    already-deterministic 6dp average, so the only residual
+    divergence is a last-ulp libm-vs-JVM exp landing within 1e-15 of
+    a rounding boundary (documented, ~1e-9/doc).  Single-token
+    documents keep their row with ``n_bigrams = 0`` and NULL
+    scores."""
     pairs = _mapped_pairs(docs, vocab, text_col, id_col)
     scored = (
         pairs.join(observed.withColumnRenamed("logp_q", "_obs_q"), ["w1", "w2"], "left")
@@ -181,14 +191,21 @@ def score_with_lm(
     per_doc = scored.groupBy("_id").agg(
         F.count("*").alias("n_bigrams"), F.sum("_q").alias("_sum_q")
     )
-    avg = (F.col("_sum_q") / F.lit(_Q)) / F.col("n_bigrams")
+    # HALF_UP(Σq / n) in pure int64 — `div` truncates toward zero,
+    # which equals floor on the non-negative operands both branches
+    # feed it (DuckDB's `//` floors; they agree on non-negatives)
+    avg_micro = F.when(
+        F.col("_sum_q") >= 0,
+        F.expr("(2 * _sum_q + n_bigrams) div (2 * n_bigrams)"),
+    ).otherwise(-F.expr("(-2 * _sum_q + n_bigrams) div (2 * n_bigrams)"))
+    avg = avg_micro.cast("double") / F.lit(1e6)
     return (
         docs.select(F.col(id_col).alias("_id"))
         .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(avg, 6).alias("avg_logprob"),
+            avg.alias("avg_logprob"),
             F.round(F.exp(-avg), 6).alias("perplexity"),
         )
     )

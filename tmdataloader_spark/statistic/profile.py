@@ -414,3 +414,86 @@ def diversity_profile_oracle_sql(table: str, cols: list[str]) -> str:
                           * CAST(sum(n) AS DOUBLE)), 6) AS simpson
         FROM counts GROUP BY col_name
     """
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Fixed-edge equi-width histogram: ``(key, bin, n)`` plus
+    sentinel bins −1 (value < lo) and ``nbins`` (value ≥ hi).
+
+    The companion of ``histogram`` for MONITORING: data-derived
+    edges (histogram's min/max pass) depend on the whole dataset, so
+    two prefixes of a stream bin differently — fixed caller-chosen
+    edges make counts exactly mergeable across batches, which is
+    what lets ``streaming.quantile_monitor_stream`` reconcile with
+    this batch twin COUNT-FOR-COUNT on replay.
+
+    Bin math is the same double arithmetic on both engines:
+    ``min(nbins-1, floor((v-lo)/width))`` with
+    ``width = (hi-lo)/nbins`` computed once driver-side, so Python
+    and Spark run the identical IEEE op sequence (the clamp absorbs
+    the one-ulp case where (v-lo)/width rounds up to nbins).
+
+    One map-side-combined aggregate; ≤ |keys|·(nbins+2) rows out."""
+    width = (float(hi) - float(lo)) / float(nbins)
+    gname = key_col or "_all"
+    base = df if key_col else df.withColumn("_all", F.lit("all"))
+    v = F.col(value_col).cast("double")
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(nbins))
+        .otherwise(
+            F.least(
+                F.lit(nbins - 1),
+                F.floor((v - F.lit(float(lo))) / F.lit(width)),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        base.select(F.col(gname).alias("key"), bin_.alias("bin"))
+        .groupBy("key", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def quantiles_from_counts(
+    counts: list[int],
+    below: int,
+    above: int,
+    lo: float,
+    hi: float,
+    ps: list[float],
+) -> list[float | None]:
+    """Quantile estimates from fixed-histogram counts via linear
+    interpolation inside the containing bin — shared verbatim by the
+    streaming monitor so stream and batch emit identical numbers
+    from identical counts.  Out-of-range mass pins to the edge
+    (``lo``/``hi``); an empty histogram yields Nones."""
+    nbins = len(counts)
+    width = (float(hi) - float(lo)) / float(nbins)
+    total = below + above + sum(counts)
+    out: list[float | None] = []
+    for p in ps:
+        if total == 0:
+            out.append(None)
+            continue
+        target = p * total
+        if target <= below:
+            out.append(float(lo))
+            continue
+        cum = float(below)
+        q: float | None = None
+        for i, c in enumerate(counts):
+            if c and cum + c >= target:
+                q = lo + width * (i + (target - cum) / c)
+                break
+            cum += c
+        out.append(float(hi) if q is None else q)
+    return out

@@ -698,3 +698,93 @@ def drift_monitor_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+_QUANTILE_OUTPUT_SCHEMA = (
+    "key string, batch_rows long, n_total long, "
+    "p50 double, p90 double, p99 double, below long, above long"
+)
+
+
+def quantile_monitor_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    nbins: int = 64,
+) -> DataFrame:
+    """Streaming per-key quantile monitor over FIXED histogram bins —
+    the distribution member of the bounded-state monitor family
+    (drift = mean shift, Misra-Gries = heavy hitters, HLL =
+    cardinality, this = p50/p90/p99): ``nbins`` counters plus
+    below/above overflow counts as ``applyInPandasWithState`` state
+    (nbins+2 longs per key, constant forever), one output row per
+    key per micro-batch with running quantile estimates.
+
+    Reconciliation contract: after any prefix of the stream, the
+    state counts equal ``statistic.profile.fixed_histogram`` over
+    the same landed rows COUNT-FOR-COUNT (fixed edges make counts
+    exactly mergeable — data-derived edges would re-bin on every
+    batch), the bin arithmetic is the identical IEEE op sequence on
+    both engines, and the emitted quantiles come from the SHARED
+    ``quantiles_from_counts`` estimator.  The tradeoff vs a KLL/GK
+    sketch is deliberate: those compact adaptively and are
+    merge-order-DEPENDENT, so batch replay could not reproduce the
+    stream's state bit-for-bit — fixed bins give up adaptive
+    resolution for an exact lambda-reconciliation story (resolution
+    = (hi-lo)/nbins, overflow mass is visible in below/above)."""
+    from tmdataloader_spark.statistic.profile import quantiles_from_counts
+
+    m = int(nbins)
+    width = (float(hi) - float(lo)) / float(m)
+
+    def fn(key, pdfs: Iterable, state) -> Iterator:
+        import math as _math
+
+        import pandas as pd
+
+        (key_val,) = key
+        counts, below, above = (
+            state.get if state.exists else ([0] * m, 0, 0)
+        )
+        counts = list(counts)
+        n_rows = 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for v in pdf[value_col].astype(float):
+                if v < lo:
+                    below += 1
+                elif v >= hi:
+                    above += 1
+                else:
+                    # same IEEE ops as fixed_histogram's codegen
+                    counts[min(m - 1, int(_math.floor((v - lo) / width)))] += 1
+        if n_rows == 0:
+            return
+        state.update((counts, below, above))
+        p50, p90, p99 = quantiles_from_counts(
+            counts, below, above, lo, hi, [0.5, 0.9, 0.99]
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key_val,
+                    "batch_rows": n_rows,
+                    "n_total": below + above + sum(counts),
+                    "p50": p50,
+                    "p90": p90,
+                    "p99": p99,
+                    "below": below,
+                    "above": above,
+                }
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_QUANTILE_OUTPUT_SCHEMA,
+        stateStructType="counts array<long>, below long, above long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
