@@ -545,22 +545,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token/char counts, mean token length,
-    stopword ratio — all JVM-side expressions."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " +")
-    stop = F.lit(["the", "a", "and", "of", "to", "in", "is"])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_computed"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
-            / F.size(toks),
-            6,
-        ).alias("mean_token_len"),
-        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
-    )
+    stopword ratio — all JVM-side expressions, ratios in the
+    integer-exact HALF_UP form (llmdata/text.py quality_metrics,
+    functions/ratio.py)."""
+    from tmdataloader_spark.llmdata.text import quality_metrics
+
+    return quality_metrics(_t(spark, sf_dir, "documents"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,6 +2871,7 @@ def _curate_oracle() -> str:
 
 
 def _curation_report_oracle() -> str:
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
     from tmdataloader_spark.llmdata.curate import REASONS
 
     reason_cols = ",\n".join(
@@ -2888,11 +2879,12 @@ def _curation_report_oracle() -> str:
         f"'{r}') THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}"
         for r in REASONS
     )
+    keep_rate = round6_ratio_sql("sum(v.kept)", "count(*)")
     return f"""
         SELECT d.source,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(v.kept) AS BIGINT) AS n_kept,
-               round(CAST(sum(v.kept) AS DOUBLE) / count(*), 6) AS keep_rate,
+               {keep_rate} AS keep_rate,
                {reason_cols}
         FROM ({_curate_oracle()}) v
         JOIN documents d ON d.doc_id = v.doc_id
@@ -3065,6 +3057,7 @@ def _trend_fit_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql as _r6
     from tmdataloader_spark.operators.graph import (
         common_neighbors_oracle_sql,
         pagerank_oracle_sql,
@@ -3691,9 +3684,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY event_type
             ),
             t AS (SELECT count(*) AS total FROM events)
-            SELECT value, n, round(n / (total * 1.0), 6) AS share
+            SELECT value, n, {r6} AS share
             FROM c, t WHERE n >= total * 0.05
-        """,
+        """.format(r6=_r6("CAST(n AS DECIMAL(38,0))", "total")),
         "histogram": """
             WITH rng AS (
               SELECT event_type, min(value) AS lo, max(value) AS hi
@@ -3840,15 +3833,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      string_split_regex(trim(text), ' +') AS toks
               FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     length(text) AS n_chars_computed,
+                     CAST(list_sum(list_transform(toks, x -> length(x)))
+                          AS BIGINT) AS _len_sum,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], lower(x))))
+                          AS BIGINT) AS _n_stop
+              FROM t
             )
-            SELECT doc_id,
-                   len(toks) AS n_tokens,
-                   length(text) AS n_chars_computed,
-                   round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
-                   round(CAST(len(list_filter(toks, x -> list_contains(
-                     ['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
-            FROM t
-        """,
+            SELECT doc_id, n_tokens, n_chars_computed,
+                   {mean} AS mean_token_len,
+                   {stop} AS stopword_ratio
+            FROM s
+        """.format(
+            mean=_r6("_len_sum", "n_tokens"), stop=_r6("_n_stop", "n_tokens")
+        ),
         "token_count": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
@@ -4058,9 +4060,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT 3, 'purchase', count(*) FROM s3
             ), base AS (SELECT count(*) AS b FROM s1)
             SELECT CAST(step AS INT) AS step, step_name, n_users,
-                   round(CAST(n_users AS DOUBLE) / b, 6) AS conversion
+                   {r6} AS conversion
             FROM counts, base
-        """,
+        """.format(r6=_r6("n_users", "b")),
         "retention": """
             WITH first AS (
               SELECT user_id, date_trunc('week', min(ts)) AS c
@@ -4180,11 +4182,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM gc GROUP BY 1
             )
             SELECT ws.doc_id,
-                   round(CAST(maxw AS DOUBLE) / nw, 6) AS top_word_frac,
-                   round(coalesce(CAST(maxg AS DOUBLE) / ng, 0), 6) AS top_bigram_frac,
-                   round(1.0 - CAST(dn AS DOUBLE) / nw, 6) AS dup_word_frac
+                   {topw} AS top_word_frac,
+                   coalesce({topg}, 0.0) AS top_bigram_frac,
+                   {dupw} AS dup_word_frac
             FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
-        """,
+        """.format(
+            topw=_r6("maxw", "nw"),
+            topg=_r6("maxg", "ng"),
+            dupw=_r6("nw - dn", "nw"),
+        ),
         "pii_redaction": r"""
             WITH dirty AS (
               SELECT doc_id,
@@ -4834,10 +4840,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT count(*) AS total FROM lineitem
             )
             SELECT l_orderkey, n_rows,
-                   round(CAST(n_rows AS DOUBLE) / t.total, 6) AS share
+                   {r6} AS share
             FROM c CROSS JOIN t
             ORDER BY n_rows DESC, l_orderkey LIMIT 5
-        """,
+        """.format(r6=_r6("CAST(n_rows AS DECIMAL(38,0))", "t.total")),
         # Salted-join losslessness: the oracle is the PLAIN join — the
         # salting rewrite must not change the result multiset.
         "salted_join": """

@@ -24,9 +24,12 @@ which the two agree.
 
 Preconditions (asserted by the call sites' semantics, not checked
 here): ``den > 0``; ``|num| ≤ ~4.6e12`` so ``2·|num|·10⁶`` fits
-int64 — fine for the per-group counts these ratios are built from
-(a count beyond 4.6e12 in ONE group would need ≥ 4.6e12 rows in it).
-NULL num/den propagates to NULL, matching plain division.
+int64 — fine for the per-group counts these ratios are built from.
+For numerators that can exceed that at 100 TB (micro-unit SUMS),
+embed a decimal cast in ``num_sql`` ("CAST(x AS DECIMAL(38,0))"):
+Spark's ``div`` and DuckDB's ``//`` both take decimal/HUGEINT
+dividends, and the QUOTIENT — a 6dp micro value — always fits
+int64.  NULL num/den propagates to NULL, matching plain division.
 """
 
 from __future__ import annotations
@@ -34,12 +37,21 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def _micro_case(num_sql: str, den_sql: str, intdiv: str) -> str:
+def _micro_case(num_sql: str, den_sql: str, intdiv: str, cast: str = "") -> str:
+    # `cast` wraps the dividend/divisor right before the integral
+    # division: DuckDB's `//` floors only INTEGER operands (on
+    # DECIMALs it performs fractional division), so the DuckDB twin
+    # forces HUGEINT there; Spark's `div` is integral on decimals
+    # already and needs no wrap.
     n, d = f"({num_sql})", f"({den_sql})"
+
+    def w(e: str) -> str:
+        return f"CAST({e} AS {cast})" if cast else f"({e})"
+
     return (
         f"(CASE WHEN {n} >= 0 "
-        f"THEN (2 * {n} * 1000000 + {d}) {intdiv} (2 * {d}) "
-        f"ELSE -((2 * (-{n}) * 1000000 + {d}) {intdiv} (2 * {d})) END)"
+        f"THEN {w(f'2 * {n} * 1000000 + {d}')} {intdiv} {w(f'2 * {d}')} "
+        f"ELSE -({w(f'2 * (-{n}) * 1000000 + {d}')} {intdiv} {w(f'2 * {d}')}) END)"
     )
 
 
@@ -53,4 +65,7 @@ def round6_ratio(num_sql: str, den_sql: str) -> Column:
 
 def round6_ratio_sql(num_sql: str, den_sql: str) -> str:
     """DuckDB twin of :func:`round6_ratio` — splice into oracle SQL."""
-    return f"(CAST({_micro_case(num_sql, den_sql, '//')} AS DOUBLE) / 1000000.0)"
+    return (
+        f"(CAST({_micro_case(num_sql, den_sql, '//', cast='HUGEINT')} AS DOUBLE)"
+        f" / 1000000.0)"
+    )

@@ -172,13 +172,22 @@ def curation_report(
     tagged = verdicts.join(
         df.select(F.col(id_col), F.col(group_col).alias("_grp")), id_col
     )
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     rs = F.split(F.col("reasons"), ",")
     aggs = [
         F.count("*").cast("long").alias("n_docs"),
         F.sum("kept").cast("long").alias("n_kept"),
-        F.round(F.sum("kept").cast("double") / F.count("*"), 6).alias("keep_rate"),
     ] + [
         F.sum(F.array_contains(rs, r).cast("long")).cast("long").alias(f"n_{r}")
         for r in REASONS
     ]
-    return tagged.groupBy(F.col("_grp").alias(group_col)).agg(*aggs)
+    grouped = tagged.groupBy(F.col("_grp").alias(group_col)).agg(*aggs)
+    # keep_rate as an integer-exact HALF_UP ratio (functions/ratio.py)
+    return grouped.select(
+        group_col,
+        "n_docs",
+        "n_kept",
+        round6_ratio("n_kept", "n_docs").alias("keep_rate"),
+        *[f"n_{r}" for r in REASONS],
+    )

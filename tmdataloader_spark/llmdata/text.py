@@ -21,22 +21,29 @@ def tokens(text: Column | str) -> Column:
 
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality signals: token/char counts, mean token
-    length, stopword ratio."""
+    length, stopword ratio.  Both ratios are exact-integer HALF_UP
+    (functions/ratio.py) — count ratios land on exact .5 micro-unit
+    rationals where engines' double rounding splits (r7 class)."""
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     toks = F.split(F.trim(F.col(text_col)), " +")
     stop = F.lit(EN_STOPWORDS[:7])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
-    return df.select(
+    staged = df.select(
         id_col,
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars_computed"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
-                "double"
-            )
-            / F.size(toks),
-            6,
-        ).alias("mean_token_len"),
-        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "_len_sum"
+        ),
+        n_stop.cast("long").alias("_n_stop"),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "n_chars_computed",
+        round6_ratio("_len_sum", "n_tokens").alias("mean_token_len"),
+        round6_ratio("_n_stop", "n_tokens").alias("stopword_ratio"),
     )
 
 
@@ -180,19 +187,20 @@ def repetition_signals(
     bigram_stats = bigrams.groupBy(id_col).agg(
         F.max("c").alias("_maxg"), F.sum("c").alias("_ng")
     )
+    # integer-exact HALF_UP ratios (functions/ratio.py);
+    # dup_word_frac rewritten as (nw - distinct)/nw so it stays a
+    # pure integer ratio instead of 1.0 - double
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     return (
         word_stats.join(bigram_stats, id_col, "left")
         .select(
             id_col,
-            F.round(F.col("_maxw").cast("double") / F.col("_nw"), 6).alias(
-                "top_word_frac"
+            round6_ratio("_maxw", "_nw").alias("top_word_frac"),
+            F.coalesce(round6_ratio("_maxg", "_ng"), F.lit(0.0)).alias(
+                "top_bigram_frac"
             ),
-            F.round(
-                F.coalesce(F.col("_maxg").cast("double") / F.col("_ng"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
-            F.round(
-                F.lit(1.0) - F.col("_distinct").cast("double") / F.col("_nw"), 6
-            ).alias("dup_word_frac"),
+            round6_ratio("_nw - _distinct", "_nw").alias("dup_word_frac"),
         )
     )
 

@@ -90,7 +90,8 @@ def basket_rules(
         .agg(F.count("*").alias("n_xy"))
         .filter(F.col("n_xy") >= min_count)
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     joined = (
         pc.join(
             ic.select(F.col(item_col).alias("part_x"), F.col("_cnt").alias("n_x")),
@@ -102,17 +103,22 @@ def basket_rules(
         )
         .join(F.broadcast(n))
     )
+    # integer-exact HALF_UP ratios (functions/ratio.py): every metric
+    # is a ratio of exact counts, so plain round(double, 6) splits
+    # between engines on exact .5 micro-unit rationals; lift's count
+    # products go through decimal(38,0) so they cannot overflow int64
     scored = joined.select(
         "part_x",
         "part_y",
         "n_xy",
         "n_x",
         "n_y",
-        F.round(d("n_xy") / F.col("_n"), 6).alias("support"),
-        F.round(d("n_xy") / F.col("n_x"), 6).alias("conf_x_y"),
-        F.round(d("n_xy") / F.col("n_y"), 6).alias("conf_y_x"),
-        F.round(
-            (d("n_xy") * F.col("_n")) / (d("n_x") * F.col("n_y")), 6
+        round6_ratio("n_xy", "_n").alias("support"),
+        round6_ratio("n_xy", "n_x").alias("conf_x_y"),
+        round6_ratio("n_xy", "n_y").alias("conf_y_x"),
+        round6_ratio(
+            "CAST(n_xy AS DECIMAL(38,0)) * _n",
+            "CAST(n_x AS DECIMAL(38,0)) * n_y",
         ).alias("lift"),
     )
     return scored.orderBy(
@@ -127,8 +133,17 @@ def basket_rules_oracle_sql(
     basket_col: str = "l_orderkey",
     item_col: str = "l_partkey",
 ) -> str:
-    """DuckDB twin of :func:`basket_rules` — identical cast and
-    parenthesization shape for every metric."""
+    """DuckDB twin of :func:`basket_rules` — identical integer
+    HALF_UP ratio form for every metric (functions/ratio.py)."""
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
+
+    support = round6_ratio_sql("n_xy", "_n")
+    conf_xy = round6_ratio_sql("n_xy", "n_x")
+    conf_yx = round6_ratio_sql("n_xy", "n_y")
+    lift = round6_ratio_sql(
+        "CAST(n_xy AS DECIMAL(38,0)) * _n",
+        "CAST(n_x AS DECIMAL(38,0)) * n_y",
+    )
     return f"""
         WITH items AS (
           SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {table}
@@ -152,11 +167,10 @@ def basket_rules_oracle_sql(
           WHERE n_xy >= {min_count}
         )
         SELECT part_x, part_y, n_xy, n_x, n_y,
-               round(CAST(n_xy AS DOUBLE) / _n, 6) AS support,
-               round(CAST(n_xy AS DOUBLE) / n_x, 6) AS conf_x_y,
-               round(CAST(n_xy AS DOUBLE) / n_y, 6) AS conf_y_x,
-               round((CAST(n_xy AS DOUBLE) * _n)
-                     / (CAST(n_x AS DOUBLE) * n_y), 6) AS lift
+               {support} AS support,
+               {conf_xy} AS conf_x_y,
+               {conf_yx} AS conf_y_x,
+               {lift} AS lift
         FROM j
         ORDER BY n_xy DESC, part_x, part_y
         LIMIT {k}

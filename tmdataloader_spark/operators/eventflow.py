@@ -95,13 +95,16 @@ def funnel(
         [(k + 1, name, n) for k, (name, n) in enumerate(zip(steps, counts))],
         "step int, step_name string, n_users long",
     )
-    # same division/rounding algebra as before (long/long -> double);
-    # base 0 -> NULL conversion, matching the SQL oracle
+    # integer-exact HALF_UP ratio (functions/ratio.py): plain
+    # round(long/long, 6) splits between engines on exact .5
+    # micro-unit rationals; base 0 -> NULL conversion via div-by-zero
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     return out.select(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.lit(counts[0]).cast("long"), 6).alias("conversion"),
+        round6_ratio("n_users", str(int(counts[0]))).alias("conversion"),
     )
 
 
@@ -325,22 +328,31 @@ def event_transitions(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_transitions"))
     )
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     total = Window.partitionBy("src")
-    return pairs.select(
+    staged = pairs.select(
         "src",
         "dst",
         "n_transitions",
-        F.round(
-            F.col("n_transitions")
-            / F.sum("n_transitions").over(total).cast("double"),
-            6,
-        ).alias("p"),
+        F.sum("n_transitions").over(total).alias("_src_total"),
+    )
+    # integer-exact HALF_UP ratio (functions/ratio.py) — count/count
+    # can land on exact .5 micro-units where engines' rounding splits
+    return staged.select(
+        "src",
+        "dst",
+        "n_transitions",
+        round6_ratio("n_transitions", "_src_total").alias("p"),
     )
 
 
 def event_transitions_oracle_sql(table: str = "events") -> str:
     """DuckDB twin of :func:`event_transitions` — identical ordering
-    contract and long/long single-division arithmetic."""
+    contract and the same integer HALF_UP ratio form."""
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
+
+    p_expr = round6_ratio_sql("n_transitions", "src_total")
     return f"""
         WITH o AS (
           SELECT event_type AS dst,
@@ -351,12 +363,14 @@ def event_transitions_oracle_sql(table: str = "events") -> str:
         p AS (
           SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
           FROM o WHERE src IS NOT NULL GROUP BY src, dst
+        ),
+        w AS (
+          SELECT src, dst, n_transitions,
+                 sum(n_transitions) OVER (PARTITION BY src) AS src_total
+          FROM p
         )
-        SELECT src, dst, n_transitions,
-               round(n_transitions
-                     / CAST(sum(n_transitions) OVER (PARTITION BY src)
-                            AS DOUBLE), 6) AS p
-        FROM p
+        SELECT src, dst, n_transitions, {p_expr} AS p
+        FROM w
     """
 
 
@@ -391,23 +405,33 @@ def interarrival_profile(
         )
         .filter(F.col("gap_us").isNotNull())
     )
-    return gaps.groupBy("event_type").agg(
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
+    g = gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_gap_s"),
-        F.round(
-            (F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
-             / F.count("*")) / F.lit(1e6), 6
-        ).alias("avg_gap_s"),
-        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+        F.min("gap_us").alias("_min_us"),
+        F.max("gap_us").alias("_max_us"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("_sum_us"),
+    )
+    return g.select(
+        "event_type",
+        "n_gaps",
+        # min/max are k/1e6 — always terminate within 6dp, no half-
+        # boundary exists; avg = sum/n CAN land on an exact half-µs
+        # (even n, odd 2·sum), so it takes the integer HALF_UP form
+        F.round(F.col("_min_us") / F.lit(1e6), 6).alias("min_gap_s"),
+        round6_ratio("_sum_us", "n_gaps * 1000000").alias("avg_gap_s"),
+        F.round(F.col("_max_us") / F.lit(1e6), 6).alias("max_gap_s"),
     )
 
 
 def interarrival_profile_oracle_sql(table: str = "events") -> str:
-    """DuckDB twin: same integer-micros gaps, same exact-sum/count
-    then single-division arithmetic (HUGEINT sum cast straight to
-    DOUBLE, matching Spark's exact decimal(38,0) sum cast to double —
-    neither side ever narrows through int64, so neither wraps nor
-    errors at extreme scale)."""
+    """DuckDB twin: same integer-micros gaps; the average replays the
+    identical integer HALF_UP form (HUGEINT sum — never narrows
+    through int64, so neither wraps nor errors at extreme scale)."""
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
+
+    avg = round6_ratio_sql("sum(gap_us)", "count(*) * 1000000")
     return f"""
         WITH g AS (
           SELECT event_type,
@@ -419,8 +443,7 @@ def interarrival_profile_oracle_sql(table: str = "events") -> str:
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_gaps,
                round(min(gap_us) / 1e6, 6) AS min_gap_s,
-               round((CAST(sum(gap_us) AS DOUBLE)
-                      / count(*)) / 1e6, 6) AS avg_gap_s,
+               {avg} AS avg_gap_s,
                round(max(gap_us) / 1e6, 6) AS max_gap_s
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type

@@ -35,6 +35,8 @@ def skew_report(
     One map-side-combined count per key + per-task k-heap selection
     (``orderBy().limit``); the total is a one-row aggregate crossed
     in (scalar-subquery shape). Share rounds to 6 decimals."""
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
     total = df.agg(F.count("*").alias("_total"))
     return (
@@ -44,7 +46,10 @@ def skew_report(
         .select(
             key,
             "n_rows",
-            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            # integer-exact HALF_UP (functions/ratio.py): count ratios
+            # can land on exact .5 micro-units where engines' double
+            # rounding splits; decimal cast keeps 2·n·1e6 overflow-safe
+            round6_ratio("CAST(n_rows AS DECIMAL(38,0))", "_total").alias("share"),
         )
     )
 

@@ -185,6 +185,8 @@ def heavy_hitters(
     itself is too big to shuffle — at that point no value can clear a
     meaningful threshold anyway, so the exact form IS the 100 TB
     shape for thresholds worth reporting."""
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     counts = df.groupBy(F.col(col).alias("value")).agg(
         F.count("*").alias("n")
     )
@@ -195,7 +197,8 @@ def heavy_hitters(
         .select(
             "value",
             "n",
-            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            # integer-exact HALF_UP ratio (functions/ratio.py)
+            round6_ratio("CAST(n AS DECIMAL(38,0))", "_total").alias("share"),
         )
     )
 
@@ -370,6 +373,8 @@ def diversity_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .groupBy("column", "v")
         .agg(F.count("*").alias("n"))
     )
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     return (
         counts.groupBy("column")
         .agg(
@@ -381,11 +386,13 @@ def diversity_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             "column",
             "n_values",
             "n_distinct",
-            F.round(
-                F.lit(1.0)
-                - F.col("_ss").cast("double")
-                / (F.col("n_values").cast("double") * F.col("n_values")),
-                6,
+            # 1 − SS/N² as the single integer ratio (N² − SS)/N² in
+            # the exact HALF_UP form (functions/ratio.py) — completes
+            # the by-construction exactness story above through the
+            # final rounding step
+            round6_ratio(
+                "CAST(n_values AS DECIMAL(38,0)) * n_values - _ss",
+                "CAST(n_values AS DECIMAL(38,0)) * n_values",
             ).alias("simpson"),
         )
     )
@@ -393,8 +400,11 @@ def diversity_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def diversity_profile_oracle_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin: identical unpivot-count-square algebra; the sum
-    of squares stays exact (HUGEINT) and only enters the final
-    division as DOUBLE, matching Spark's decimal→double cast."""
+    of squares stays exact (HUGEINT) all the way through the same
+    integer HALF_UP ratio form (functions/ratio.py)."""
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
+
+    simpson = round6_ratio_sql("nv * nv - ss", "nv * nv")
     selects = " UNION ALL ".join(
         f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM {table}"
         for c in cols
@@ -404,15 +414,16 @@ def diversity_profile_oracle_sql(table: str, cols: list[str]) -> str:
         counts AS (
           SELECT col_name, v, count(*) AS n FROM pairs
           WHERE v IS NOT NULL GROUP BY col_name, v
+        ),
+        agg AS (
+          SELECT col_name, sum(n) AS nv, count(*) AS nd, sum(n * n) AS ss
+          FROM counts GROUP BY col_name
         )
         SELECT col_name AS "column",
-               CAST(sum(n) AS BIGINT) AS n_values,
-               CAST(count(*) AS BIGINT) AS n_distinct,
-               round(CAST(1 AS DOUBLE)
-                     - CAST(sum(n * n) AS DOUBLE)
-                       / (CAST(sum(n) AS DOUBLE)
-                          * CAST(sum(n) AS DOUBLE)), 6) AS simpson
-        FROM counts GROUP BY col_name
+               CAST(nv AS BIGINT) AS n_values,
+               CAST(nd AS BIGINT) AS n_distinct,
+               {simpson} AS simpson
+        FROM agg
     """
 
 

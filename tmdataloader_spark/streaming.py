@@ -226,14 +226,21 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 def stream_quality_scores(docs: DataFrame) -> DataFrame:
     """Stateless per-document quality scoring on a document stream —
     identical expressions to the batch ``text_quality`` gate query
-    (stateless ⇒ no watermark needed)."""
+    (stateless ⇒ no watermark needed), including its exact-integer
+    HALF_UP ratio form (functions/ratio.py)."""
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     toks = F.split(F.trim(F.col("text")), " +")
     stop = F.lit(["the", "a", "and", "of", "to", "in", "is"])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        n_stop.cast("long").alias("_n_stop"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        round6_ratio("_n_stop", "n_tokens").alias("stopword_ratio"),
     )
 
 
