@@ -150,3 +150,20 @@ def test_rotation_capacity_not_exceeded():
         f"{WINDOW}-row window (only rows in the aging-out file): "
         f"{next_obligation[:10]}… — restructure THIS round's window"
     )
+
+
+def test_every_gate_query_has_a_bench_baseline():
+    """bench.py's regression guard compares only the COMMON query set
+    against bench_baseline.json — a gate query with no baseline entry
+    silently escapes the guard forever.  Adding a gate query requires
+    recording a solo bench number (memory'd protocol)."""
+    import __spark_entry__ as entry
+
+    with open(os.path.join(REPO, "bench_baseline.json")) as f:
+        baseline = set(json.load(f)["queries"])
+    missing = [q for q in entry.queries() if q not in baseline]
+    assert not missing, (
+        f"{missing} have no bench_baseline.json entry — record a solo "
+        "SPARK_GRAFT_BENCH_QUERIES=<q> run (never refresh existing "
+        "entries upward)"
+    )
