@@ -80,3 +80,47 @@ def test_plain_round_diverges_across_engines_on_the_live_case(spark):
         "SELECT round((CAST(-327752592 AS BIGINT) / 1000000.0) / 96, 6)"
     ).fetchone()
     assert srow.v != duck  # the split the integer form removes
+
+
+def test_round6_ratio_agrees_on_pseudo_random_batch(spark):
+    """500 seeded pseudo-random fractions (md5-derived, no RNG state)
+    including forced half-boundary constructions — one Spark job, one
+    DuckDB VALUES scan, exact三-way agreement with the Python twin."""
+    import hashlib
+
+    cases = []
+    for i in range(500):
+        h = hashlib.md5(f"ratio:{i}".encode()).digest()
+        # stay inside the documented int64-path bound |num| <= ~4.6e12
+        num = int.from_bytes(h[:6], "big") % 4_000_000_000_000
+        if h[5] % 2:
+            num = -num
+        den = int.from_bytes(h[6:10], "big") % 999_983 + 1
+        if i % 5 == 0:
+            # force an exact .5 micro-unit boundary: with
+            # den = 2e6·t and num = (2m+1)·t, num·1e6/den = m + 1/2
+            t = int.from_bytes(h[12:14], "big") % 50 + 1
+            m = int.from_bytes(h[10:12], "big")
+            den = 2_000_000 * t
+            num = (2 * m + 1) * t
+            if h[9] % 2:
+                num = -num
+        cases.append((num, den))
+    df = spark.createDataFrame(cases, "num long, den long")
+    from tmdataloader_spark.functions.ratio import round6_ratio, round6_ratio_sql
+
+    got = {
+        (r.num, r.den): r.v
+        for r in df.select("num", "den", round6_ratio("num", "den").alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c(num BIGINT, den BIGINT)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?)", cases)
+    expr = round6_ratio_sql("num", "den")
+    duck = {
+        (n, d): v for n, d, v in con.execute(f"SELECT num, den, {expr} FROM c").fetchall()
+    }
+    for num, den in cases:
+        assert got[(num, den)] == duck[(num, den)] == _py_half_up(num, den), (num, den)

@@ -38,20 +38,25 @@ from pyspark.sql import Column, functions as F
 
 
 def _micro_case(num_sql: str, den_sql: str, intdiv: str, cast: str = "") -> str:
-    # `cast` wraps the dividend/divisor right before the integral
-    # division: DuckDB's `//` floors only INTEGER operands (on
-    # DECIMALs it performs fractional division), so the DuckDB twin
-    # forces HUGEINT there; Spark's `div` is integral on decimals
-    # already and needs no wrap.
+    # `cast` (DuckDB twin only) promotes the NUMERATOR before the
+    # ×2·10⁶ blow-up and the operands of the integral division:
+    # DuckDB evaluates inner arithmetic in INT64 (erroring on
+    # overflow before any outer cast applies), and its `//` floors
+    # only INTEGER operands (on DECIMALs it performs fractional
+    # division) — HUGEINT fixes both, and oracle-side cost is
+    # irrelevant.  Spark's `div` is integral on longs AND decimals,
+    # so the Spark form stays as the caller wrote it: int64 by
+    # default (hot-path cheap), decimal via the documented
+    # CAST(x AS DECIMAL(38,0)) escape hatch in num_sql.
     n, d = f"({num_sql})", f"({den_sql})"
-
-    def w(e: str) -> str:
-        return f"CAST({e} AS {cast})" if cast else f"({e})"
-
+    if cast:
+        # BOTH operands promote, or a stray DECIMAL term re-infects
+        # the dividend and `//` goes fractional again
+        n, d = f"CAST({n} AS {cast})", f"CAST({d} AS {cast})"
     return (
         f"(CASE WHEN {n} >= 0 "
-        f"THEN {w(f'2 * {n} * 1000000 + {d}')} {intdiv} {w(f'2 * {d}')} "
-        f"ELSE -({w(f'2 * (-{n}) * 1000000 + {d}')} {intdiv} {w(f'2 * {d}')}) END)"
+        f"THEN (2 * {n} * 1000000 + {d}) {intdiv} (2 * {d}) "
+        f"ELSE -((2 * (-{n}) * 1000000 + {d}) {intdiv} (2 * {d})) END)"
     )
 
 
