@@ -229,3 +229,60 @@ def test_quantile_stream_reconciles_with_fixed_histogram(spark, tmp_path):
     assert (last.p50, last.p90, last.p99) == (p50, p90, p99)
     # running totals are cumulative: first emission covers batch1 only
     assert rows[0].n_total == len(batch1)
+
+
+def test_cardinality_monitor_state_survives_restart(spark, tmp_path):
+    """Stop the streaming query, start a NEW query from the SAME
+    checkpoint over newly-landed files: the registers must resume
+    (not reset), so the post-restart estimate equals the batch
+    estimate over ALL rows ever landed — the production contract
+    that makes the monitor family restartable."""
+    from tmdataloader_spark.operators.cardinality import (
+        cardinality_monitor_stream,
+        hll_cardinality,
+    )
+
+    schema = "event_id long, user_id string, event_type string"
+    gen1 = [(i, f"u{i % 29}", "click") for i in range(80)]
+    gen2 = [(i + 100, f"u{i % 53}", "click") for i in range(80)]
+    src = str(tmp_path / "card_restart_in")
+    out = str(tmp_path / "card_restart_out")
+    ckpt = str(tmp_path / "card_restart_ckpt")
+    spark.createDataFrame(gen1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_generation():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            cardinality_monitor_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = run_generation()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(gen2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_generation()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # registers only grow, so filled_buckets orders the emissions
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.filled_buckets)
+    # one emission per generation; the second must carry
+    # generation-1's registers forward and match the batch estimate
+    # over everything ever landed
+    assert [r.batch_rows for r in rows] == [len(gen1), len(gen2)]
+    all_events = spark.createDataFrame(gen1 + gen2, schema)
+    (expected,) = hll_cardinality(all_events).collect()
+    assert rows[-1].est_distinct == pytest.approx(expected.est_distinct, rel=1e-12)
+    (gen1_only,) = hll_cardinality(spark.createDataFrame(gen1, schema)).collect()
+    assert rows[0].est_distinct == pytest.approx(gen1_only.est_distinct, rel=1e-12)
