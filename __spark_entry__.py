@@ -2559,8 +2559,10 @@ closure AS (
 
 
 def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
     from tmdataloader_spark.llmdata.dedup import MINHASH_PRIME, minhash_params
 
+    jac = round6_ratio_sql("n_inter", "n_a + n_b - n_inter")
     rows = num_perms // bands
     # shingles arrive pre-hashed (the shingle column IS the 32-bit md5
     # base hash), affine perms with the same constants the Spark side
@@ -2607,9 +2609,9 @@ def _minhash_oracle(num_perms: int = 16, bands: int = 4, threshold: float = 0.8)
           GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b,
-               round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+               {jac} AS jaccard
         FROM inter
-        WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= {threshold}
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -2621,7 +2623,10 @@ def _incremental_oracle(
     same affine MinHash permutations and band keys, candidates only
     across the batch/history boundary, exact-Jaccard verification,
     per-batch-doc novelty verdict."""
+    from tmdataloader_spark.functions.ratio import round6_ratio_sql
     from tmdataloader_spark.llmdata.dedup import MINHASH_PRIME, minhash_params
+
+    jac_inc = round6_ratio_sql("n_inter", "n_b + n_h - n_inter")
 
     rows = num_perms // bands
     mh_cols = ",\n".join(
@@ -2667,7 +2672,7 @@ def _incremental_oracle(
           GROUP BY 1, 2, 3, 4
         ), dups AS (
           SELECT DISTINCT bid FROM inter
-          WHERE round(CAST(n_inter AS DOUBLE) / (n_b + n_h - n_inter), 6)
+          WHERE {jac_inc}
                 >= {threshold}
         )
         SELECT d.doc_id, (dups.bid IS NULL) AS novel
@@ -3115,15 +3120,17 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT (SELECT sum(n_current) FROM j) AS ct,
                          (SELECT sum(n_reference) FROM j) AS rt)
             SELECT stratum, n_current, n_reference,
-                   round(CAST(n_current AS DOUBLE) / ct, 6) AS share_current,
-                   round(CAST(n_reference AS DOUBLE) / rt, 6) AS share_reference,
+                   {shc} AS share_current,
+                   {shr} AS share_reference,
                    CASE WHEN n_current > 0 AND n_reference > 0 THEN
                      round((CAST(n_current AS DOUBLE) / ct)
                            * ln((CAST(n_current AS DOUBLE) / ct)
                                 / (CAST(n_reference AS DOUBLE) / rt)), 6)
                    END AS kl_term
             FROM j CROSS JOIN t
-        """,
+        """.format(
+            shc=_r6("n_current", "ct"), shr=_r6("n_reference", "rt")
+        ),
         "trending": """
             WITH counts AS (
               SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -3528,11 +3535,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (SELECT sum(pos) AS ap FROM per_s)
             SELECT s AS threshold, np AS n_pred, tp,
-                   round(tp / (np * 1.0), 6) AS precision,
-                   round(CASE WHEN ap > 0 THEN tp / (ap * 1.0) END, 6)
-                     AS recall
+                   {prec} AS precision,
+                   {rec} AS recall
             FROM c, t
-        """,
+        """.format(prec=_r6("tp", "np"), rec=_r6("tp", "ap")),
         "equi_depth": """
             WITH cuts AS (
               SELECT event_type,
@@ -3570,10 +3576,15 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value, max(value) AS max_value,
                    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                      AS sum_value,
-                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                         / count(*), 6) AS avg_value
+                   {avg} AS avg_value
             FROM events GROUP BY event_type
-        """,
+        """.format(
+            avg=_r6(
+                "CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000"
+                " AS DECIMAL(38,0))",
+                "count(*) * 1000000",
+            )
+        ),
         "negative_samples": """
             WITH nrow AS (SELECT count(*) AS n FROM documents),
             pos AS (
@@ -4130,10 +4141,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3, 4
             )
             SELECT doc_a, doc_b,
-                   round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+                   {jac} AS jaccard
             FROM inter
-            WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.8
-        """,
+            WHERE {jac} >= 0.8
+        """.format(jac=_r6("n_inter", "n_a + n_b - n_inter")),
         "minhash_lsh": _minhash_oracle(),
         "tfidf": """
             WITH t AS (

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from tmdataloader_spark.functions.ratio import round6_ratio as _round6_ratio
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content-hash groups with canonical (min-id) representative."""
@@ -270,11 +272,11 @@ def minhash_lsh_pairs(
         .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
+            # integer-exact HALF_UP ratio (functions/ratio.py): the
+            # count ratio lands on exact .5 micro-units (e.g. odd
+            # n_inter over a 640-shingle union) where engines' double
+            # rounding splits
+            _round6_ratio("n_inter", "n_a + n_b - n_inter"),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
@@ -393,11 +395,11 @@ def ngram_jaccard_pairs(
         .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
+            # integer-exact HALF_UP ratio (functions/ratio.py): the
+            # count ratio lands on exact .5 micro-units (e.g. odd
+            # n_inter over a 640-shingle union) where engines' double
+            # rounding splits
+            _round6_ratio("n_inter", "n_a + n_b - n_inter"),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

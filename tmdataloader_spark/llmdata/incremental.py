@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tmdataloader_spark.functions.ratio import round6_ratio as _round6_ratio
+
 from tmdataloader_spark.llmdata.dedup import (
     lsh_band_keys,
     shingle_sets,
@@ -205,11 +207,9 @@ def incremental_duplicates_stream(
         .withColumn("_inter", F.size(F.array_intersect("arr_b", "arr_h")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("n_b") + F.col("n_h") - F.col("_inter")),
-                6,
-            ),
+            # integer-exact HALF_UP ratio (functions/ratio.py), same
+            # form as the batch jaccard paths in dedup.py
+            _round6_ratio("_inter", "n_b + n_h - _inter"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(

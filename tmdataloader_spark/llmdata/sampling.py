@@ -529,12 +529,17 @@ def mixture_drift(
         (F.col("n_current") > 0) & (F.col("n_reference") > 0),
         F.round(p * F.log(p / q), 6),
     )
+    # shares are integer count ratios -> exact HALF_UP form
+    # (functions/ratio.py); kl_term keeps the verbatim-mirrored
+    # double p·ln(p/q) (transcendental — no exact form exists)
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     return joined.select(
         "stratum",
         "n_current",
         "n_reference",
-        F.round(p, 6).alias("share_current"),
-        F.round(q, 6).alias("share_reference"),
+        round6_ratio("n_current", "_ct").alias("share_current"),
+        round6_ratio("n_reference", "_rt").alias("share_reference"),
         kl.alias("kl_term"),
     )
 

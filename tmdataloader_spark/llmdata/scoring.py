@@ -24,6 +24,8 @@ from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from tmdataloader_spark.functions.ratio import round6_ratio as _round6_ratio
+
 
 def linear_score(
     df: DataFrame,
@@ -98,19 +100,10 @@ def pr_curve(
             F.col("s").alias("threshold"),
             (F.col("bn") + F.col("ln")).alias("n_pred"),
             (F.col("bp") + F.col("lp")).alias("tp"),
-            F.round(
-                (F.col("bp") + F.col("lp"))
-                / (F.col("bn") + F.col("ln")).cast("double"),
-                6,
-            ).alias("precision"),
-            F.round(
-                F.when(
-                    F.col("all_pos") > 0,
-                    (F.col("bp") + F.col("lp"))
-                    / F.col("all_pos").cast("double"),
-                ),
-                6,
-            ).alias("recall"),
+            # integer-exact HALF_UP ratios (functions/ratio.py);
+            # all_pos = 0 -> NULL via division-by-zero on both engines
+            _round6_ratio("bp + lp", "bn + ln").alias("precision"),
+            _round6_ratio("bp + lp", "all_pos").alias("recall"),
         )
     )
 

@@ -82,10 +82,17 @@ def rollup_report(state: DataFrame) -> DataFrame:
     """Read-time derivation: surface the state with the mean computed
     FROM the mergeable pieces (sum/n as double, 6dp) — the average is
     never stored, so it is always consistent with the state."""
+    # integer-exact HALF_UP (functions/ratio.py): sum_value is a
+    # decimal(38,6), so sum·1e6 is an exact integer and the 6dp mean
+    # is HALF_UP(sum_micro/n) — round(double, 6) splits between
+    # engines on exact .5 micro-unit rationals
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
     return state.select(
         *[c for c in state.columns if c not in ("sum_value",)],
         F.col("sum_value").cast("double").alias("sum_value"),
-        F.round(
-            F.col("sum_value").cast("double") / F.col("n_rows"), 6
+        round6_ratio(
+            "CAST(sum_value * 1000000 AS DECIMAL(38,0))",
+            "n_rows * 1000000",
         ).alias("avg_value"),
     )

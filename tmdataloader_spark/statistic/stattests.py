@@ -39,6 +39,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from tmdataloader_spark.functions.ratio import (
+    round6_ratio as _round6_ratio,
+    round6_ratio_sql as _round6_ratio_sql,
+)
+
 
 def ks_test(
     a: DataFrame,
@@ -103,9 +108,11 @@ def ks_test(
         .select(
             "n_a",
             "n_b",
-            F.round(
-                F.col("_dnum") / (F.col("n_a").cast("double") * F.col("n_b")),
-                6,
+            # integer-exact HALF_UP ratio (functions/ratio.py); the
+            # n_a·n_b product goes through decimal(38,0) so it cannot
+            # overflow int64 at 100 TB sample sizes
+            _round6_ratio(
+                "_dnum", "CAST(n_a AS DECIMAL(38,0)) * n_b"
             ).alias("d_stat"),
         )
     )
@@ -115,6 +122,10 @@ def ks_test_oracle_sql(a_sql: str, b_sql: str, value_sql: str) -> str:
     """DuckDB twin: same integer numerator, same final division —
     exact agreement, not approximate.  ``a_sql``/``b_sql`` are FROM
     clauses (table or subquery) for the two samples."""
+    d_stat = _round6_ratio_sql(
+        "max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))",
+        "CAST(t.n_a AS DECIMAL(38,0)) * t.n_b",
+    )
     return f"""
         WITH u AS (
           SELECT {value_sql} AS v, 1 AS ca, 0 AS cb FROM {a_sql}
@@ -132,8 +143,7 @@ def ks_test_oracle_sql(a_sql: str, b_sql: str, value_sql: str) -> str:
         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
                      CAST(sum(cb) AS BIGINT) AS n_b FROM pv)
         SELECT t.n_a, t.n_b,
-               round(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
-                     / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) AS d_stat
+               {d_stat} AS d_stat
         FROM c, t GROUP BY t.n_a, t.n_b
     """
 
