@@ -2357,78 +2357,20 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 7): the driver checks the FIRST 50 entries.
+    # Ordering note (round 8): the driver checks the FIRST 50 entries.
     # Window composition is annotated inline below; the rotation
     # policy itself is enforced by tests/test_window_hygiene.py and
     # the tail stays oracle-checked by tests/test_oracle_tail.py.
     return {
-        # --- r7 WINDOW (first 50; driver-checked this round) ---
-        # head: the single r6 red (random_projection — driver
-        # canonicalizer choked on its array column, now flattened to
-        # scalar p0..p15) stays windowed until a green row lands;
-        # then the 7 never-driver-checked r6 tail debuts whose
-        # DEBUT_OVERFLOW exemptions expired with CORRECTNESS_r06;
-        # then the 38 r4-only tail queries whose rows age out of the
-        # last-two files this round; then 3 r7 debuts (A9/A10/F12
-        # abort/tag contracts, first-ever oracle rows); last slot
-        # refreshes ann_ivfpq (r6-touched: 24% faster, wants a fresh
-        # row + timing).  That leaves the 45 r5-green tail queries as
-        # the r8 rotation obligation (45 ≤ 50 — fits).
-        "random_projection": q_random_projection,  # r6 RED (array output, now flat) -> stays until green
-        "pmi_collocations": q_pmi_collocations,  # r6 tail debut, never driver-checked -> windowed
-        "attribution": q_attribution,  # r6 tail debut, never driver-checked -> windowed
-        "basket_rules": q_basket_rules,  # r6 tail debut, never driver-checked -> windowed
-        "skyline": q_skyline,  # r6 tail debut, never driver-checked -> windowed
-        "cusum_changepoint": q_cusum_changepoint,  # r6 tail debut, never driver-checked -> windowed
-        "calibration_curve": q_calibration_curve,  # r6 tail debut, never driver-checked -> windowed
-        "quantile_normalize": q_quantile_normalize,  # r6 tail debut, never driver-checked -> windowed
-        "retention": q_retention,  # r4-green aging out -> re-windowed
-        "incremental_dedup": q_incremental_dedup,  # r4-green aging out -> re-windowed
-        "semantic_dedup": q_semantic_dedup,  # r4-green aging out -> re-windowed
-        "kmeans": q_kmeans,  # r4-green aging out -> re-windowed
-        "length_profile": q_length_profile,  # r4-green aging out -> re-windowed
-        "zorder": q_zorder,  # r4-green aging out -> re-windowed
-        "hdd_leaf_paths": q_hdd_leaf_paths,  # r4-green aging out -> re-windowed
-        "seq_pack": q_seq_pack,  # r4-green aging out -> re-windowed
-        "interval_join": q_interval_join,  # r4-green aging out -> re-windowed
-        "vocab_topk": q_vocab_topk,  # r4-green aging out -> re-windowed
-        "asof_join": q_asof_join,  # r4-green aging out -> re-windowed
-        "range_join": q_range_join,  # r4-green aging out -> re-windowed
-        "gpl_info_join": q_gpl_info_join,  # r4-green aging out -> re-windowed
-        "timepoint_minutes": q_timepoint_minutes,  # r4-green aging out -> re-windowed
-        "ann_block": q_ann_block,  # r4-green aging out -> re-windowed
-        "summary_stats": q_summary_stats,  # r4-green aging out -> re-windowed
-        "validation_rules": q_validation_rules,  # r4-green aging out -> re-windowed
-        "duplicate_detection": q_duplicate_detection,  # r4-green aging out -> re-windowed
-        "demographics_pivot": q_demographics_pivot,  # r4-green aging out -> re-windowed
-        "winnow": q_winnow,  # r4-green aging out -> re-windowed
-        "merge_update": q_merge_update,  # r4-green aging out -> re-windowed
-        "tfidf": q_tfidf,  # r4-green aging out -> re-windowed
-        "repetition": q_repetition,  # r4-green aging out -> re-windowed
-        "ann_cosine": q_ann_cosine,  # r4-green aging out -> re-windowed
-        "ngram_jaccard": q_ngram_jaccard,  # r4-green aging out -> re-windowed
-        "minhash_lsh": q_minhash_lsh,  # r4-green aging out -> re-windowed
-        "simhash_pairs": q_simhash_pairs,  # r4-green aging out -> re-windowed
-        "pricing_summary": q_pricing_summary,  # r4-green aging out -> re-windowed
-        "probe_stats": q_probe_stats,  # r4-green aging out -> re-windowed
-        "zscore": q_zscore,  # r4-green aging out -> re-windowed
-        "median_exact": q_median_exact,  # r4-green aging out -> re-windowed
-        "probeset_collapse": q_probeset_collapse,  # r4-green aging out -> re-windowed
-        "dedup_keep_one": q_dedup_keep_one,  # r4-green aging out -> re-windowed
-        "type_inference": q_type_inference,  # r4-green aging out -> re-windowed
-        "clinical_melt": q_clinical_melt,  # r4-green aging out -> re-windowed
-        "fill_in_tree": q_fill_in_tree,  # r4-green aging out -> re-windowed
-        "tree_closure": q_tree_closure,  # r4-green aging out -> re-windowed
-        "concept_counts": q_concept_counts,  # r4-green aging out -> re-windowed
-        "visit_consistency": q_visit_consistency,  # NEW in r7 (A9 abort report) -> window
-        "study_uniqueness": q_study_uniqueness,  # NEW in r7 (A10 abort report) -> window
-        "tag_substitution": q_tag_substitution,  # NEW in r7 (F12 $$TAG subst) -> window
-        "ann_ivfpq": q_ann_ivfpq,  # r5-green refresh (r6-touched, 24% faster)
-        # --- tail (51+): driver-green r5/r6, oracle-checked at
-        # sf0.01 on every pytest run by tests/test_oracle_tail.py;
-        # ALL of these have rows in CORRECTNESS_r05/r06 so none is
-        # stale under the two-round hygiene rule.  The 45 r5-green
-        # entries here are the r8 window obligation. ---
+        # --- r8 WINDOW (first 50; driver-checked this round) ---
+        # 45 obligated: the r5-green tail queries whose driver rows
+        # age out of the last-two CORRECTNESS files this round
+        # (profile_table .. rollup_agg), kept in their prior order.
+        # 5 slack slots go to r6-only-green queries this round's code
+        # fixes touch (sessionize/ks_drift via the _micro_q + ks_test
+        # decimal repairs, plus the ratio-regime siblings pr_curve/
+        # roc_auc/lm_perplexity) — re-windowing them both re-verifies
+        # the fixes AND shrinks the r9 obligation from 49 to 44.
         "profile_table": q_profile_table,
         "table_checksum": q_table_checksum,
         "user_cardinality": q_user_cardinality,
@@ -2474,17 +2416,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pair_counts": q_pair_counts,
         "rollup_agg": q_rollup_agg,
-        # --- tail: driver-green r6 (fresh rows; r8 may leave these
-        # in the tail one more round) ---
         "sessionize": q_sessionize,
-        "roc_auc": q_roc_auc,
-        "pr_curve": q_pr_curve,
         "ks_drift": q_ks_drift,
+        "pr_curve": q_pr_curve,
+        "roc_auc": q_roc_auc,
+        "lm_perplexity": q_lm_perplexity,
+        # --- tail (51+): driver-green r6/r7, oracle-checked at
+        # sf0.01 on every pytest run by tests/test_oracle_tail.py.
+        # First the 50 r7-green entries (these are the r9 window
+        # obligation alongside the remaining 44 r6-only ones below),
+        # then the 44 r6-only-green entries not re-windowed above. ---
+        "random_projection": q_random_projection,
+        "pmi_collocations": q_pmi_collocations,
+        "attribution": q_attribution,
+        "basket_rules": q_basket_rules,
+        "skyline": q_skyline,
+        "cusum_changepoint": q_cusum_changepoint,
+        "calibration_curve": q_calibration_curve,
+        "quantile_normalize": q_quantile_normalize,
+        "retention": q_retention,
+        "incremental_dedup": q_incremental_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans": q_kmeans,
+        "length_profile": q_length_profile,
+        "zorder": q_zorder,
+        "hdd_leaf_paths": q_hdd_leaf_paths,
+        "seq_pack": q_seq_pack,
+        "interval_join": q_interval_join,
+        "vocab_topk": q_vocab_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "gpl_info_join": q_gpl_info_join,
+        "timepoint_minutes": q_timepoint_minutes,
+        "ann_block": q_ann_block,
+        "summary_stats": q_summary_stats,
+        "validation_rules": q_validation_rules,
+        "duplicate_detection": q_duplicate_detection,
+        "demographics_pivot": q_demographics_pivot,
+        "winnow": q_winnow,
+        "merge_update": q_merge_update,
+        "tfidf": q_tfidf,
+        "repetition": q_repetition,
+        "ann_cosine": q_ann_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "pricing_summary": q_pricing_summary,
+        "probe_stats": q_probe_stats,
+        "zscore": q_zscore,
+        "median_exact": q_median_exact,
+        "probeset_collapse": q_probeset_collapse,
+        "dedup_keep_one": q_dedup_keep_one,
+        "type_inference": q_type_inference,
+        "clinical_melt": q_clinical_melt,
+        "fill_in_tree": q_fill_in_tree,
+        "tree_closure": q_tree_closure,
+        "concept_counts": q_concept_counts,
+        "visit_consistency": q_visit_consistency,
+        "study_uniqueness": q_study_uniqueness,
+        "tag_substitution": q_tag_substitution,
+        "ann_ivfpq": q_ann_ivfpq,
         "moving_avg": q_moving_avg,
         "skew_report": q_skew_report,
         "salted_join": q_salted_join,
         "bpe_encode": q_bpe_encode,
-        "lm_perplexity": q_lm_perplexity,
         "mixture_upsample": q_mixture_upsample,
         "triangle_count": q_triangle_count,
         "link_predict": q_link_predict,
