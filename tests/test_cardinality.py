@@ -286,3 +286,60 @@ def test_cardinality_monitor_state_survives_restart(spark, tmp_path):
     assert rows[-1].est_distinct == pytest.approx(expected.est_distinct, rel=1e-12)
     (gen1_only,) = hll_cardinality(spark.createDataFrame(gen1, schema)).collect()
     assert rows[0].est_distinct == pytest.approx(gen1_only.est_distinct, rel=1e-12)
+
+
+def test_null_ids_reconcile_stream_vs_batch(spark, tmp_path):
+    """NULL ids must contribute to NEITHER side (r8 ADVICE): the batch
+    md5(NULL)=NULL row previously landed as a (key, NULL, NULL)
+    register that hll_estimate counted as a filled bucket, while the
+    stream's astype(str) registered the literal 'None'/'nan' as real
+    elements.  Also covers the Arrow corner where a NULL in a LONG id
+    batch floats the pandas column ('123' -> '123.0')."""
+    import pandas as pd
+
+    from tmdataloader_spark.operators.cardinality import (
+        cardinality_monitor_stream,
+        hll_cardinality,
+        hll_registers,
+    )
+
+    schema = "event_id long, user_id long, event_type string"
+    rows = [(i, (i % 23) if i % 5 else None, "click") for i in range(200)]
+    df = spark.createDataFrame(rows, schema)
+
+    # batch: no NULL-bucket register rows, estimate near the true 23
+    regs = hll_registers(df, "event_type", "user_id").collect()
+    assert all(r.bucket is not None and r.rank is not None for r in regs)
+    ref = hll_registers(
+        df.filter("user_id IS NOT NULL"), "event_type", "user_id"
+    ).collect()
+    assert sorted(map(tuple, regs)) == sorted(map(tuple, ref))
+
+    # stream over two micro-batches (NULLs in both) reconciles exactly
+    src = str(tmp_path / "null_card_in")
+    half = len(rows) // 2
+    for part in (rows[:half], rows[half:]):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        cardinality_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("null_card_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from null_card_test").collect()
+    finally:
+        q.stop()
+    batch_est = {r.key: r.est_distinct for r in hll_cardinality(df).collect()}
+    last = {r.key: r.est_distinct for r in out}  # memory sink batch order
+    assert set(last) == set(batch_est) == {"click"}
+    assert last["click"] == pytest.approx(batch_est["click"], rel=1e-12)
+    # sanity: estimate is near the true 23 distinct non-null ids
+    assert abs(batch_est["click"] - 23) <= max(4 * 0.046 * 23, 3.0)

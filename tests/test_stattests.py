@@ -82,3 +82,19 @@ def test_chi_square_matches_hand_formula(spark):
         expect += round((o - e) ** 2 / e, 6)
     assert out.chi2 == pytest.approx(expect, abs=1e-6)
     assert out.dof == 1
+
+
+def test_ks_big_samples_no_int64_wrap(spark):
+    """ADVICE r8 (high): with only the denominator cast to decimal,
+    the Spark subtree 2·_dnum·10⁶ stayed int64 and silently wrapped
+    under the repo's non-ANSI sessions once _dnum exceeded ~4.61e12
+    (~2.15M rows per sample with D near 1).  Two disjoint 2.2M-row
+    ranges give D = 1 exactly (_dnum = n_a·n_b = 4.84e12 > the wrap
+    point); the wrapped form returns garbage here, the decimal form
+    returns exactly 1.0."""
+    n = 2_200_000
+    a = spark.range(n).selectExpr("CAST(id AS DOUBLE) AS v")
+    b = spark.range(n).selectExpr(f"CAST(id + {n} AS DOUBLE) AS v")
+    r = ks_test(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b) == (n, n)
+    assert r.d_stat == 1.0

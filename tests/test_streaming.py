@@ -646,29 +646,44 @@ def test_drift_monitor_alerts_on_level_shift(spark, tmp_path):
 
 def test_micro_quantizer_matches_batch_half_up(spark):
     """The streaming micro-unit quantizer must agree with the batch
-    twins' Spark HALF_UP rounding (F.round(v*1e6)) on every value,
-    INCLUDING exact .5 micro-unit boundaries — Python's builtin
-    round() is half-to-even and diverges there (r6 ADVICE), which
-    would break the documented stream-vs-batch-replay reconciliation."""
+    twins' ACTUAL operation — CAST(value AS DECIMAL(38,6)) — on every
+    value, including (a) exact .5 micro-unit boundaries, where
+    Python's builtin round() is half-to-even and diverges (r6
+    ADVICE), and (b) ordinary values whose 7th decimal digit is 5,
+    where the former floor(v*1e6 + 0.5) form rounded the BINARY
+    product and diverged from the cast's decimal-string HALF_UP by 1
+    micro-unit (r8 ADVICE: 64.0000645 → 64000064 vs 64000065)."""
     from pyspark.sql import functions as F
 
     from tmdataloader_spark.streaming import _micro_q
 
-    # .5 micro-unit boundaries of both parities, negatives, and
-    # ordinary values; all as the exact doubles Arrow would carry
+    # .5 micro-unit boundaries of both parities, negatives, ordinary
+    # values, and a sweep of 7th-digit-5 values (k + j·1e-7·5) whose
+    # binary products disagree with the decimal cast
     values = (
         [(k + 0.5) / 1e6 for k in range(0, 12)]
         + [-(k + 0.5) / 1e6 for k in range(0, 12)]
         + [0.0, 1.0, 2.7, -3.14159, 123.456789, -0.000001]
+        + [64.0000645, -64.0000645]
+        + [k + m / 1e7 for k in (0, 3, 17, 64, 1001) for m in (5, 15, 25, 645, 9995)]
     )
     df = spark.createDataFrame([(v,) for v in values], "v double").select(
-        "v", F.round(F.col("v") * 1e6).cast("long").alias("q")
+        "v",
+        (F.col("v").cast("decimal(38,6)") * 1_000_000).cast("long").alias("q"),
     )
     batch = {r.v: r.q for r in df.collect()}
     for v in values:
         assert _micro_q(v) == batch[v], (
-            f"stream quantizer diverges from batch HALF_UP at v={v!r}: "
-            f"{_micro_q(v)} != {batch[v]}"
+            f"stream quantizer diverges from batch decimal(38,6) cast at "
+            f"v={v!r}: {_micro_q(v)} != {batch[v]}"
         )
-    # teeth: banker's rounding actually disagrees somewhere on this grid
+    # teeth: banker's rounding disagrees somewhere on this grid, and so
+    # does the old binary-product form
     assert any(round(v * 1e6) != _micro_q(v) for v in values)
+    import math
+
+    def _old(v):
+        x = float(v) * 1e6
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    assert any(_old(v) != _micro_q(v) for v in values)

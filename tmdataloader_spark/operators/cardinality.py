@@ -45,7 +45,7 @@ import hashlib
 import math
 from typing import Iterable, Iterator
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 #: default precision: 2^9 = 512 registers, rsd ≈ 1.04/√512 ≈ 4.6%
 DEFAULT_B = 9
@@ -110,7 +110,14 @@ def hll_registers(
         F.lit(w) - F.length(F.conv(v, 10, 2)) + F.lit(1)
     )
     return (
-        df.select(
+        # drop NULL ids: md5(NULL) is NULL, which would emit a
+        # (key, NULL bucket, NULL rank) row that hll_estimate's
+        # count(*)-based _n_present would count as a filled bucket,
+        # skewing the zeros/linear-counting branch (r8 ADVICE); the
+        # stream twin drops the same rows so registers stay
+        # bit-identical
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(key_col).alias("key"),
             (h % F.lit(1 << b)).cast("long").alias("bucket"),
             rank.cast("long").alias("rank"),
@@ -181,6 +188,14 @@ def cardinality_monitor_stream(
     independent), and the emitted estimate equals
     ``hll_estimate``'s to float-division determinism."""
     m = 1 << b
+    # a NULL anywhere in an Arrow int batch turns the whole pandas
+    # column float64 ('123' would stringify as '123.0' while the batch
+    # twin hashes CAST(123 AS STRING) = '123') — remember integral
+    # Spark types so surviving ids can be pinned back to int64
+    _id_is_integral = isinstance(
+        events.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
 
     def fn(key, pdfs: Iterable, state) -> Iterator:
         import pandas as pd
@@ -191,7 +206,14 @@ def cardinality_monitor_stream(
         n_rows = 0
         for pdf in pdfs:
             n_rows += len(pdf)
-            for raw in pdf[id_col].astype(str):
+            # dropna BEFORE astype(str): stringifying first would
+            # register the literal 'None'/'nan' as real elements while
+            # the batch twin's md5(NULL)=NULL contributes nothing —
+            # breaking the register-exact reconciliation (r8 ADVICE)
+            ids = pdf[id_col].dropna()
+            if _id_is_integral and ids.dtype.kind == "f":
+                ids = ids.astype("int64")
+            for raw in ids.astype(str):
                 bucket, rank = _bucket_rank(_hash60(raw), b)
                 if rank > regs[bucket]:
                     regs[bucket] = rank

@@ -87,9 +87,12 @@ def ks_test(
         .withColumn("bb", F.coalesce(F.sum("tb").over(w_bkt), F.lit(0)))
         .select("_bkt", "ba", "bb")
     )
+    # decimal(38,0) here keeps the cum·n cross-products exact: the
+    # DuckDB twin's windowed sum() is HUGEINT so ITS products never
+    # wrap, and int64 on the Spark side wraps at n_a·n_b ≈ 9.2e18
     cum = local.join(F.broadcast(bases), "_bkt").select(
-        (F.col("ba") + F.col("la")).alias("cum_a"),
-        (F.col("bb") + F.col("lb")).alias("cum_b"),
+        (F.col("ba") + F.col("la")).cast("decimal(38,0)").alias("cum_a"),
+        (F.col("bb") + F.col("lb")).cast("decimal(38,0)").alias("cum_b"),
     )
     totals = per_v.groupBy().agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
@@ -108,11 +111,15 @@ def ks_test(
         .select(
             "n_a",
             "n_b",
-            # integer-exact HALF_UP ratio (functions/ratio.py); the
-            # n_a·n_b product goes through decimal(38,0) so it cannot
-            # overflow int64 at 100 TB sample sizes
+            # integer-exact HALF_UP ratio (functions/ratio.py); BOTH
+            # operands go through decimal(38,0): the numerator's
+            # 2·_dnum·10⁶ blow-up wraps int64 once _dnum exceeds
+            # ~4.6e12 (~2.15M rows/sample with D near 1), and the
+            # n_a·n_b denominator wraps even sooner — decimal keeps
+            # the whole subtree exact, mirroring the HUGEINT oracle
             _round6_ratio(
-                "_dnum", "CAST(n_a AS DECIMAL(38,0)) * n_b"
+                "CAST(_dnum AS DECIMAL(38,0))",
+                "CAST(n_a AS DECIMAL(38,0)) * n_b",
             ).alias("d_stat"),
         )
     )

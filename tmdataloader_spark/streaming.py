@@ -11,21 +11,30 @@ batch backfill — the standard lambda-check."""
 
 from __future__ import annotations
 
-import math
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _micro_q(v: float) -> int:
-    """HALF_UP (away-from-zero) micro-unit quantization — the exact
-    semantics of Spark ``F.round(x*1e6)`` / ``decimal(38,6)`` casts
-    the batch twins use.  Python's builtin ``round()`` is
-    half-to-even (banker's), which disagrees on values landing
-    exactly on a .5 micro-unit boundary, so the documented
-    stream-vs-batch-replay reconciliation would diverge there."""
-    x = float(v) * 1_000_000
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    """Micro-unit quantization with the EXACT semantics of the batch
+    twins' ``CAST(value AS DECIMAL(38,6))``: Spark's double→decimal
+    cast parses the double's shortest decimal representation
+    (``Double.toString``, same digits as Python ``repr``) and
+    HALF_UPs that — a DECIMAL-domain operation.  Neither Python's
+    builtin ``round()`` (half-to-even) nor ``floor(v*1e6 + 0.5)``
+    matches it: the latter rounds the BINARY product, which disagrees
+    on ordinary values whose 7th decimal digit is 5 (e.g.
+    ``64.0000645`` → 64000064 via the binary product but 64000065 via
+    the decimal cast — r8 ADVICE, 148 mismatches in a small scan),
+    breaking the documented bit-for-bit stream-vs-batch sum_value
+    reconciliation by 1 micro-unit per affected row."""
+    return int(
+        Decimal(repr(float(v)))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
 
 
 def read_event_stream(
