@@ -2356,6 +2356,167 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_plink_fam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: PLINK .fam manifest validation as per-line verdicts
+    (GWASPlinkDataProcessor.groovy:24-49 via plans/gwas.py
+    validate_fam_lines) — synthetic fam lines from customer keys
+    carry deterministic violations of each rule: a 5-column line
+    (custkey % 89), an IID of '0' (custkey % 97), and sex values in
+    0..3 where 3 is invalid (custkey % 4). Pure codegen split/
+    element_at — no shuffle."""
+    from tmdataloader_spark.plans.gwas import validate_fam_lines
+
+    c = _t(spark, sf_dir, "customer")
+    iid = F.when((F.col("c_custkey") % 97) == 0, F.lit("0")).otherwise(
+        F.concat(F.lit("P"), F.col("c_custkey").cast("string"))
+    )
+    sex = (F.col("c_custkey") % 4).cast("string")
+    line = F.when(
+        (F.col("c_custkey") % 89) == 0,
+        F.concat_ws(
+            " ", F.col("c_nationkey").cast("string"), iid, F.lit("0"), F.lit("0"), sex
+        ),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.col("c_nationkey").cast("string"),
+            iid,
+            F.lit("0"),
+            F.lit("0"),
+            sex,
+            F.lit("-9"),
+        )
+    )
+    lines = c.select(F.col("c_custkey").alias("line_no"), line.alias("line"))
+    return validate_fam_lines(lines)
+
+
+def q_vcf_assay_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: VCF variant-summary → assay linkage
+    (I2B2_PROCESS_VCF_DATA.sql:76-85 via sources/vcf.py link_assays)
+    — the de_subject_sample_mapping dimension (from supplier) is
+    BROADCAST into a left join on sample_cd = subject_id; rows whose
+    subject never appears in the mapping (every 13th order) keep a
+    NULL assay_id, the reference's unlinked-variant condition."""
+    from tmdataloader_spark.sources.vcf import link_assays
+
+    li = _t(spark, sf_dir, "lineitem")
+    summary = li.select(
+        F.when(
+            (F.col("l_orderkey") % 13) == 0,
+            F.concat(F.lit("X"), F.col("l_suppkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("S"), F.col("l_suppkey").cast("string")))
+        .alias("subject_id"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    mapping = s.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("sample_cd"),
+        (F.col("s_suppkey") + 100000).cast("long").alias("assay_id"),
+    )
+    return (
+        link_assays(summary, mapping)
+        .groupBy("subject_id", "assay_id")
+        .agg(F.count("*").cast("long").alias("n_variants"))
+    )
+
+
+def q_add_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""T4: idempotent node insert (I2B2_ADD_NODES.sql:41-100 via
+    operators/tree.py add_nodes) — one path that already exists as a
+    leaf with facts (\ASIA\CHINA\BUILDING\: its concept rows and
+    facts are deleted first, then re-inserted as a folder) and one
+    genuinely new folder. Output: the rewritten i2b2 with each
+    node's surviving fact count — proves the delete-then-reinsert
+    AND the fact anti-join in one frame. sha2-derived basecodes
+    match DuckDB's sha256 byte-for-byte."""
+    from tmdataloader_spark.operators.tree import add_nodes, fill_in_tree
+
+    paths = _paths(spark, sf_dir)
+    nodes = fill_in_tree(paths.select("path"))
+    basecode = F.sha2(F.col("path"), 256).substr(1, 16)
+    i2b2 = nodes.select(
+        F.col("path").alias("c_fullname"),
+        F.col("hlevel").cast("int").alias("c_hlevel"),
+        F.col("name").alias("c_name"),
+        basecode.alias("c_basecode"),
+        F.lit("FA").alias("c_visualattributes"),
+        F.lit("GSE0").alias("sourcesystem_cd"),
+    )
+    concept_dim = i2b2.select(
+        F.col("c_fullname").alias("concept_path"),
+        F.col("c_basecode").alias("concept_cd"),
+        F.col("c_name").alias("name_char"),
+        "sourcesystem_cd",
+    )
+    facts = paths.select(
+        F.sha2(F.col("path"), 256).substr(1, 16).alias("concept_cd"),
+        "patient_num",
+        F.lit("GSE0").alias("sourcesystem_cd"),
+    )
+    new_paths = ["\\ASIA\\CHINA\\BUILDING\\", "\\ASIA\\CHINA\\NEW FOLDER\\"]
+    i2b2_new, _cd, facts_new = add_nodes(i2b2, concept_dim, facts, new_paths, "GSE0")
+    # concept-cardinality-sized after the agg — broadcast, never SMJ
+    per_concept = F.broadcast(
+        facts_new.groupBy("concept_cd").agg(
+            F.count("*").cast("long").alias("n_facts")
+        )
+    )
+    return (
+        i2b2_new.join(
+            per_concept, i2b2_new.c_basecode == per_concept.concept_cd, "left"
+        )
+        .select(
+            "c_fullname",
+            F.col("c_hlevel").cast("int").alias("c_hlevel"),
+            "c_name",
+            "c_basecode",
+            "c_visualattributes",
+            F.coalesce("n_facts", F.lit(0)).cast("long").alias("n_facts"),
+        )
+    )
+
+
+def q_security_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""T10: security-token assembly — create_security_for_trial
+    (i2b2_create_security_for_trial, called at
+    I2B2_LOAD_CLINICAL_DATA.sql:1526) appends one SECURITY fact per
+    patient of the trial (EXP:<trial> when secure, EXP:PUBLIC
+    otherwise), then load_security_data
+    (I2B2_LOAD_SECURITY_DATA.sql:80-98) broadcast-joins those tokens
+    onto i2b2 with an EXP:PUBLIC default for studies that never got
+    one (GSE0/GSE3 here)."""
+    from tmdataloader_spark.operators.tree import (
+        create_security_for_trial,
+        load_security_data,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        F.col("o_custkey").alias("patient_num"),
+        F.lit("ORD").alias("concept_cd"),
+        F.lit(None).cast("string").alias("modifier_cd"),
+        F.lit(None).cast("string").alias("valtype_cd"),
+        F.lit(None).cast("string").alias("tval_char"),
+        F.lit(None).cast("double").alias("nval_num"),
+        F.concat(F.lit("GSE"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "sourcesystem_cd"
+        ),
+    )
+    facts = create_security_for_trial(facts, "GSE1", secure=True)
+    facts = create_security_for_trial(facts, "GSE2", secure=False)
+    n = _t(spark, sf_dir, "nation")
+    i2b2 = n.select(
+        F.concat(F.lit("\\"), F.col("n_name"), F.lit("\\")).alias("c_fullname"),
+        F.concat(F.lit("GSE"), (F.col("n_nationkey") % 4).cast("string")).alias(
+            "sourcesystem_cd"
+        ),
+    )
+    return load_security_data(i2b2, facts).select(
+        "c_fullname", "sourcesystem_cd", "secure_obj_token"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (round 8): the driver checks the FIRST 50 entries.
     # Window composition is annotated inline below; the rotation
@@ -2520,6 +2681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # --- r8 tail debuts (DEBUT_OVERFLOW exemption, debut=8):
+        # first-ever driver oracles for the four §2 rows that were
+        # pytest-only (S5 fam validation, J10 assay linkage, T4
+        # add-nodes, T10 security); windowed at r9 when the
+        # exemption expires. ---
+        "plink_fam": q_plink_fam,
+        "vcf_assay_link": q_vcf_assay_link,
+        "add_nodes": q_add_nodes,
+        "security_tokens": q_security_tokens,
     }
 
 
@@ -3065,6 +3235,116 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "plink_fam": r"""
+            WITH c AS (
+              SELECT c_custkey AS line_no,
+                     CAST(c_nationkey AS VARCHAR) AS fid,
+                     CASE WHEN c_custkey % 97 = 0 THEN '0'
+                          ELSE 'P' || CAST(c_custkey AS VARCHAR) END AS iid_raw,
+                     CAST(c_custkey % 4 AS VARCHAR) AS sex,
+                     c_custkey % 89 = 0 AS short_line
+              FROM customer
+            ),
+            lines AS (
+              SELECT line_no,
+                     CASE WHEN short_line
+                          THEN fid || ' ' || iid_raw || ' 0 0 ' || sex
+                          ELSE fid || ' ' || iid_raw || ' 0 0 ' || sex || ' -9'
+                     END AS line
+              FROM c
+            ),
+            t AS (
+              SELECT line_no,
+                     regexp_split_to_array(trim(line), '\s+') AS toks
+              FROM lines WHERE trim(line) <> ''
+            )
+            SELECT line_no,
+                   CASE WHEN len(toks) = 6 THEN toks[2] END AS iid,
+                   CASE WHEN len(toks) <> 6 THEN
+                          'Invalid columns count: expected 6, but was '
+                          || CAST(len(toks) AS VARCHAR)
+                        WHEN toks[2] = '0' THEN 'Invalid IID, cannot be ''0'''
+                        WHEN toks[5] NOT IN ('0','1','2') THEN
+                          'Invalid sex value. Expected ''1'' = male, ''2'' = female, '
+                          || '''0'' = unknown, but was ''' || toks[5] || ''''
+                   END AS error
+            FROM t
+        """,
+        "vcf_assay_link": """
+            WITH summary AS (
+              SELECT CASE WHEN l_orderkey % 13 = 0
+                          THEN 'X' || CAST(l_suppkey AS VARCHAR)
+                          ELSE 'S' || CAST(l_suppkey AS VARCHAR) END AS subject_id
+              FROM lineitem
+            ),
+            mapping AS (
+              SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS sample_cd,
+                     CAST(s_suppkey + 100000 AS BIGINT) AS assay_id
+              FROM supplier
+            )
+            SELECT s.subject_id, m.assay_id,
+                   CAST(count(*) AS BIGINT) AS n_variants
+            FROM summary s LEFT JOIN mapping m ON m.sample_cd = s.subject_id
+            GROUP BY s.subject_id, m.assay_id
+        """,
+        "add_nodes": _PATH_CTE + r""",
+            i2b2 AS (
+              SELECT path AS c_fullname, CAST(hlevel AS INT) AS c_hlevel,
+                     name AS c_name, substr(sha256(path), 1, 16) AS c_basecode,
+                     'FA' AS c_visualattributes
+              FROM nodes
+            ),
+            facts AS (
+              SELECT substr(sha256(path), 1, 16) AS concept_cd, patient_num
+              FROM leafcust
+            ),
+            newp AS (
+              SELECT * FROM (VALUES
+                ('\ASIA\CHINA\BUILDING\', 'BUILDING'),
+                ('\ASIA\CHINA\NEW FOLDER\', 'NEW FOLDER')) t(p, nm)
+            ),
+            doomed AS (
+              SELECT c_basecode AS concept_cd FROM i2b2
+              WHERE c_fullname IN (SELECT p FROM newp)
+            ),
+            facts2 AS (
+              SELECT * FROM facts
+              WHERE concept_cd NOT IN (SELECT concept_cd FROM doomed)
+            ),
+            i2b2_new AS (
+              SELECT * FROM i2b2 WHERE c_fullname NOT IN (SELECT p FROM newp)
+              UNION ALL
+              SELECT p,
+                     CAST(length(p) - length(replace(p, '\', '')) - 2 AS INT),
+                     nm, substr(sha256(p), 1, 16), 'FA'
+              FROM newp
+            ),
+            pc AS (
+              SELECT concept_cd, CAST(count(*) AS BIGINT) AS n_facts
+              FROM facts2 GROUP BY concept_cd
+            )
+            SELECT i.c_fullname, i.c_hlevel, i.c_name, i.c_basecode,
+                   i.c_visualattributes,
+                   CAST(COALESCE(pc.n_facts, 0) AS BIGINT) AS n_facts
+            FROM i2b2_new i LEFT JOIN pc ON pc.concept_cd = i.c_basecode
+        """,
+        "security_tokens": r"""
+            WITH tokens AS (
+              SELECT 'GSE1' AS sourcesystem_cd, 'EXP:GSE1' AS secure_obj_token
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey % 3 = 1)
+              UNION ALL
+              SELECT 'GSE2', 'EXP:PUBLIC'
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey % 3 = 2)
+            ),
+            i2b2 AS (
+              SELECT '\' || n_name || '\' AS c_fullname,
+                     'GSE' || CAST(n_nationkey % 4 AS VARCHAR) AS sourcesystem_cd
+              FROM nation
+            )
+            SELECT i.c_fullname, i.sourcesystem_cd,
+                   COALESCE(t.secure_obj_token, 'EXP:PUBLIC') AS secure_obj_token
+            FROM i2b2 i LEFT JOIN tokens t USING (sourcesystem_cd)
+        """,
         "pagerank": pagerank_oracle_sql(iters=4),
         "triangle_count": triangle_oracle_sql(year=1995),
         "link_predict": common_neighbors_oracle_sql(year=1995, min_common=3),

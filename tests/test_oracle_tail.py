@@ -115,6 +115,10 @@ TAIL = [
     "chunk_docs",
     "ann_lsh",
     "ann_ivf",
+    "plink_fam",
+    "vcf_assay_link",
+    "add_nodes",
+    "security_tokens",
 ]
 
 

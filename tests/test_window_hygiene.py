@@ -45,11 +45,16 @@ def _last_correctness_files(n: int = 2) -> list[str]:
 # driver row, like everyone else.  Tail queries stay oracle-checked at
 # sf0.01 by test_oracle_tail.py on every pytest run meanwhile.
 DEBUT_OVERFLOW: dict[str, int] = {
-    # Empty in r7: the seven r6 overflow debuts (pmi_collocations …
-    # quantile_normalize) were rotated into the window when their
-    # exemptions expired (CORRECTNESS_r06.json landing), and the
-    # three r7 debuts (visit_consistency, study_uniqueness,
-    # tag_substitution) were windowed on debut.
+    # r8 debuts: the four §2 rows that were pytest-only get their
+    # first driver oracles, but the r8 window is fully consumed by
+    # the 45-query rotation obligation + 5 fix-adjacent refreshes —
+    # they wait in the tail (oracle-checked at sf0.01 every pytest
+    # run) and MUST be windowed at r9 when CORRECTNESS_r08.json
+    # lands (r9 obligation: 44 rotations + these 4 = 48 ≤ 50).
+    "plink_fam": 8,
+    "vcf_assay_link": 8,
+    "add_nodes": 8,
+    "security_tokens": 8,
 }
 
 

@@ -75,6 +75,50 @@ def validate_fam(path: str) -> list[str]:
     return ids
 
 
+def validate_fam_lines(
+    lines: DataFrame, line_col: str = "line", no_col: str = "line_no"
+) -> DataFrame:
+    """Distributed twin of :func:`validate_fam`
+    (GWASPlinkDataProcessor.groovy:24-49): per-line verdicts over a
+    frame of raw ``.fam`` lines instead of a driver-side file walk —
+    the shape that holds when the cohort manifest is itself large.
+    Blank lines are skipped (as the file parser does); each surviving
+    line yields ``(line_no, iid, error)`` where ``error`` is NULL for
+    a valid line or the first failed rule in the reference's order:
+    column count != 6, IID == '0', sex not in {0,1,2}.  Pure per-row
+    codegen — split/size/element_at — no shuffle, no UDF."""
+    toks = F.split(F.trim(F.col(line_col)), r"\s+")
+    n = F.size(toks)
+    iid = F.element_at(toks, 2)
+    sex = F.element_at(toks, 5)
+    error = (
+        F.when(
+            n != 6,
+            F.concat(F.lit("Invalid columns count: expected 6, but was "), n),
+        )
+        .when(iid == "0", F.lit("Invalid IID, cannot be '0'"))
+        .when(
+            ~sex.isin("0", "1", "2"),
+            F.concat(
+                F.lit(
+                    "Invalid sex value. Expected '1' = male, '2' = female, "
+                    "'0' = unknown, but was '"
+                ),
+                sex,
+                F.lit("'"),
+            ),
+        )
+    )
+    return (
+        lines.filter(F.trim(F.col(line_col)) != "")
+        .select(
+            F.col(no_col).alias("line_no"),
+            F.when(n == 6, iid).alias("iid"),
+            error.alias("error"),
+        )
+    )
+
+
 def load_gwas_plink(
     spark: SparkSession,
     data_dir: str | os.PathLike,
