@@ -90,20 +90,55 @@ def test_multimodal_decode_deterministic(spark, docs):
     )
 
 
-def test_multimodal_real_decode_requires_pil(spark, docs):
-    """Without Pillow the real path must fail fast with an actionable
-    ImportError (the PIL-present path is covered by
-    test_multimodal_real_pil_roundtrip, which importorskips)."""
-    try:
-        import PIL  # noqa: F401
+def test_multimodal_real_decode_vendored_png(spark):
+    """fake=False runs on REAL bytes with or without Pillow: the
+    vendored PNG codec (functions/png.py) covers the PNG subset when
+    PIL is absent, so this no longer importorskips (r8, VERDICT item
+    6). Real PNGs decode to their true dimensions, resize re-encodes
+    at the target size and roundtrips through our own decoder, and
+    undecodable bytes degrade to NULLs instead of failing the job."""
+    import numpy as np
 
-        pytest.skip("Pillow present — real path covered by the roundtrip test")
-    except ImportError:
-        pass
-    from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
+    from tmdataloader_spark.functions.png import decode_png, encode_png, png_size
+    from tmdataloader_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_media,
+    )
 
-    with pytest.raises(ImportError, match="Pillow"):
-        decode_media(documents_as_media(docs), fake=False)
+    def png(w, h):
+        arr = ((np.arange(h * w * 3) * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+        return encode_png(arr)
+
+    rows = [
+        (1, "image", png(20, 10), None),
+        (2, "image", b"not an image", None),
+        (3, "audio", b"\x00\x01", None),
+        (4, "image", png(6, 9), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert (out[1].width, out[1].height) == (20, 10)
+    assert (out[4].width, out[4].height) == (6, 9)
+    assert out[2].width is None and out[2].height is None
+    assert out[3].width is None  # non-image: decode not attempted
+    assert all(r.duration_ms is None for r in out.values())  # no ffmpeg probe
+    assert out[2].n_bytes == len(b"not an image")
+
+    rs = {r.media_id: r for r in resize_media(media, 8, 4, fake=False).collect()}
+    assert png_size(bytes(rs[1].content)) == (8, 4)
+    assert decode_png(bytes(rs[4].content)).shape == (4, 8, 3)
+    assert rs[2].content is None  # undecodable -> NULL passthrough
+    # deterministic across partitionings
+    again = {
+        r.media_id: r.content
+        for r in resize_media(media.repartition(3), 8, 4, fake=False).collect()
+    }
+    assert all(
+        (again[k] is None) == (rs[k].content is None)
+        and (again[k] is None or bytes(again[k]) == bytes(rs[k].content))
+        for k in rs
+    )
 
 
 def test_multimodal_real_pil_roundtrip(spark):
@@ -173,14 +208,9 @@ def test_multimodal_resize_and_frames(spark, docs):
         assert frames[0][2] == 32  # sha256 digest payload
     assert all(ts == idx * 1000 for f in per.values() for idx, ts, _ in f)
 
-    # real resize needs Pillow (ImportError here, exercised for real in
-    # test_multimodal_real_pil_roundtrip when PIL exists); frame
+    # real resize runs everywhere since r8 (PIL or the vendored PNG
+    # codec — test_multimodal_real_decode_vendored_png); frame
     # sampling stays ffmpeg-stubbed everywhere
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="Pillow"):
-            resize_media(media, 8, 4, fake=False)
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
 

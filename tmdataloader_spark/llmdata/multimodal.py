@@ -10,12 +10,13 @@ two paths through the SAME mapInPandas seam:
   across runs, engines, and partitionings, so the plumbing (schema,
   batch iteration, partitioning, 1→N frame explode) is fully tested
   without codecs.
-- ``fake=False``: REAL decoding via PIL (Pillow) where PIL suffices
-  (image decode + resize); raises ``ImportError`` with a clear
-  message when PIL is not importable, and ``NotImplementedError``
-  for the ffmpeg-only step (video frame extraction). Tests gate on
-  ``pytest.importorskip("PIL")`` so they run wherever Pillow exists
-  and skip cleanly here.
+- ``fake=False``: REAL decoding — PIL (Pillow) when importable (any
+  format it knows); when PIL is absent the vendored from-scratch PNG
+  codec (functions/png.py, stdlib zlib + numpy) covers the PNG
+  subset, so the real path runs on real bytes even in this
+  codec-less container. Video frame extraction stays an honest
+  ``NotImplementedError`` — it needs ffmpeg, which has no
+  Python-only fallback.
 """
 
 from __future__ import annotations
@@ -26,15 +27,60 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
-def _require_pil():
+def _pil_image():
+    """Pillow's Image module, or None when Pillow is absent (the
+    vendored pure-Python PNG codec then covers the PNG subset)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "fake=False requires Pillow (PIL) on driver and executors; "
-            "install pillow or run with fake=True to exercise the "
-            "pipeline with the deterministic fake decoder"
-        ) from e
+        from PIL import Image
+
+        return Image
+    except ImportError:  # pragma: no cover - environment-dependent
+        return None
+
+
+def _image_size(content: bytes) -> tuple[int, int] | None:
+    """(width, height) of real image bytes, or None when undecodable.
+    PIL when importable (any format it knows); otherwise the vendored
+    PNG codec (functions/png.py) — header-only parse, no inflate."""
+    import io
+
+    Image = _pil_image()
+    if Image is not None:
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                return im.size
+        except Exception:
+            return None
+    from tmdataloader_spark.functions import png
+
+    try:
+        return png.png_size(content)
+    except Exception:
+        return None
+
+
+def _resize_bytes(content: bytes, width: int, height: int) -> bytes | None:
+    """Decode → bilinear resize → PNG re-encode, or None when
+    undecodable. PIL path for any format it knows; the vendored codec
+    handles the PNG subset when Pillow is absent."""
+    import io
+
+    Image = _pil_image()
+    if Image is not None:
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                buf = io.BytesIO()
+                im.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
+    from tmdataloader_spark.functions import png
+
+    try:
+        arr = png.decode_png(content)
+        return png.encode_png(png.resize_bilinear(arr, width, height))
+    except Exception:
+        return None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -81,19 +127,17 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
       ``mapInPandas`` plumbing a REAL codec would use (vectorized over
       the batch, not row-at-a-time) — this is the integration point
       where PIL/ffmpeg plugs in.
-    - ``fake=False``: REAL decode — PIL reads image dimensions; rows
-      whose bytes PIL cannot parse (or non-image media, which would
-      need ffmpeg) get NULL width/height, duration_ms stays NULL for
-      everything (no ffmpeg probe), n_bytes/sha256 are always
-      computed. Requires Pillow (ImportError otherwise)."""
+    - ``fake=False``: REAL decode — PIL reads image dimensions when
+      importable; without PIL the vendored pure-Python PNG codec
+      (functions/png.py) covers the PNG subset, so this path runs in
+      codec-less CI on real bytes. Rows whose bytes neither can parse
+      (or non-image media, which would need ffmpeg) get NULL
+      width/height, duration_ms stays NULL for everything (no ffmpeg
+      probe), n_bytes/sha256 are always computed."""
     if not fake:
-        _require_pil()
 
         def real_batches(it):
-            import io
-
             import pandas as pd
-            from PIL import Image
 
             for pdf in it:
                 contents = [
@@ -101,15 +145,9 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
                 ]
                 widths, heights = [], []
                 for c, mtype in zip(contents, pdf["media_type"]):
-                    w = h = None
-                    if mtype == "image" and c:
-                        try:
-                            with Image.open(io.BytesIO(c)) as im:
-                                w, h = im.size
-                        except Exception:
-                            pass  # undecodable bytes -> NULL dims
-                    widths.append(w)
-                    heights.append(h)
+                    size = _image_size(c) if mtype == "image" and c else None
+                    widths.append(size[0] if size else None)
+                    heights.append(size[1] if size else None)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"].astype("int64"),
@@ -180,32 +218,20 @@ def resize_media(
     fake kernel emits a deterministic digest-derived payload of
     ``width·height`` bytes so tests can assert sizes and stability.
 
-    ``fake=False`` (requires Pillow): decodes each image, resizes to
-    (width, height) with bilinear resampling, re-encodes as PNG;
+    ``fake=False``: decodes each image, resizes to (width, height)
+    with bilinear resampling, re-encodes as PNG — via PIL when
+    importable, else the vendored PNG codec (functions/png.py);
     undecodable rows pass through with NULL content."""
     if not fake:
-        _require_pil()
 
         def real_batches(it):
-            import io
-
             import pandas as pd
-            from PIL import Image
 
             for pdf in it:
                 out = []
                 for c in pdf["content"]:
                     b = bytes(c) if c is not None else b""
-                    resized = None
-                    if b:
-                        try:
-                            with Image.open(io.BytesIO(b)) as im:
-                                buf = io.BytesIO()
-                                im.resize((width, height)).save(buf, format="PNG")
-                                resized = buf.getvalue()
-                        except Exception:
-                            pass  # undecodable -> NULL content
-                    out.append(resized)
+                    out.append(_resize_bytes(b, width, height) if b else None)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"].astype("int64"),
