@@ -1,0 +1,183 @@
+"""Postgres COPY sink (SURVEY.md §2.1 S8, Postgres dialect): live
+round-trip against a scratch PostgreSQL server — the dialect the
+reference's production DataLoader actually targets (COPY-based,
+build.gradle:48-49), which the embedded-Derby JDBC test cannot prove
+(bytea literals, ON CONFLICT upsert, NULL-vs-empty-string CSV rules).
+
+The fixture initdb's into tmp and serves on a private unix socket; the
+whole module skips when the postgres binaries are absent.
+"""
+
+import csv
+import datetime
+import io
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tmdataloader_spark.sinks import (
+    pg_create_table_sql,
+    run_psql,
+    write_postgres_copy,
+)
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("initdb") is None
+    or shutil.which("pg_ctl") is None
+    or shutil.which("psql") is None,
+    reason="postgres binaries not available",
+)
+
+
+def _as_pg_user(cmd: list[str]) -> list[str]:
+    """postgres refuses to run as root — when we ARE root (this
+    container), demote the SERVER processes to nobody via setpriv;
+    the psql CLIENT stays root and connects over the unix socket."""
+    if os.geteuid() != 0:
+        return cmd
+    return ["setpriv", "--reuid=nobody", "--regid=nogroup", "--clear-groups"] + cmd
+
+
+@pytest.fixture(scope="module")
+def pg_dsn(tmp_path_factory):
+    if os.geteuid() == 0 and shutil.which("setpriv") is None:
+        pytest.skip("root without setpriv — cannot demote postgres")
+    import pathlib
+    import tempfile
+
+    # NOT tmp_path_factory: pytest's base temp is 0700-root, which the
+    # demoted server user cannot traverse — use a world-readable tmpdir
+    base = pathlib.Path(tempfile.mkdtemp(prefix="pgsink_"))
+    data = base / "data"
+    sock = base / "sock"
+    sock.mkdir()
+    if os.geteuid() == 0:
+        for p in (base, sock):
+            shutil.chown(p, "nobody", "nogroup")
+        os.chmod(base, 0o755)
+        os.chmod(sock, 0o777)
+    subprocess.run(
+        _as_pg_user(["initdb", "-D", str(data), "-A", "trust", "-U", "loader"]),
+        check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        _as_pg_user(
+            [
+                "pg_ctl", "-D", str(data), "-w", "-o",
+                f"-k {sock} -h '' -c fsync=off", "-l", str(base / "pg.log"),
+                "start",
+            ]
+        ),
+        check=True,
+        capture_output=True,
+    )
+    dsn = f"host={sock} user=loader dbname=postgres"
+    try:
+        yield dsn
+    finally:
+        subprocess.run(
+            _as_pg_user(["pg_ctl", "-D", str(data), "-m", "immediate", "stop"]),
+            capture_output=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _copy_out(dsn, sql):
+    out = run_psql(dsn, f"\\copy ({sql}) TO STDOUT WITH (FORMAT csv, NULL '<N>')")
+    return list(csv.reader(io.StringIO(out)))
+
+
+def test_copy_round_trip_all_types(spark, pg_dsn):
+    """Every warehouse-relevant Spark type survives COPY in and out —
+    including the CSV corner cases: embedded commas/quotes/newlines,
+    unicode, empty string distinct from NULL, and bytea."""
+    ts = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000)
+    rows = [
+        (1, 10, 1.5, 'a,b "quoted"\nline2', True, b"\x00\xffbin", ts,
+         datetime.date(2024, 3, 1)),
+        (2, None, None, "", False, None, None, None),
+        (3, 30, -0.25, "ünïcodé", None, b"", ts, datetime.date(1999, 12, 31)),
+        (4, 40, 4.0, None, True, b"\x01", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pk long, n int, x double, s string, b boolean, blob binary, "
+        "ts timestamp, d date",
+    )
+    ddl = pg_create_table_sql(df, "rt")
+    assert '"blob" bytea' in ddl and '"ts" timestamp' in ddl
+    run_psql(pg_dsn, 'DROP TABLE IF EXISTS "rt"')
+    assert write_postgres_copy(df, pg_dsn, "rt", chunk_rows=2) == 4
+
+    got = _copy_out(
+        pg_dsn,
+        "SELECT pk, n, x, s, b, encode(blob, 'hex'), ts, d FROM rt ORDER BY pk",
+    )
+    expect = [
+        ["1", "10", "1.5", 'a,b "quoted"\nline2', "t", "00ff62696e",
+         "2024-03-01 12:34:56.789", "2024-03-01"],
+        ["2", "<N>", "<N>", "", "f", "<N>", "<N>", "<N>"],
+        ["3", "30", "-0.25", "ünïcodé", "<N>", "", "2024-03-01 12:34:56.789",
+         "1999-12-31"],
+        ["4", "40", "4", "<N>", "t", "01", "<N>", "<N>"],
+    ]
+    assert got == expect
+
+
+def test_copy_upsert_on_conflict(spark, pg_dsn):
+    """mode='upsert' proves the Postgres-only ON CONFLICT path: the
+    second batch updates matched keys in place and appends the rest."""
+    run_psql(pg_dsn, 'DROP TABLE IF EXISTS "facts"')
+    first = spark.createDataFrame(
+        [(1, "C1", 1.0), (2, "C2", 2.0)], "patient long, concept string, v double"
+    )
+    write_postgres_copy(
+        first, pg_dsn, "facts", mode="upsert", conflict_cols=["patient", "concept"]
+    )
+    second = spark.createDataFrame(
+        [(2, "C2", 20.0), (3, "C3", 3.0)], "patient long, concept string, v double"
+    )
+    write_postgres_copy(
+        second, pg_dsn, "facts", mode="upsert", conflict_cols=["patient", "concept"]
+    )
+    got = _copy_out(pg_dsn, "SELECT patient, concept, v FROM facts ORDER BY patient")
+    assert got == [["1", "C1", "1"], ["2", "C2", "20"], ["3", "C3", "3"]]
+    # staging table cleaned up
+    left = run_psql(
+        pg_dsn,
+        "SELECT count(*) FROM pg_tables WHERE tablename = 'facts__staging'",
+    )
+    assert "0" in left
+
+
+def test_copy_loads_reference_shaped_facts(spark, pg_dsn):
+    """An observation_fact-shaped frame (the reference's COPY target,
+    ExpressionDataProcessor.groovy:187-195) lands with exact counts
+    and aggregate parity."""
+    facts = spark.createDataFrame(
+        [
+            (i, f"C{i % 7}", "@", "N" if i % 3 else "T",
+             None if i % 3 == 0 else float(i) / 4, "GSE0")
+            for i in range(1, 201)
+        ],
+        "patient_num long, concept_cd string, modifier_cd string, "
+        "valtype_cd string, nval_num double, sourcesystem_cd string",
+    )
+    run_psql(pg_dsn, 'DROP TABLE IF EXISTS "observation_fact"')
+    assert write_postgres_copy(facts, pg_dsn, "observation_fact", chunk_rows=64) == 200
+    got = _copy_out(
+        pg_dsn,
+        "SELECT count(*)::bigint, count(nval_num)::bigint, "
+        "sum(nval_num)::double precision FROM observation_fact",
+    )
+    [n, n_val, s] = got[0]
+    rows = facts.collect()
+    assert int(n) == 200
+    assert int(n_val) == sum(1 for r in rows if r.nval_num is not None)
+    assert float(s) == sum(r.nval_num for r in rows if r.nval_num is not None)

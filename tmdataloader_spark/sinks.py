@@ -15,6 +15,7 @@ lock (S10).
 from __future__ import annotations
 
 import os
+import subprocess
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -38,6 +39,149 @@ def write_jdbc(
     if num_partitions is not None:
         out = df.coalesce(num_partitions)
     out.write.mode(mode).options(**props).jdbc(url, table, properties=props)
+
+
+# ---------------------------------------------------------------------------
+# Postgres COPY sink — the reference's ACTUAL production write path.
+# The reference loads tranSMART through COPY-based bulk loading
+# (build.gradle:48-49 pulls a CSV-to-COPY DataLoader; e.g.
+# ExpressionDataProcessor.groovy:187-195 streams matrix rows into it),
+# one COPY stream from the ETL host. This sink mirrors that shape:
+# partitions stream through the driver (toLocalIterator — one
+# partition resident at a time) into a single `psql \copy ... FROM
+# STDIN (FORMAT csv)` pipe. That single-stream funnel is NOT a Spark
+# limitation leaking in — it is the reference's own topology; on a
+# cluster with a pg wire driver on the executors the same CSV encoding
+# moves into foreachPartition for parallel COPY, but this container
+# has psql only.
+# ---------------------------------------------------------------------------
+
+_PG_TYPES = {
+    "long": "bigint",
+    "bigint": "bigint",
+    "int": "integer",
+    "integer": "integer",
+    "smallint": "smallint",
+    "tinyint": "smallint",
+    "double": "double precision",
+    "float": "real",
+    "string": "text",
+    "boolean": "boolean",
+    "binary": "bytea",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+
+
+def pg_create_table_sql(df: DataFrame, table: str) -> str:
+    """``CREATE TABLE IF NOT EXISTS`` DDL for a frame's schema in
+    Postgres types (decimals pass through as ``numeric(p,s)``)."""
+    cols = []
+    for name, dtype in df.dtypes:
+        if dtype.startswith("decimal"):
+            pg = dtype.replace("decimal", "numeric")
+        else:
+            pg = _PG_TYPES.get(dtype)
+            if pg is None:
+                raise ValueError(f"no Postgres mapping for Spark type {dtype!r}")
+        cols.append(f'"{name}" {pg}')
+    return f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(cols)})'
+
+
+def _pg_csv_field(v) -> str:
+    """One CSV field under ``NULL ''`` convention: None → bare empty,
+    strings always quoted (so the empty STRING stays distinct from
+    NULL), bytes → Postgres hex bytea literal, bool → t/f,
+    datetime/date/numerics → ISO/repr text."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    if isinstance(v, str):
+        return '"' + v.replace('"', '""') + '"'
+    return str(v)  # int/float/Decimal/datetime/date
+
+
+def run_psql(dsn: str, sql: str, stdin: bytes | None = None) -> str:
+    """One ``psql`` invocation with ON_ERROR_STOP; returns stdout."""
+    res = subprocess.run(
+        ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1", dsn, "-c", sql],
+        input=stdin,
+        capture_output=True,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"psql failed: {res.stderr.decode(errors='replace')}")
+    return res.stdout.decode()
+
+
+def write_postgres_copy(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    mode: str = "append",
+    conflict_cols: list[str] | None = None,
+    create: bool = True,
+    chunk_rows: int = 10000,
+) -> int:
+    """S8, Postgres dialect: bulk-load a frame via COPY — the
+    reference's production mechanism (see module comment). Returns the
+    row count written.
+
+    ``mode='append'`` streams straight into ``table``;
+    ``mode='upsert'`` (requires ``conflict_cols``) COPYs into a
+    session temp staging table then applies
+    ``INSERT ... ON CONFLICT (cols) DO UPDATE SET …`` — the dialect
+    quirk a Derby round-trip cannot prove. ``chunk_rows`` bounds the
+    bytes buffered per psql feed."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "upsert" and not conflict_cols:
+        raise ValueError("upsert mode requires conflict_cols")
+    if create:
+        run_psql(dsn, pg_create_table_sql(df, table))
+        if mode == "upsert":
+            # ON CONFLICT arbitration needs a unique index on the keys
+            keys = ", ".join(f'"{c}"' for c in conflict_cols)
+            run_psql(
+                dsn,
+                f'CREATE UNIQUE INDEX IF NOT EXISTS "{table}__conflict_key" '
+                f'ON "{table}" ({keys})',
+            )
+    target = table
+    if mode == "upsert":
+        target = f"{table}__staging"
+        run_psql(dsn, pg_create_table_sql(df, target).replace(
+            "CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
+    copy_sql = f'\\copy "{target}" FROM STDIN WITH (FORMAT csv, NULL \'\')'
+    n = 0
+    buf: list[str] = []
+    # toLocalIterator: ONE partition resident at a time — the driver is
+    # a stream funnel, not an accumulator (reference topology, above)
+    for row in df.toLocalIterator():
+        buf.append(",".join(_pg_csv_field(v) for v in row))
+        n += 1
+        if len(buf) >= chunk_rows:
+            run_psql(dsn, copy_sql, ("\n".join(buf) + "\n").encode())
+            buf = []
+    if buf:
+        run_psql(dsn, copy_sql, ("\n".join(buf) + "\n").encode())
+    if mode == "upsert":
+        cols = ", ".join(f'"{c}"' for c in df.columns)
+        keys = ", ".join(f'"{c}"' for c in conflict_cols)
+        sets = ", ".join(
+            f'"{c}" = EXCLUDED."{c}"' for c in df.columns if c not in conflict_cols
+        )
+        action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        run_psql(
+            dsn,
+            f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM "{target}" '
+            f"ON CONFLICT ({keys}) {action}; "
+            f'DROP TABLE "{target}"',
+        )
+    return n
 
 
 class ProcessLockError(RuntimeError):
