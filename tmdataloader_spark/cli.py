@@ -204,6 +204,24 @@ def build_parser() -> argparse.ArgumentParser:
     # surface); meaningless against a parquet warehouse — no Postgres
     # schemas to redirect, no alternative stored procedures, and no
     # ANSI console highlighting — so they parse and are ignored
+    # run_sql_scripts entry point (RunSqlScriptsCommand.groovy:72-111):
+    # applies the shipped migration/permission/procedure manifests to a
+    # LIVE Postgres via psql — no Spark session, no warehouse
+    p.add_argument(
+        "--run-sql-scripts",
+        metavar="SQL_DIR",
+        help="apply SQL_DIR/postgres/{migrations,permissions,procedures}.sql "
+        "to a live Postgres (needs --dba-dsn; RunSqlScriptsCommand analog)",
+    )
+    p.add_argument("--db-dsn", metavar="DSN", help="libpq DSN for user scripts")
+    p.add_argument(
+        "--dba-dsn", metavar="DSN",
+        help="libpq DSN with DBA rights (reference -u/-p dba credentials)",
+    )
+    p.add_argument(
+        "--procedures-only", action="store_true",
+        help="run only procedures.sql (reference -P)",
+    )
     p.add_argument("--schema", metavar="NAME", help="(accepted; parquet warehouse has no DB schema)")
     p.add_argument("--alt-control-schema", metavar="NAME", help="(accepted; no-op)")
     p.add_argument("--alt-clinical-proc", metavar="PROC", help="(accepted; single Spark clinical plan)")
@@ -218,6 +236,22 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.version:
         print(f"tm_etl (tmdataloader_spark) {__version__}")
+        return 0
+
+    if args.run_sql_scripts:
+        # live-DB bootstrap path: driver-side psql, no Spark session
+        from tmdataloader_spark.sqlscripts import run_sql_scripts
+
+        try:
+            run_sql_scripts(
+                args.db_dsn,
+                args.run_sql_scripts,
+                dba_dsn=args.dba_dsn,
+                procedures_only=args.procedures_only,
+            )
+        except (RuntimeError, FileNotFoundError, ValueError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
         return 0
 
     ops = [args.move_study, args.delete_study_by_id, args.delete_study_by_path,
