@@ -18,7 +18,7 @@ import os
 import subprocess
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def write_jdbc(
@@ -74,6 +74,14 @@ _PG_TYPES = {
 }
 
 
+
+def _q_table(table: str) -> str:
+    """Quote a possibly schema-qualified table name part-by-part
+    ('deapp.de_variant_dataset' -> '"deapp"."de_variant_dataset"') so
+    frames can land directly in the reference's schema-organized DDL."""
+    return ".".join(f'"{p}"' for p in table.split("."))
+
+
 def pg_create_table_sql(df: DataFrame, table: str) -> str:
     """``CREATE TABLE IF NOT EXISTS`` DDL for a frame's schema in
     Postgres types (decimals pass through as ``numeric(p,s)``)."""
@@ -86,7 +94,7 @@ def pg_create_table_sql(df: DataFrame, table: str) -> str:
             if pg is None:
                 raise ValueError(f"no Postgres mapping for Spark type {dtype!r}")
         cols.append(f'"{name}" {pg}')
-    return f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(cols)})'
+    return f'CREATE TABLE IF NOT EXISTS {_q_table(table)} ({", ".join(cols)})'
 
 
 def _pg_csv_field(v) -> str:
@@ -108,7 +116,9 @@ def _pg_csv_field(v) -> str:
 def run_psql(dsn: str, sql: str, stdin: bytes | None = None) -> str:
     """One ``psql`` invocation with ON_ERROR_STOP; returns stdout."""
     res = subprocess.run(
-        ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1", dsn, "-c", sql],
+        # -t -A: tuples-only, unaligned — SELECT output is raw values
+        # (one line per row, |-separated), no headers or footers
+        ["psql", "-X", "-q", "-t", "-A", "-v", "ON_ERROR_STOP=1", dsn, "-c", sql],
         input=stdin,
         capture_output=True,
     )
@@ -145,17 +155,26 @@ def write_postgres_copy(
         if mode == "upsert":
             # ON CONFLICT arbitration needs a unique index on the keys
             keys = ", ".join(f'"{c}"' for c in conflict_cols)
+            # index names are schema-local — strip any schema qualifier
+            idx = table.split(".")[-1] + "__conflict_key"
             run_psql(
                 dsn,
-                f'CREATE UNIQUE INDEX IF NOT EXISTS "{table}__conflict_key" '
-                f'ON "{table}" ({keys})',
+                f'CREATE UNIQUE INDEX IF NOT EXISTS "{idx}" '
+                f'ON {_q_table(table)} ({keys})',
             )
     target = table
     if mode == "upsert":
         target = f"{table}__staging"
         run_psql(dsn, pg_create_table_sql(df, target).replace(
             "CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
-    copy_sql = f'\\copy "{target}" FROM STDIN WITH (FORMAT csv, NULL \'\')'
+    # explicit column list: the target may carry MORE columns than the
+    # frame (serial id defaults, audit columns) — COPY then fills them
+    # server-side, which is how our frames land in the reference's own
+    # DDL (its tables all lead with a sequence-defaulted id)
+    col_list = ", ".join(f'"{c}"' for c in df.columns)
+    copy_sql = (
+        f'\\copy {_q_table(target)} ({col_list}) FROM STDIN WITH (FORMAT csv, NULL \'\')'
+    )
     n = 0
     buf: list[str] = []
     # toLocalIterator: ONE partition resident at a time — the driver is
@@ -177,11 +196,43 @@ def write_postgres_copy(
         action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
         run_psql(
             dsn,
-            f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM "{target}" '
+            f'INSERT INTO {_q_table(table)} ({cols}) SELECT {cols} FROM {_q_table(target)} '
             f"ON CONFLICT ({keys}) {action}; "
-            f'DROP TABLE "{target}"',
+            f'DROP TABLE {_q_table(target)}',
         )
     return n
+
+
+def sequence_dictionary(df: DataFrame, col: str, start: int = 1) -> DataFrame:
+    """Export-time sequence allocation: map the engine's 64-bit
+    deterministic surrogates (xxhash64 of natural keys — see
+    plans/hdd.build_sample_mapping) onto dense ids ``start..start+V−1``,
+    the shape the reference's DDL expects: its surrogate columns are
+    ``int`` filled from sequences (``nextval('deapp.seq_assay_id')``,
+    I2B2_LOAD_SAMPLES.sql:729), so 64-bit hashes overflow them.
+
+    Returns ``(value, seq_id int)``, ordered by the surrogate value so
+    allocation is deterministic and partitioning-invariant (the
+    two-phase prefix sum in operators/encode.build_dictionary — no
+    global sort, no single-partition window). Build ONE dictionary per
+    surrogate domain and apply it to every table referencing it so the
+    foreign keys stay consistent."""
+    from tmdataloader_spark.operators.encode import build_dictionary
+
+    dic = build_dictionary(df, col, bucket_expr=F.pmod(F.col("value"), F.lit(64)))
+    return dic.select(
+        "value", (F.col("code") + F.lit(start)).cast("int").alias("seq_id")
+    )
+
+
+def apply_sequence(df: DataFrame, col: str, dictionary: DataFrame) -> DataFrame:
+    """Replace surrogate ``col`` with its dense ``seq_id`` (NULL stays
+    NULL — sequences never allocate for absent references)."""
+    dic = dictionary.select(
+        F.col("value").alias(col), F.col("seq_id").alias(f"_{col}_seq")
+    )
+    out = df.join(F.broadcast(dic), col, "left")
+    return out.withColumn(col, F.col(f"_{col}_seq")).drop(f"_{col}_seq")
 
 
 class ProcessLockError(RuntimeError):
