@@ -157,3 +157,63 @@ def test_vcf_frames_land_in_reference_ddl(spark, deapp):
         write_postgres_copy(
             ds.subject_idx, dsn, "deapp.de_variant_subject_idx", create=False
         )
+
+
+GWAS_DDL = (
+    "/root/reference/sql/postgres/migrations/gwas_plink/"
+    "20160421174200000_add_gwas_plink_schema.sql"
+)
+
+
+def test_gwas_plink_blobs_land_in_reference_ddl(spark, pg_dsn):
+    """Second drop-in proof, this time with binary payloads: the
+    reference's gwas_plink schema migration (verbatim; its initial
+    bytea form — the later migrations only move storage to large
+    objects) accepts our LZO-compressed PLINK blobs, and what Postgres
+    hands back decompresses to the original fixture bytes — i.e. the
+    pure-Python LZO codec (functions/lzo.py) writes the byte format
+    the reference's table was designed to hold
+    (GWASPlinkDataProcessor.groovy:130-142)."""
+    if not os.path.isfile(GWAS_DDL):
+        pytest.skip("reference sql tree not present")
+    from tmdataloader_spark.functions.lzo import decompress as lzo_decompress
+    from tmdataloader_spark.plans.gwas import load_gwas_plink
+
+    # base environment the migration assumes (owner role)
+    try:
+        run_psql(pg_dsn, "CREATE ROLE tm_dataloader")
+    except RuntimeError as e:
+        if "already exists" not in str(e):
+            raise
+    run_script(pg_dsn, GWAS_DDL)
+    run_psql(pg_dsn, "DELETE FROM gwas_plink.plink_data")
+
+    fix = ("/root/reference/fixtures/Test Studies/"
+           "Test Study With GWAS Plink_GSE0GWASPLINK/GWASPlinkDataToUpload")
+    res = load_gwas_plink(spark, fix, "\\Test Studies\\Test GWAS Study\\")
+    frame = res.plink_data.select("study_id", "bed", "bim", "fam")
+    assert write_postgres_copy(
+        frame, pg_dsn, "gwas_plink.plink_data", create=False
+    ) == 1
+
+    # STUDY_ID NOT NULL UNIQUE arbitrates a duplicate load
+    with pytest.raises(RuntimeError, match="study_id"):
+        write_postgres_copy(
+            frame, pg_dsn, "gwas_plink.plink_data", create=False
+        )
+
+    # read the blobs back out of the reference table and decompress
+    # with our codec: byte-identical to the on-disk fixture files
+    out = run_psql(
+        pg_dsn,
+        "SELECT encode(bed,'hex') || '|' || encode(bim,'hex') || '|' || "
+        "encode(fam,'hex') FROM gwas_plink.plink_data "
+        "WHERE study_id = 'GSE0GWASPLINK'",
+    ).strip()
+    bed_hex, bim_hex, fam_hex = out.split("|")
+    import glob as _glob
+
+    for hexed, ext in ((bed_hex, ".bed"), (bim_hex, ".bim"), (fam_hex, ".fam")):
+        (path,) = _glob.glob(os.path.join(fix, f"*{ext}"))
+        with open(path, "rb") as fh:
+            assert lzo_decompress(bytes.fromhex(hexed)) == fh.read(), ext
