@@ -126,3 +126,35 @@ def test_copy_loads_reference_shaped_facts(spark, pg_dsn):
     assert int(n) == 200
     assert int(n_val) == sum(1 for r in rows if r.nval_num is not None)
     assert float(s) == sum(r.nval_num for r in rows if r.nval_num is not None)
+
+
+def test_sequence_dictionary_dense_and_invariant(spark):
+    """sinks.sequence_dictionary: dense start..start+V-1 ids in
+    ascending surrogate order, deterministic across partitionings;
+    apply_sequence keeps NULLs NULL and maps consistently across
+    frames sharing the dictionary (FK consistency)."""
+    from tmdataloader_spark.sinks import apply_sequence, sequence_dictionary
+
+    surr = [9_223_372_036_854_000_000, -5, 42, 0, 7_777_777_777]
+    dim = spark.createDataFrame(
+        [(s,) for s in surr] * 3, "assay_id long"  # dupes collapse
+    )
+    dic = sequence_dictionary(dim, "assay_id", start=100)
+    rows = sorted((r.value, r.seq_id) for r in dic.collect())
+    # dense bijection over start..start+V-1 (order arbitrary-but-stable,
+    # like a DB sequence), every distinct surrogate covered exactly once
+    assert sorted(r[1] for r in rows) == [100, 101, 102, 103, 104]
+    assert [r[0] for r in rows] == sorted(surr)
+    # partitioning-invariant
+    dic13 = sequence_dictionary(dim.repartition(13), "assay_id", start=100)
+    assert sorted(map(tuple, dic13.collect())) == sorted(map(tuple, dic.collect()))
+
+    facts = spark.createDataFrame(
+        [(1, 42), (2, None), (3, 9_223_372_036_854_000_000)],
+        "pk long, assay_id long",
+    )
+    out = {r.pk: r.assay_id for r in apply_sequence(facts, "assay_id", dic).collect()}
+    by_val = dict(rows)
+    assert out[1] == by_val[42]
+    assert out[2] is None
+    assert out[3] == by_val[9_223_372_036_854_000_000]

@@ -211,12 +211,14 @@ def sequence_dictionary(df: DataFrame, col: str, start: int = 1) -> DataFrame:
     ``int`` filled from sequences (``nextval('deapp.seq_assay_id')``,
     I2B2_LOAD_SAMPLES.sql:729), so 64-bit hashes overflow them.
 
-    Returns ``(value, seq_id int)``, ordered by the surrogate value so
-    allocation is deterministic and partitioning-invariant (the
-    two-phase prefix sum in operators/encode.build_dictionary — no
-    global sort, no single-partition window). Build ONE dictionary per
-    surrogate domain and apply it to every table referencing it so the
-    foreign keys stay consistent."""
+    Returns ``(value, seq_id int)`` — a dense bijection that is
+    DETERMINISTIC and partitioning-invariant (ids follow the
+    two-phase (pmod-bucket, value) prefix-sum order of
+    operators/encode.build_dictionary — no global sort, no
+    single-partition window; like a DB sequence, allocation order is
+    arbitrary-but-stable, not numerically ascending). Build ONE
+    dictionary per surrogate domain and apply it to every table
+    referencing it so the foreign keys stay consistent."""
     from tmdataloader_spark.operators.encode import build_dictionary
 
     dic = build_dictionary(df, col, bucket_expr=F.pmod(F.col("value"), F.lit(64)))
