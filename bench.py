@@ -137,7 +137,34 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    # Ambient-noise context (sidecar only — the stdout contract is
+    # unchanged): this host shows uniform multi-minute slow windows
+    # where EVERY query reads 1.5-2x (memory'd protocol: adjudicate a
+    # >2x row by dividing by stable controls). Record the control
+    # ratios alongside the run so a reader can normalize without
+    # re-running: ambient ≈ median(control_time / control_baseline).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_baseline.json")
+        ) as fh:
+            _base_q = json.load(fh)["queries"]
+        controls = ["pricing_summary", "zscore", "asof_join"]
+        ratios = sorted(
+            round(timings[c] / _base_q[c], 3)
+            for c in controls
+            if c in timings and timings.get(c, float("nan")) == timings.get(c)
+            and c in _base_q
+        )
+        if ratios:
+            result["ambient"] = {
+                "controls": {c: timings[c] for c in controls if c in timings},
+                "control_ratios": ratios,
+                "ambient_factor": ratios[len(ratios) // 2],
+            }
+    except Exception:
+        pass  # ambient context is best-effort; never fail the bench
+    print(json.dumps({k: v for k, v in result.items() if k != "ambient"}))
     # Sidecar with the FULL per-query dict: the round artifact keeps
     # only a 2,000-char stdout tail, which truncated 44 of 131 r5
     # timings out of the audit trail (r5 VERDICT item 6). Written
