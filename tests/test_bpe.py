@@ -112,3 +112,27 @@ def test_bpe_oracle_replays_learning_and_application(spark):
         for r in con.execute(bpe_oracle_sql(4, sample_fraction=0.5)).fetchall()
     }
     assert got == orc
+
+
+def test_local_and_distributed_learning_identical(spark):
+    """The driver-local fast path (_learn_local, numpy) must select
+    the EXACT merge sequence of the distributed loop — same counts,
+    same max, same "X Y"-ascending tie-break, same greedy de-overlap
+    — on real data including multi-byte text."""
+    from tmdataloader_spark.llmdata.bpe import bpe_learn
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local = bpe_learn(d, k=6, sample_fraction=0.5)
+    dist = bpe_learn(d, k=6, sample_fraction=0.5, local_threshold_rows=0)
+    assert local == dist and len(local) == 6
+
+    rows = [
+        (1, "aa bb aa bb aa"),
+        (2, "aaa ümlaut aaa"),   # overlapping same-symbol runs + multibyte
+        (3, ""),                  # empty doc contributes nothing
+        (4, "aa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    local2 = bpe_learn(df, k=5)
+    dist2 = bpe_learn(df, k=5, local_threshold_rows=0)
+    assert local2 == dist2

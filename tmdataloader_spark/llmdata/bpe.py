@@ -84,6 +84,86 @@ def _pairs(enc: Column) -> Column:
     )
 
 
+def _learn_local(enc_strings: list[str], k: int) -> list[tuple[str, str]]:
+    """Driver-local merge learning over COLLECTED symbolized strings —
+    bit-identical to the distributed loop's algebra: per round, count
+    adjacent symbol pairs (boundary ``|`` pairs excluded, no pairing
+    across documents), take max count with ties broken by the
+    ``"X Y"`` pair string ascending (Python str comparison is
+    code-point order == Spark's UTF8 binary ordering — UTF-8
+    preserves code-point order), then greedy left-to-right
+    non-overlapping merge (the double-space ``replace`` semantics).
+
+    numpy kernel: the corpus is ONE int32 symbol-id array with a
+    sentinel between documents; a round is one vectorized pair-key
+    ``np.unique`` + a small Python de-overlap walk over the match
+    positions only."""
+    import numpy as np
+
+    vocab: dict[str, int] = {}
+    ids: list[str] = []
+
+    def sym_id(s: str) -> int:
+        i = vocab.get(s)
+        if i is None:
+            i = len(ids)
+            vocab[s] = i
+            ids.append(s)
+        return i
+
+    sep_id = sym_id(SEP)
+    sentinel = sym_id("\x00doc\x00")  # never a real symbol
+    chunks: list[list[int]] = []
+    for enc in enc_strings:
+        syms = enc.strip().split("  ")
+        if syms == [""]:
+            continue
+        chunks.append([sym_id(s) for s in syms] + [sentinel])
+    if not chunks:
+        return []
+    a = np.array([i for c in chunks for i in c], dtype=np.int64)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        if len(a) < 2:
+            break
+        left, right = a[:-1], a[1:]
+        valid = (
+            (left != sep_id) & (right != sep_id)
+            & (left != sentinel) & (right != sentinel)
+        )
+        if not valid.any():
+            break
+        n_sym = len(ids)
+        keys = left[valid] * n_sym + right[valid]
+        uniq, counts = np.unique(keys, return_counts=True)
+        best_n = counts.max()
+        cands = uniq[counts == best_n]
+        # tie-break: minimum "X Y" string (binary == code-point order)
+        best = min(
+            ((ids[int(kk) // n_sym], ids[int(kk) % n_sym]) for kk in cands),
+            key=lambda xy: f"{xy[0]} {xy[1]}",
+        )
+        x, y = best
+        merges.append((x, y))
+        new_id = sym_id(x + y)
+        xi, yi = vocab[x], vocab[y]
+        match = np.flatnonzero((a[:-1] == xi) & (a[1:] == yi))
+        kept = []
+        last = -2
+        for i in match:  # greedy left-to-right de-overlap
+            if i == last + 1:
+                continue
+            kept.append(i)
+            last = i
+        kept_arr = np.array(kept, dtype=np.int64)
+        drop = np.zeros(len(a), dtype=bool)
+        drop[kept_arr + 1] = True
+        a[kept_arr] = new_id
+        a = a[~drop]
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     k: int = 8,
@@ -91,6 +171,7 @@ def bpe_learn(
     id_col: str = "doc_id",
     sample_fraction: float | None = None,
     salt: str = "bpe",
+    local_threshold_rows: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Learn ``k`` merges: per round, count adjacent symbol pairs
     over the (progressively merged) corpus encoding and take the most
@@ -109,12 +190,32 @@ def bpe_learn(
     Each round re-encodes incrementally (one ``replace`` over the
     cached previous encoding, cache swapped per round and dropped at
     the end) instead of replaying all i merges from raw text — the
-    learning loop is O(k) replaces total, not O(k²)."""
+    learning loop is O(k) replaces total, not O(k²).
+
+    When the (sampled) training set is at most ``local_threshold_rows``
+    rows, learning runs DRIVER-LOCALLY over the collected symbolized
+    strings instead (:func:`_learn_local` — bit-identical merge
+    selection, asserted by tests): a tokenizer training set is
+    driver-scale BY DESIGN (the industry trains tokenizers in one
+    process on a bounded sample; merges are corpus statistics), and
+    the k-round Spark loop pays 2k job latencies to compute what one
+    vectorized pass does in milliseconds. Above the threshold — or
+    with ``local_threshold_rows=0`` — the distributed loop runs, so an
+    unsampled 100 TB corpus never funnels through the driver. The
+    collect here is the ONE deliberately sample-sized (not k-sized)
+    driver transfer in the library, bounded by the threshold."""
     base = df.select(F.col(id_col), F.col(text_col))
     if sample_fraction is not None:
         from tmdataloader_spark.llmdata.sampling import hash_sample
 
         base = hash_sample(base, sample_fraction, id_col=id_col, salt=salt)
+    if local_threshold_rows:
+        sample_n = base.limit(local_threshold_rows + 1).count()
+        if sample_n <= local_threshold_rows:
+            rows = base.select(
+                symbolize(F.col(text_col)).alias("_enc")
+            ).collect()
+            return _learn_local([r._enc for r in rows], k)
     enc = base.select(symbolize(F.col(text_col)).alias("_enc")).cache()
     merges: list[tuple[str, str]] = []
     try:
