@@ -822,3 +822,32 @@ def test_negative_samples_deterministic_and_valid(spark):
         ).collect()
     }
     assert other != rows
+
+
+def test_components_local_and_distributed_identical(spark):
+    """connected_components' bounded union-find fast path must emit
+    exactly the hash-min fixpoint's (node, min-id component) — chains,
+    a clique, a singleton edge, and id order reversals included."""
+    from tmdataloader_spark.llmdata.dedup import connected_components
+
+    edges = [
+        (5, 4), (4, 3), (3, 2), (2, 1),      # chain -> all label 1
+        (10, 11), (11, 12), (10, 12),        # clique -> label 10
+        (100, 99),                            # reversed pair -> 99
+        (7, 7),                               # self-loop -> 7
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(pairs, local_threshold_edges=0).collect()
+    }
+    assert local == dist
+    assert {c for _, c in local} == {1, 10, 99, 7}
+    # empty edge list -> empty frame on both paths
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, local_threshold_edges=0).count() == 0

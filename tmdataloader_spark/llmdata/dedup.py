@@ -681,11 +681,43 @@ def embedding_dup_pairs(
     )
 
 
+def _components_local(edges: list[tuple[int, int]]):
+    """Driver-local union-find over a BOUNDED edge list — identical
+    semantics to the hash-min fixpoint (component label = minimum
+    node id of the connected component), in one pass instead of
+    diameter-many Spark rounds."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    return [(node, comp_min[find(node)]) for node in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 50,
+    local_threshold_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the step that
     turns pairwise matches (MinHash/SimHash/embedding) into dedup
@@ -704,7 +736,35 @@ def connected_components(
     No driver-side graph: state is two distributed tables (edges,
     labels) — the same loop runs on a 10^11-edge graph given executor
     memory for the label table's shuffle partitions.
+
+    Bounded fast path (r8): near-dup edge lists are DUPLICATE-sized,
+    not corpus-sized — in a curated corpus they are tiny relative to
+    the documents. When at most ``local_threshold_edges`` edges exist,
+    one driver-local union-find (:func:`_components_local`) replaces
+    the iterative rounds — same (node, min-id component) output,
+    asserted equal by tests — and the result table (≤ 2·edges rows)
+    broadcasts back. Above the threshold, or with
+    ``local_threshold_edges=0``, the distributed loop runs, so a
+    pathological all-duplicates corpus never funnels through the
+    driver.
     """
+    dtypes = dict(pairs.dtypes)
+    integral_ids = {dtypes.get(src_col), dtypes.get(dst_col)} <= {
+        "tinyint", "smallint", "int", "bigint"
+    }
+    if local_threshold_edges and integral_ids:
+        probe = pairs.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        ).limit(local_threshold_edges + 1).collect()
+        if len(probe) <= local_threshold_edges:
+            rows = _components_local([(r.u, r.v) for r in probe])
+            spark = pairs.sparkSession
+            schema = "node long, component long"
+            # threshold-bounded by construction -> downstream joins
+            # against the corpus should broadcast this side
+            if not rows:
+                return F.broadcast(spark.createDataFrame([], schema))
+            return F.broadcast(spark.createDataFrame(rows, schema))
     edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
