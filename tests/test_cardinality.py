@@ -343,3 +343,47 @@ def test_null_ids_reconcile_stream_vs_batch(spark, tmp_path):
     assert last["click"] == pytest.approx(batch_est["click"], rel=1e-12)
     # sanity: estimate is near the true 23 distinct non-null ids
     assert abs(batch_est["click"] - 23) <= max(4 * 0.046 * 23, 3.0)
+
+
+def test_large_ids_with_null_reconcile_stream_vs_batch(spark, tmp_path):
+    """Ids above 2^53 sharing a micro-batch with a NULL (r9 ADVICE):
+    the old pandas-side float64 round-trip rounded such ids before
+    stringifying, so the stream hashed a WRONG id while batch hashed
+    the exact CAST(long AS STRING). The id column is now stringified
+    JVM-side, so the Arrow batch never floats — registers must match
+    bit-for-bit."""
+    import pytest
+
+    from tmdataloader_spark.operators.cardinality import (
+        cardinality_monitor_stream,
+        hll_cardinality,
+    )
+
+    schema = "event_id long, user_id long, event_type string"
+    big = 2**60
+    # adjacent huge ids that collide under float64 rounding, plus NULLs
+    rows = [(i, big + i, "click") for i in range(40)]
+    rows += [(100 + i, None, "click") for i in range(5)]
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "bigid_card_in")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        cardinality_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("bigid_card_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from bigid_card_test").collect()
+    finally:
+        q.stop()
+    (batch,) = hll_cardinality(df).collect()
+    (stream_row,) = out
+    assert stream_row.est_distinct == pytest.approx(batch.est_distinct, rel=1e-12)
+    # teeth: the float64 round-trip would have merged the 40 distinct
+    # huge ids into far fewer register entries
+    assert abs(stream_row.est_distinct - 40) <= max(4 * 0.046 * 40, 5.0)

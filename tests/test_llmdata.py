@@ -851,3 +851,44 @@ def test_components_local_and_distributed_identical(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
     assert connected_components(empty, local_threshold_edges=0).count() == 0
+
+
+def test_connected_components_null_endpoints_both_paths(spark):
+    """A half-NULL edge carries no linkage and must be DROPPED by both
+    the bounded union-find fast path and the distributed loop (r9
+    ADVICE: None endpoints crashed the local min-comparison while the
+    join path silently ignored them — a behavior fork)."""
+    from tmdataloader_spark.llmdata.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 5), (7, None), (None, None), (2, 3)],
+        "doc_a long, doc_b long",
+    )
+    expect = {1: 1, 2: 1, 3: 1}
+    local = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, local_threshold_edges=0).collect()
+    }
+    assert local == expect
+    assert dist == expect
+
+
+def test_bpe_local_gate_bounded_by_bytes(spark):
+    """The driver-local BPE fast path must also bound BYTES (r9
+    ADVICE: 200k multi-MB docs pass the row gate yet OOM the driver).
+    Under a tiny byte budget the distributed loop runs — and still
+    produces the identical merge list."""
+    from tmdataloader_spark.llmdata import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    local = bpe.bpe_learn(docs, k=3)
+    # byte budget of 1 forces the distributed path despite 6 rows
+    dist = bpe.bpe_learn(docs, k=3, local_threshold_bytes=1)
+    assert local == dist
+    assert len(local) == 3

@@ -158,3 +158,24 @@ def test_sequence_dictionary_dense_and_invariant(spark):
     assert out[1] == by_val[42]
     assert out[2] is None
     assert out[3] == by_val[9_223_372_036_854_000_000]
+
+
+def test_q_ident_escapes_embedded_quotes():
+    """Identifier quoting must double embedded double quotes (r9
+    ADVICE) — pure string checks, no live database needed."""
+    from pyspark.sql import SparkSession
+
+    from tmdataloader_spark.sinks import _q_ident, _q_table
+
+    assert _q_ident('plain') == '"plain"'
+    assert _q_ident('we"ird') == '"we""ird"'
+    assert _q_table('sch"ema.ta"ble') == '"sch""ema"."ta""ble"'
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from tmdataloader_spark.sinks import pg_create_table_sql
+
+        df = spark.createDataFrame([(1,)], ['col"umn'])
+        ddl = pg_create_table_sql(df, 'evil"name')
+        assert '"col""umn" bigint' in ddl
+        assert '"evil""name"' in ddl

@@ -687,3 +687,27 @@ def test_micro_quantizer_matches_batch_half_up(spark):
         return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
     assert any(_old(v) != _micro_q(v) for v in values)
+
+
+def test_micro_quantizer_overflow_mirrors_cast_null():
+    """|v| >= 1e32 does not fit decimal(38,6): Spark's cast yields
+    NULL (ANSI off) and the batch SUM skips the row — _micro_q must
+    return None, not raise (r9 ADVICE: the default 28-digit context
+    raised decimal.InvalidOperation from 1e22 up)."""
+    import math
+
+    from tmdataloader_spark.streaming import _micro_q
+
+    # previously-raising magnitudes now quantize exactly (on the
+    # double's shortest-repr digits, same as Spark's cast)
+    assert _micro_q(1e22) == 10**28
+    assert _micro_q(-1.2345678901234568e20) == -123456789012345680000000000
+    # past decimal(38,6) range -> None, mirroring cast overflow
+    assert _micro_q(1e32) is None
+    assert _micro_q(-1e33) is None
+    assert _micro_q(float("nan")) is None
+    assert _micro_q(float("inf")) is None
+    assert _micro_q(-float("inf")) is None
+    # boundary: largest double below 1e32 still fits
+    below = math.nextafter(1e32, 0)
+    assert _micro_q(below) is not None

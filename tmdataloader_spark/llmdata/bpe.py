@@ -172,6 +172,7 @@ def bpe_learn(
     sample_fraction: float | None = None,
     salt: str = "bpe",
     local_threshold_rows: int = 200_000,
+    local_threshold_bytes: int = 256 << 20,
 ) -> list[tuple[str, str]]:
     """Learn ``k`` merges: per round, count adjacent symbol pairs
     over the (progressively merged) corpus encoding and take the most
@@ -203,15 +204,31 @@ def bpe_learn(
     with ``local_threshold_rows=0`` — the distributed loop runs, so an
     unsampled 100 TB corpus never funnels through the driver. The
     collect here is the ONE deliberately sample-sized (not k-sized)
-    driver transfer in the library, bounded by the threshold."""
+    driver transfer in the library, bounded by the threshold.
+
+    Rows alone don't bound the transfer (r9 ADVICE: 200k multi-MB
+    documents pass the row gate yet OOM the driver), so the probe also
+    sums ``octet_length(text)`` over the row-bounded prefix and
+    requires it ≤ ``local_threshold_bytes`` (default 256 MiB of raw
+    text; symbolized strings are ~2-3×, still driver-sized) — above
+    either bound the distributed loop runs."""
     base = df.select(F.col(id_col), F.col(text_col))
     if sample_fraction is not None:
         from tmdataloader_spark.llmdata.sampling import hash_sample
 
         base = hash_sample(base, sample_fraction, id_col=id_col, salt=salt)
     if local_threshold_rows:
-        sample_n = base.limit(local_threshold_rows + 1).count()
-        if sample_n <= local_threshold_rows:
+        probe = (
+            base.limit(local_threshold_rows + 1)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length(F.col(text_col))).alias("nbytes"),
+            )
+            .collect()[0]
+        )
+        sample_n = probe["n"]
+        sample_bytes = probe["nbytes"] or 0
+        if sample_n <= local_threshold_rows and sample_bytes <= local_threshold_bytes:
             rows = base.select(
                 symbolize(F.col(text_col)).alias("_enc")
             ).collect()

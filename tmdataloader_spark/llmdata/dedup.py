@@ -752,6 +752,11 @@ def connected_components(
     integral_ids = {dtypes.get(src_col), dtypes.get(dst_col)} <= {
         "tinyint", "smallint", "int", "bigint"
     }
+    # a half-NULL edge carries no linkage: drop it in BOTH paths so
+    # the fast path and the distributed loop keep identical semantics
+    # (r9 ADVICE — None endpoints made the local union-find's
+    # min-comparison raise while the join path silently ignored them)
+    pairs = pairs.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
     if local_threshold_edges and integral_ids:
         probe = pairs.select(
             F.col(src_col).alias("u"), F.col(dst_col).alias("v")

@@ -45,7 +45,7 @@ import hashlib
 import math
 from typing import Iterable, Iterator
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 #: default precision: 2^9 = 512 registers, rsd ≈ 1.04/√512 ≈ 4.6%
 DEFAULT_B = 9
@@ -188,14 +188,14 @@ def cardinality_monitor_stream(
     independent), and the emitted estimate equals
     ``hll_estimate``'s to float-division determinism."""
     m = 1 << b
-    # a NULL anywhere in an Arrow int batch turns the whole pandas
-    # column float64 ('123' would stringify as '123.0' while the batch
-    # twin hashes CAST(123 AS STRING) = '123') — remember integral
-    # Spark types so surviving ids can be pinned back to int64
-    _id_is_integral = isinstance(
-        events.schema[id_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    )
+    # Stringify the id JVM-side: the batch twin hashes
+    # md5(CAST(id AS STRING)), and casting in the plan means pandas
+    # never sees a numeric column at all. The previous pandas-side
+    # pin-back (float64→int64 after a NULL floated the Arrow batch)
+    # was lossy for ids > 2^53 — float64 has 53 mantissa bits, so the
+    # stream hashed a rounded id while batch hashed the exact one
+    # (r9 ADVICE); Spark's own long→string cast is exact at any width.
+    events = events.withColumn(id_col, F.col(id_col).cast("string"))
 
     def fn(key, pdfs: Iterable, state) -> Iterator:
         import pandas as pd
@@ -211,8 +211,6 @@ def cardinality_monitor_stream(
             # the batch twin's md5(NULL)=NULL contributes nothing —
             # breaking the register-exact reconciliation (r8 ADVICE)
             ids = pdf[id_col].dropna()
-            if _id_is_integral and ids.dtype.kind == "f":
-                ids = ids.astype("int64")
             for raw in ids.astype(str):
                 bucket, rank = _bucket_rank(_hash60(raw), b)
                 if rank > regs[bucket]:

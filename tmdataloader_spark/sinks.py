@@ -75,11 +75,19 @@ _PG_TYPES = {
 
 
 
+def _q_ident(name: str) -> str:
+    """Quote ONE SQL identifier, doubling embedded double quotes —
+    without the doubling a name containing ``"`` produces malformed
+    (and injectable, were names attacker-influenced) SQL handed to
+    ``psql -c`` (r9 ADVICE)."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
 def _q_table(table: str) -> str:
     """Quote a possibly schema-qualified table name part-by-part
     ('deapp.de_variant_dataset' -> '"deapp"."de_variant_dataset"') so
     frames can land directly in the reference's schema-organized DDL."""
-    return ".".join(f'"{p}"' for p in table.split("."))
+    return ".".join(_q_ident(p) for p in table.split("."))
 
 
 def pg_create_table_sql(df: DataFrame, table: str) -> str:
@@ -93,7 +101,7 @@ def pg_create_table_sql(df: DataFrame, table: str) -> str:
             pg = _PG_TYPES.get(dtype)
             if pg is None:
                 raise ValueError(f"no Postgres mapping for Spark type {dtype!r}")
-        cols.append(f'"{name}" {pg}')
+        cols.append(f'{_q_ident(name)} {pg}')
     return f'CREATE TABLE IF NOT EXISTS {_q_table(table)} ({", ".join(cols)})'
 
 
@@ -142,7 +150,9 @@ def write_postgres_copy(
 
     ``mode='append'`` streams straight into ``table``;
     ``mode='upsert'`` (requires ``conflict_cols``) COPYs into a
-    session temp staging table then applies
+    ``{table}__staging`` table (dropped in a ``finally`` — each
+    chunked COPY is its own psql session, so TEMP won't span them)
+    then applies
     ``INSERT ... ON CONFLICT (cols) DO UPDATE SET …`` — the dialect
     quirk a Derby round-trip cannot prove. ``chunk_rows`` bounds the
     bytes buffered per psql feed."""
@@ -154,12 +164,12 @@ def write_postgres_copy(
         run_psql(dsn, pg_create_table_sql(df, table))
         if mode == "upsert":
             # ON CONFLICT arbitration needs a unique index on the keys
-            keys = ", ".join(f'"{c}"' for c in conflict_cols)
+            keys = ", ".join(_q_ident(c) for c in conflict_cols)
             # index names are schema-local — strip any schema qualifier
             idx = table.split(".")[-1] + "__conflict_key"
             run_psql(
                 dsn,
-                f'CREATE UNIQUE INDEX IF NOT EXISTS "{idx}" '
+                f'CREATE UNIQUE INDEX IF NOT EXISTS {_q_ident(idx)} '
                 f'ON {_q_table(table)} ({keys})',
             )
     target = table
@@ -171,35 +181,46 @@ def write_postgres_copy(
     # frame (serial id defaults, audit columns) — COPY then fills them
     # server-side, which is how our frames land in the reference's own
     # DDL (its tables all lead with a sequence-defaulted id)
-    col_list = ", ".join(f'"{c}"' for c in df.columns)
+    col_list = ", ".join(_q_ident(c) for c in df.columns)
     copy_sql = (
         f'\\copy {_q_table(target)} ({col_list}) FROM STDIN WITH (FORMAT csv, NULL \'\')'
     )
     n = 0
     buf: list[str] = []
-    # toLocalIterator: ONE partition resident at a time — the driver is
-    # a stream funnel, not an accumulator (reference topology, above)
-    for row in df.toLocalIterator():
-        buf.append(",".join(_pg_csv_field(v) for v in row))
-        n += 1
-        if len(buf) >= chunk_rows:
+    # the staging table cannot be a true TEMP table — each chunked
+    # COPY is its own psql session — so it is a permanent table with a
+    # GUARANTEED drop: the finally below removes it even when the run
+    # dies between COPY and the final INSERT (r9 ADVICE — it used to
+    # leak on that path)
+    try:
+        # toLocalIterator: ONE partition resident at a time — the
+        # driver is a stream funnel, not an accumulator (reference
+        # topology, above)
+        for row in df.toLocalIterator():
+            buf.append(",".join(_pg_csv_field(v) for v in row))
+            n += 1
+            if len(buf) >= chunk_rows:
+                run_psql(dsn, copy_sql, ("\n".join(buf) + "\n").encode())
+                buf = []
+        if buf:
             run_psql(dsn, copy_sql, ("\n".join(buf) + "\n").encode())
-            buf = []
-    if buf:
-        run_psql(dsn, copy_sql, ("\n".join(buf) + "\n").encode())
-    if mode == "upsert":
-        cols = ", ".join(f'"{c}"' for c in df.columns)
-        keys = ", ".join(f'"{c}"' for c in conflict_cols)
-        sets = ", ".join(
-            f'"{c}" = EXCLUDED."{c}"' for c in df.columns if c not in conflict_cols
-        )
-        action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
-        run_psql(
-            dsn,
-            f'INSERT INTO {_q_table(table)} ({cols}) SELECT {cols} FROM {_q_table(target)} '
-            f"ON CONFLICT ({keys}) {action}; "
-            f'DROP TABLE {_q_table(target)}',
-        )
+        if mode == "upsert":
+            cols = ", ".join(_q_ident(c) for c in df.columns)
+            keys = ", ".join(_q_ident(c) for c in conflict_cols)
+            sets = ", ".join(
+                f'{_q_ident(c)} = EXCLUDED.{_q_ident(c)}'
+                for c in df.columns
+                if c not in conflict_cols
+            )
+            action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+            run_psql(
+                dsn,
+                f'INSERT INTO {_q_table(table)} ({cols}) SELECT {cols} FROM {_q_table(target)} '
+                f"ON CONFLICT ({keys}) {action}",
+            )
+    finally:
+        if mode == "upsert":
+            run_psql(dsn, f"DROP TABLE IF EXISTS {_q_table(target)}")
     return n
 
 

@@ -17,7 +17,7 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
-def _micro_q(v: float) -> int:
+def _micro_q(v: float) -> int | None:
     """Micro-unit quantization with the EXACT semantics of the batch
     twins' ``CAST(value AS DECIMAL(38,6))``: Spark's double→decimal
     cast parses the double's shortest decimal representation
@@ -29,12 +29,28 @@ def _micro_q(v: float) -> int:
     ``64.0000645`` → 64000064 via the binary product but 64000065 via
     the decimal cast — r8 ADVICE, 148 mismatches in a small scan),
     breaking the documented bit-for-bit stream-vs-batch sum_value
-    reconciliation by 1 micro-unit per affected row."""
-    return int(
-        Decimal(repr(float(v)))
-        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        .scaleb(6)
-    )
+    reconciliation by 1 micro-unit per affected row.
+
+    Overflow mirrors the cast too (r9 ADVICE): |v| ≥ 1e32 does not fit
+    decimal(38,6), where Spark (ANSI off) yields NULL and the batch
+    SUM skips the row — so this returns ``None`` instead of raising
+    (the default 28-digit Decimal context would otherwise blow up at
+    |v| ≥ 1e22).  NaN/±inf likewise cast to NULL.  Callers treat
+    ``None`` as a zero contribution to the running sum while still
+    counting the row, matching SUM(cast)-plus-COUNT(*) exactly."""
+    import decimal as _d
+    import math
+
+    fv = float(v)
+    if math.isnan(fv) or math.isinf(fv) or abs(fv) >= 1e32:
+        return None
+    with _d.localcontext() as ctx:
+        ctx.prec = 60  # 32 integer digits + 6 fraction + slack
+        return int(
+            Decimal(repr(fv))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            .scaleb(6)
+        )
 
 
 def read_event_stream(
@@ -204,7 +220,10 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             )
             vals = pdf["value"].to_numpy()
             for t, v in zip(ts_us, vals):
-                vq = _micro_q(v)  # exact micro-units, HALF_UP like batch
+                # exact micro-units, HALF_UP like batch; None (cast
+                # overflow → NULL) contributes 0 to the SUM but the
+                # row still counts, same as SUM(cast)+COUNT(*)
+                vq = _micro_q(v) or 0
                 if start_us is None:
                     seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
                 elif t - last_us > gap_us:
@@ -683,7 +702,7 @@ def drift_monitor_stream(
         if not chunks:
             return
         batch = pd.concat(chunks, ignore_index=True)
-        vq = [_micro_q(v) for v in batch["value"]]
+        vq = [_micro_q(v) or 0 for v in batch["value"]]  # NULL→0, row counts
         bn, btotal = len(vq), sum(vq)
         bmean = btotal / bn / 1e6
         if hist_n > 0:
