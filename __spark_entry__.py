@@ -553,25 +553,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_metrics(_t(spark, sf_dir, "documents"))
 
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting via regex word/number/punct pieces."""
-    d = _t(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
-    return d.select("doc_id", F.size(pieces).alias("n_bpeish_tokens"))
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged single-scan signal projection (retired gates
+    token_count + fingerprint + langid + multimodal_meta, r10): BPE-ish
+    token count, normalization fingerprint, stopword language-ID, and
+    the multimodal metadata of the text bytes as opaque media content
+    (llmdata/text.py text_signals → multimodal.fake_decode_columns).
+    One corpus pass instead of four — the 100 TB-relevant shape."""
+    from tmdataloader_spark.llmdata.text import text_signals
 
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 over the normalized text (lowercase,
-    punctuation stripped, whitespace collapsed)."""
-    d = _t(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "), " +", " "
-        )
-    )
-    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    return text_signals(_t(spark, sf_dir, "documents"))
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,36 +573,6 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmdataloader_spark.llmdata.text import winnow_fingerprints
 
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
-
-
-def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dataset sampling + train/val/test splitting:
-    portable md5-bucket arithmetic, so assignments are stable across
-    runs/engines/appends (what rand()-based sampling can't give a
-    training pipeline). Pure per-row expressions — no shuffle."""
-    from tmdataloader_spark.llmdata.sampling import hash_sample, split_column
-
-    d = _t(spark, sf_dir, "documents")
-    return hash_sample(d, 0.25).select(
-        "doc_id",
-        split_column("doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).alias(
-            "split"
-        ),
-    )
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: English stopword hit-rate over tokens."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
-    stop = F.lit(["the", "a", "and", "of", "to", "in", "is", "for", "on", "it"])
-    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
-        "double"
-    ) / F.size(toks)
-    return d.select(
-        "doc_id",
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
-    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,15 +701,6 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic vectors are near-orthogonal (max pairwise cos ≈ 0.51);
     # 0.4 keeps the check non-vacuous
     return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary content column → Arrow-batched
-    decode (deterministic fake codec) → typed metadata."""
-    from tmdataloader_spark.llmdata.multimodal import decode_media, documents_as_media
-
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return decode_media(media, fake=True)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,13 +1260,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling (llmdata/sampling.py
     stratified_hash_sample): downsample boilerplate languages, keep
     rare ones — one pure per-row expression, no shuffle, no
-    per-stratum population scan; stable across runs/engines/appends."""
-    from tmdataloader_spark.llmdata.sampling import stratified_hash_sample
+    per-stratum population scan; stable across runs/engines/appends.
+    Absorbs the retired hash_split gate (r10): each kept row also
+    carries its train/val/test assignment (split_column) and its
+    25%-subsample membership flag (hash_sample_flag — same salt, so
+    the flag marks the nested hash_sample(0.25) exactly). Still one
+    scan, zero shuffle."""
+    from tmdataloader_spark.llmdata.sampling import (
+        hash_sample_flag,
+        split_column,
+        stratified_hash_sample,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return stratified_hash_sample(
         d, {"en": 0.2, "zh": 1.0}, "lang", default_fraction=0.5
-    ).select("doc_id", "lang")
+    ).select(
+        "doc_id",
+        "lang",
+        split_column("doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).alias(
+            "split"
+        ),
+        hash_sample_flag(0.25).alias("in_25pct"),
+    )
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2517,78 +2485,168 @@ def q_security_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snp_gene_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (SNPDataProcessor.groovy:252-260 via plans/snp.py
+    snp_gene_map_novelty): only (snp_name, entrez_gene_id) pairs not
+    already in de_snp_gene_map are inserted — distinct + NULL-gene
+    filter + left-anti vs the existing map. Incoming synthesized from
+    lineitem (every 7th line has no gene id), existing map from every
+    3rd part."""
+    from tmdataloader_spark.plans.snp import snp_gene_map_novelty
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    incoming = li.select(
+        F.concat(F.lit("SNP_"), F.col("l_partkey").cast("string")).alias("snp_name"),
+        F.when(F.col("l_linenumber") % 7 != 0, F.col("l_suppkey")).alias(
+            "entrez_gene_id"
+        ),
+    )
+    existing = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.concat(F.lit("SNP_"), F.col("p_partkey").cast("string")).alias("snp_name")
+    )
+    return snp_gene_map_novelty(incoming, existing)
+
+
+def q_prune_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""T6/T7: the three node-removal operators chained on one tree —
+    delete_subtree (I2B2_DELETE_1_NODE.sql: drop \AMERICA\ and
+    everything under it), prune_hidden_nodes
+    (I2B2_LOAD_CLINICAL_DATA.sql:64-70,1513-1524: hidden 'xH' nodes
+    deleted, scoped under \ASIA\ — hidden leaves elsewhere must
+    survive), and prune_unused_leaves
+    (I2B2_LOAD_CLINICAL_DATA.sql:78-92,936-947: \EUROPE\ leaves not in
+    the reload's keep-set deleted). Hidden flag synthesized
+    deterministically: leaves named B* get 'LH'."""
+    from tmdataloader_spark.operators.tree import (
+        delete_subtree,
+        fill_in_tree,
+        prune_hidden_nodes,
+        prune_unused_leaves,
+        visual_attributes,
+    )
+
+    nodes = fill_in_tree(_paths(spark, sf_dir).select("path"))
+    attrs = visual_attributes(nodes, "path")
+    hide = F.col("c_visualattributes").startswith("L") & F.col("name").startswith("B")
+    i2b2 = attrs.select(
+        F.col("path").alias("c_fullname"),
+        "name",
+        F.concat(
+            F.substring("c_visualattributes", 1, 1),
+            F.when(hide, F.lit("H")).otherwise(F.lit("A")),
+        ).alias("c_visualattributes"),
+    )
+    s1 = delete_subtree(i2b2, "\\AMERICA\\", path_col="c_fullname")
+    # s2 feeds BOTH the keep-set and the final anti-join — collapse the
+    # shared closure subplan (multi-consumer lazy-plan blowup, r7/r8
+    # pattern) instead of recomputing it per consumer
+    s2 = prune_hidden_nodes(s1, "\\ASIA\\").localCheckpoint(eager=False)
+    keep = s2.filter(
+        F.col("c_fullname").startswith("\\EUROPE\\")
+        & F.col("c_visualattributes").startswith("L")
+        & F.col("name").isin("MACHINERY", "FURNITURE")
+    ).select(F.col("c_fullname").alias("leaf_node"))
+    s3 = prune_unused_leaves(s2, keep, "\\EUROPE\\")
+    return s3.select("c_fullname", "c_visualattributes")
+
+
+def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (AUDIT_FUNCTIONS.sql cz_write_audit:58, polled by
+    AuditableJobRunner.groovy:62,93 via audit.py): per-job
+    monotonically numbered audit steps with per-step rowcounts, the
+    replay query being ORDER BY (job_id, seq_id). Steps record the
+    driver-side orchestration of a 4-table load (rowcounts are
+    data-derived, SQL%ROWCOUNT-style) plus an error step and a second
+    job proving seq numbering restarts per job."""
+    from tmdataloader_spark.audit import AuditLog
+
+    log = AuditLog()
+    job = log.start_job("LOAD_TPCH")
+    for tbl in ("region", "nation", "customer", "orders"):
+        log.step(job, f"load {tbl}", records=_t(spark, sf_dir, tbl).count())
+    log.error(job, "rollback step")
+    log.end_job(job, "FAIL")
+    job2 = log.start_job("RELOAD")
+    log.step(job2, "noop")
+    log.end_job(job2)
+    return log.job_audit(spark).orderBy("job_id", "seq_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 8): the driver checks the FIRST 50 entries.
-    # Window composition is annotated inline below; the rotation
-    # policy itself is enforced by tests/test_window_hygiene.py and
-    # the tail stays oracle-checked by tests/test_oracle_tail.py.
+    # Ordering note: the driver checks the FIRST 50 entries.
+    # r10 WINDOW (VERDICT r9 item 1 — the two-round catch-up repair):
+    #   39 obligated r6-cohort queries (the 44 whose driver rows age
+    #      out, minus the 5 retired this round: token_count/
+    #      fingerprint/langid/multimodal_meta merged into text_signals,
+    #      hash_split folded into stratified_sample),
+    #   4 r8 debuts never driver-checked (plink_fam, vcf_assay_link,
+    #      add_nodes, security_tokens),
+    #   4 r10 debuts (text_signals; snp_gene_novelty/prune_nodes/
+    #      audit_ordering — first oracles for J11/T6+T7/W4),
+    #   1 changed-query re-window (stratified_sample absorbed
+    #      hash_split's split+membership columns),
+    #   2 slack picks from the r7 cohort (random_projection,
+    #      pmi_collocations).
+    # The remaining 48 r7-cohort queries carry a ONE-TIME self-expiring
+    # amnesty (tests/test_window_hygiene.py AMNESTY, expires when
+    # CORRECTNESS_r10.json lands) and ARE the r11 window obligation.
     return {
-        # --- r8 WINDOW (first 50; driver-checked this round) ---
-        # 45 obligated: the r5-green tail queries whose driver rows
-        # age out of the last-two CORRECTNESS files this round
-        # (profile_table .. rollup_agg), kept in their prior order.
-        # 5 slack slots go to r6-only-green queries this round's code
-        # fixes touch (sessionize/ks_drift via the _micro_q + ks_test
-        # decimal repairs, plus the ratio-regime siblings pr_curve/
-        # roc_auc/lm_perplexity) — re-windowing them both re-verifies
-        # the fixes AND shrinks the r9 obligation from 49 to 44.
-        "profile_table": q_profile_table,
-        "table_checksum": q_table_checksum,
-        "user_cardinality": q_user_cardinality,
-        "pagerank": q_pagerank,
-        "snapshot_diff": q_snapshot_diff,
-        "cube_agg": q_cube_agg,
-        "sliding_rollup": q_sliding_rollup,
-        "html_extract": q_html_extract,
-        "mad_outliers": q_mad_outliers,
-        "scd2_history": q_scd2_history,
-        "token_mixture": q_token_mixture,
-        "trending": q_trending,
-        "range_window": q_range_window,
-        "mixture_drift": q_mixture_drift,
-        "weighted_sample": q_weighted_sample,
-        "quantile_profile": q_quantile_profile,
-        "intersect_retained": q_intersect_retained,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "linear_score": q_linear_score,
-        "equi_depth": q_equi_depth,
-        "dict_encode": q_dict_encode,
-        "incremental_rollup": q_incremental_rollup,
-        "negative_samples": q_negative_samples,
-        "chi_square": q_chi_square,
-        "debounce": q_debounce,
-        "throttle": q_throttle,
-        "sliding_distinct": q_sliding_distinct,
-        "winsorize": q_winsorize,
-        "trend_fit": q_trend_fit,
-        "resample_fill": q_resample_fill,
-        "heavy_hitters": q_heavy_hitters,
-        "histogram": q_histogram,
-        "bm25": q_bm25,
-        "bm25_batch": q_bm25_batch,
-        "rrf_fuse": q_rrf_fuse,
-        "mixture_sample": q_mixture_sample,
-        "dup_ngrams": q_dup_ngrams,
-        "curation_report": q_curation_report,
-        "substr_dedup": q_substr_dedup,
-        "prototype_scores": q_prototype_scores,
-        "leakage_split": q_leakage_split,
-        "ccnet_buckets": q_ccnet_buckets,
+        # --- r10 WINDOW (first 50; driver-checked this round) ---
+        "moving_avg": q_moving_avg,
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
+        "bpe_encode": q_bpe_encode,
+        "mixture_upsample": q_mixture_upsample,
+        "triangle_count": q_triangle_count,
+        "link_predict": q_link_predict,
+        "event_transitions": q_event_transitions,
+        "interarrival_profile": q_interarrival_profile,
+        "diversity_profile": q_diversity_profile,
+        "vcf_genotypes": q_vcf_genotypes,
+        "visit_suppression": q_visit_suppression,
+        "simhash": q_simhash,
+        "cleansing": q_cleansing,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "visual_attributes": q_visual_attributes,
+        "timepoints": q_timepoints,
+        "funnel": q_funnel,
+        "event_rollup": q_event_rollup,
+        "curate": q_curate,
+        "fact_assembly": q_fact_assembly,
+        "quota_sample": q_quota_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "json_rollup": q_json_rollup,
+        "embedding_dedup": q_embedding_dedup,
+        "chunk_docs": q_chunk_docs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "plink_fam": q_plink_fam,
+        "vcf_assay_link": q_vcf_assay_link,
+        "add_nodes": q_add_nodes,
+        "security_tokens": q_security_tokens,
+        "text_signals": q_text_signals,
+        "snp_gene_novelty": q_snp_gene_novelty,
+        "prune_nodes": q_prune_nodes,
+        "audit_ordering": q_audit_ordering,
         "stratified_sample": q_stratified_sample,
-        "pair_counts": q_pair_counts,
-        "rollup_agg": q_rollup_agg,
-        "sessionize": q_sessionize,
-        "ks_drift": q_ks_drift,
-        "pr_curve": q_pr_curve,
-        "roc_auc": q_roc_auc,
-        "lm_perplexity": q_lm_perplexity,
-        # --- tail (51+): driver-green r6/r7, oracle-checked at
-        # sf0.01 on every pytest run by tests/test_oracle_tail.py.
-        # First the 50 r7-green entries (these are the r9 window
-        # obligation alongside the remaining 44 r6-only ones below),
-        # then the 44 r6-only-green entries not re-windowed above. ---
         "random_projection": q_random_projection,
         "pmi_collocations": q_pmi_collocations,
+        # --- tail (51+): oracle-checked at sf0.01 every pytest run
+        # by tests/test_oracle_tail.py.  First the 48 amnestied
+        # r7-cohort queries (r11's window obligation, in order),
+        # then the 49 r9-green window queries. ---
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
         "skyline": q_skyline,
@@ -2637,61 +2695,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "study_uniqueness": q_study_uniqueness,
         "tag_substitution": q_tag_substitution,
         "ann_ivfpq": q_ann_ivfpq,
-        "moving_avg": q_moving_avg,
-        "skew_report": q_skew_report,
-        "salted_join": q_salted_join,
-        "bpe_encode": q_bpe_encode,
-        "mixture_upsample": q_mixture_upsample,
-        "triangle_count": q_triangle_count,
-        "link_predict": q_link_predict,
-        "event_transitions": q_event_transitions,
-        "interarrival_profile": q_interarrival_profile,
-        "diversity_profile": q_diversity_profile,
-        "vcf_genotypes": q_vcf_genotypes,
-        "visit_suppression": q_visit_suppression,
-        "hash_split": q_hash_split,
-        "simhash": q_simhash,
-        "multimodal_meta": q_multimodal_meta,
-        "cleansing": q_cleansing,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_redaction": q_pii_redaction,
-        "decontamination": q_decontamination,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "langid": q_langid,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_dropped": q_except_dropped,
-        "union_exclusion": q_union_exclusion,
-        "first_value": q_first_value,
-        "path_functions": q_path_functions,
-        "move_study": q_move_study,
-        "delete_study": q_delete_study,
-        "visual_attributes": q_visual_attributes,
-        "timepoints": q_timepoints,
-        "funnel": q_funnel,
-        "event_rollup": q_event_rollup,
-        "curate": q_curate,
-        "fact_assembly": q_fact_assembly,
-        "quota_sample": q_quota_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "json_rollup": q_json_rollup,
-        "embedding_dedup": q_embedding_dedup,
-        "chunk_docs": q_chunk_docs,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        # --- r8 tail debuts (DEBUT_OVERFLOW exemption, debut=8):
-        # first-ever driver oracles for the four §2 rows that were
-        # pytest-only (S5 fam validation, J10 assay linkage, T4
-        # add-nodes, T10 security); windowed at r9 when the
-        # exemption expires. ---
-        "plink_fam": q_plink_fam,
-        "vcf_assay_link": q_vcf_assay_link,
-        "add_nodes": q_add_nodes,
-        "security_tokens": q_security_tokens,
+        # --- r9-green (driver rows in CORRECTNESS_r09.json) ---
+        "profile_table": q_profile_table,
+        "table_checksum": q_table_checksum,
+        "user_cardinality": q_user_cardinality,
+        "pagerank": q_pagerank,
+        "snapshot_diff": q_snapshot_diff,
+        "cube_agg": q_cube_agg,
+        "sliding_rollup": q_sliding_rollup,
+        "html_extract": q_html_extract,
+        "mad_outliers": q_mad_outliers,
+        "scd2_history": q_scd2_history,
+        "token_mixture": q_token_mixture,
+        "trending": q_trending,
+        "range_window": q_range_window,
+        "mixture_drift": q_mixture_drift,
+        "weighted_sample": q_weighted_sample,
+        "quantile_profile": q_quantile_profile,
+        "intersect_retained": q_intersect_retained,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "linear_score": q_linear_score,
+        "equi_depth": q_equi_depth,
+        "dict_encode": q_dict_encode,
+        "incremental_rollup": q_incremental_rollup,
+        "negative_samples": q_negative_samples,
+        "chi_square": q_chi_square,
+        "debounce": q_debounce,
+        "throttle": q_throttle,
+        "sliding_distinct": q_sliding_distinct,
+        "winsorize": q_winsorize,
+        "trend_fit": q_trend_fit,
+        "resample_fill": q_resample_fill,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
+        "bm25": q_bm25,
+        "bm25_batch": q_bm25_batch,
+        "rrf_fuse": q_rrf_fuse,
+        "mixture_sample": q_mixture_sample,
+        "dup_ngrams": q_dup_ngrams,
+        "curation_report": q_curation_report,
+        "substr_dedup": q_substr_dedup,
+        "prototype_scores": q_prototype_scores,
+        "leakage_split": q_leakage_split,
+        "ccnet_buckets": q_ccnet_buckets,
+        "pair_counts": q_pair_counts,
+        "rollup_agg": q_rollup_agg,
+        "sessionize": q_sessionize,
+        "ks_drift": q_ks_drift,
+        "pr_curve": q_pr_curve,
+        "roc_auc": q_roc_auc,
+        "lm_perplexity": q_lm_perplexity,
     }
-
 
 _PATH_CTE = """
 WITH paths AS (
@@ -4059,6 +4113,33 @@ def oracle_sql() -> dict[str, str]:
         "delete_study": _PATH_CTE + r"""
             SELECT path FROM paths WHERE NOT starts_with(path, '\AFRICA\')
         """,
+        "prune_nodes": _PATH_CTE + r"""
+            , va AS (
+              SELECT a.path, any_value(a.name) AS name,
+                     CASE WHEN count(*) <= 1 THEN 'L' ELSE 'F' END AS c1
+              FROM closure c JOIN nodes a ON c.ancestor_path = a.path
+              GROUP BY a.path
+            ), i2b2 AS (
+              SELECT path AS c_fullname, name,
+                     c1 || (CASE WHEN c1 = 'L' AND starts_with(name, 'B')
+                                 THEN 'H' ELSE 'A' END) AS c_visualattributes
+              FROM va
+            ), s2 AS (  -- delete_subtree(\AMERICA\) then prune_hidden(\ASIA\)
+              SELECT * FROM i2b2
+              WHERE NOT starts_with(c_fullname, '\AMERICA\')
+                AND NOT (starts_with(c_fullname, '\ASIA\')
+                         AND substr(c_visualattributes, 2, 1) = 'H')
+            ), keep AS (
+              SELECT DISTINCT c_fullname FROM s2
+              WHERE starts_with(c_fullname, '\EUROPE\')
+                AND starts_with(c_visualattributes, 'L')
+                AND name IN ('MACHINERY', 'FURNITURE')
+            )
+            SELECT c_fullname, c_visualattributes FROM s2
+            WHERE NOT (starts_with(c_fullname, '\EUROPE\')
+                       AND starts_with(c_visualattributes, 'L')
+                       AND c_fullname NOT IN (SELECT c_fullname FROM keep))
+        """,
         "cleansing": r"""
             WITH s0 AS (
               SELECT p_partkey, '|' || p_type || '(|' || p_brand || '%&|' AS v FROM part
@@ -4137,15 +4218,27 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             mean=_r6("_len_sum", "n_tokens"), stop=_r6("_n_stop", "n_tokens")
         ),
-        "token_count": """
+        "text_signals": """
+            -- texts are ASCII: sha256(varchar) == sha256 of utf-8 bytes
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), ' +') AS toks,
+                     sha256(text) AS sha,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents
+            )
             SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
-            FROM documents
-        """,
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
-            FROM documents
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+                   CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE) / len(toks) >= 0.05
+                        THEN 'en' ELSE 'und' END AS lang_pred,
+                   'image' AS media_type,
+                   n_bytes, sha AS sha256,
+                   64 + ('0x'||substr(sha, 1, 2))::INT % 192 AS width,
+                   64 + ('0x'||substr(sha, 3, 2))::INT % 192 AS height,
+                   0::BIGINT AS duration_ms
+            FROM t
         """,
         "winnow": """
             WITH s1 AS (
@@ -4207,39 +4300,20 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
               SELECT doc_id, lang,
                      ('0x'||left(md5('sample:'||CAST(doc_id AS VARCHAR)),8))::bigint
-                       % 1000000 AS sb
-              FROM documents
-            )
-            SELECT doc_id, lang FROM b
-            WHERE sb < (CASE lang WHEN 'en' THEN 200000
-                                  WHEN 'zh' THEN 1000000
-                                  ELSE 500000 END)
-        """,
-        "hash_split": """
-            WITH b AS (
-              SELECT doc_id,
-                     ('0x'||left(md5('sample:'||CAST(doc_id AS VARCHAR)),8))::bigint
                        % 1000000 AS sb,
                      ('0x'||left(md5('split:'||CAST(doc_id AS VARCHAR)),8))::bigint
                        % 1000000 AS pb
               FROM documents
             )
-            SELECT doc_id,
+            SELECT doc_id, lang,
                    CASE WHEN pb < 800000 THEN 'train'
                         WHEN pb < 900000 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b WHERE sb < 250000
-        """,
-        "langid": """
-            WITH t AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
-              FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
-                     ['the','a','and','of','to','in','is','for','on','it'], x))) AS DOUBLE) / len(toks) >= 0.05
-                        THEN 'en' ELSE 'und' END AS lang_pred
-            FROM t
+                        ELSE 'test' END AS split,
+                   CAST(sb < 250000 AS INT) AS in_25pct
+            FROM b
+            WHERE sb < (CASE lang WHEN 'en' THEN 200000
+                                  WHEN 'zh' THEN 1000000
+                                  ELSE 500000 END)
         """,
         "kmeans": _kmeans_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
@@ -4571,19 +4645,34 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.nv, b.nv) >= 0.4
         """,
-        "multimodal_meta": """
-            -- texts are ASCII: sha256(varchar) == sha256 of utf-8 bytes
-            WITH d AS (
-              SELECT doc_id AS media_id, 'image' AS media_type,
-                     octet_length(encode(text)) AS n_bytes,
-                     sha256(text) AS sha256
-              FROM documents
+        "snp_gene_novelty": """
+            WITH incoming AS (
+              SELECT DISTINCT 'SNP_' || CAST(l_partkey AS VARCHAR) AS snp_name,
+                     CASE WHEN l_linenumber % 7 != 0 THEN l_suppkey END AS entrez_gene_id
+              FROM lineitem
+            ), existing AS (
+              SELECT 'SNP_' || CAST(p_partkey AS VARCHAR) AS snp_name
+              FROM part WHERE p_partkey % 3 = 0
             )
-            SELECT media_id, media_type, n_bytes, sha256,
-                   64 + ('0x'||substr(sha256, 1, 2))::INT % 192 AS width,
-                   64 + ('0x'||substr(sha256, 3, 2))::INT % 192 AS height,
-                   0::BIGINT AS duration_ms
-            FROM d
+            SELECT snp_name, entrez_gene_id FROM incoming i
+            WHERE entrez_gene_id IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.snp_name = i.snp_name)
+        """,
+        "audit_ordering": """
+            SELECT * FROM (
+              SELECT 1 AS job_id, 1 AS seq_id, 'LOAD_TPCH' AS "procedure",
+                     'load region' AS step_desc,
+                     (SELECT CAST(count(*) AS INT) FROM region) AS records,
+                     'Done' AS status
+              UNION ALL SELECT 1, 2, 'LOAD_TPCH', 'load nation',
+                     (SELECT CAST(count(*) AS INT) FROM nation), 'Done'
+              UNION ALL SELECT 1, 3, 'LOAD_TPCH', 'load customer',
+                     (SELECT CAST(count(*) AS INT) FROM customer), 'Done'
+              UNION ALL SELECT 1, 4, 'LOAD_TPCH', 'load orders',
+                     (SELECT CAST(count(*) AS INT) FROM orders), 'Done'
+              UNION ALL SELECT 1, 5, 'LOAD_TPCH', 'rollback step', 0, 'ERROR'
+              UNION ALL SELECT 2, 1, 'RELOAD', 'noop', 0, 'Done'
+            ) ORDER BY job_id, seq_id
         """,
         "ann_cosine": """
             WITH q AS (

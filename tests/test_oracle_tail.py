@@ -21,8 +21,6 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "random_projection",
-    "pmi_collocations",
     "attribution",
     "basket_rules",
     "skyline",
@@ -71,54 +69,55 @@ TAIL = [
     "study_uniqueness",
     "tag_substitution",
     "ann_ivfpq",
-    "moving_avg",
-    "skew_report",
-    "salted_join",
-    "bpe_encode",
-    "mixture_upsample",
-    "triangle_count",
-    "link_predict",
-    "event_transitions",
-    "interarrival_profile",
-    "diversity_profile",
-    "vcf_genotypes",
-    "visit_suppression",
-    "hash_split",
-    "simhash",
-    "multimodal_meta",
-    "cleansing",
-    "dedup_exact",
-    "text_quality",
-    "pii_redaction",
-    "decontamination",
-    "token_count",
-    "fingerprint",
-    "langid",
-    "anti_join",
-    "semi_join",
-    "except_dropped",
-    "union_exclusion",
-    "first_value",
-    "path_functions",
-    "move_study",
-    "delete_study",
-    "visual_attributes",
-    "timepoints",
-    "funnel",
-    "event_rollup",
-    "curate",
-    "fact_assembly",
-    "quota_sample",
-    "dedup_clusters",
-    "json_rollup",
-    "embedding_dedup",
-    "chunk_docs",
-    "ann_lsh",
-    "ann_ivf",
-    "plink_fam",
-    "vcf_assay_link",
-    "add_nodes",
-    "security_tokens",
+    "profile_table",
+    "table_checksum",
+    "user_cardinality",
+    "pagerank",
+    "snapshot_diff",
+    "cube_agg",
+    "sliding_rollup",
+    "html_extract",
+    "mad_outliers",
+    "scd2_history",
+    "token_mixture",
+    "trending",
+    "range_window",
+    "mixture_drift",
+    "weighted_sample",
+    "quantile_profile",
+    "intersect_retained",
+    "fuzzy_dedup",
+    "linear_score",
+    "equi_depth",
+    "dict_encode",
+    "incremental_rollup",
+    "negative_samples",
+    "chi_square",
+    "debounce",
+    "throttle",
+    "sliding_distinct",
+    "winsorize",
+    "trend_fit",
+    "resample_fill",
+    "heavy_hitters",
+    "histogram",
+    "bm25",
+    "bm25_batch",
+    "rrf_fuse",
+    "mixture_sample",
+    "dup_ngrams",
+    "curation_report",
+    "substr_dedup",
+    "prototype_scores",
+    "leakage_split",
+    "ccnet_buckets",
+    "pair_counts",
+    "rollup_agg",
+    "sessionize",
+    "ks_drift",
+    "pr_curve",
+    "roc_auc",
+    "lm_perplexity",
 ]
 
 

@@ -116,6 +116,31 @@ def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int]:
     return w, h, dur
 
 
+def fake_decode_columns(
+    content_col: str = "content", media_type_col: str = "media_type"
+) -> list:
+    """The deterministic fake-decode metadata as pure JVM columns
+    (``sha2``/``length``/``conv(substring(...))`` — whole-stage
+    codegen, mirrors ``_fake_decode`` bit-for-bit). Shared by
+    ``decode_media(fake=True)`` and the one-scan ``text_signals``
+    projection so the two gates can never drift apart."""
+    content = F.coalesce(F.col(content_col), F.lit(b""))
+    sha = F.sha2(content, 256)
+    byte = lambda pos: F.conv(F.substring(sha, pos, 2), 16, 10).cast("int")  # noqa: E731
+    return [
+        F.length(content).cast("long").alias("n_bytes"),
+        sha.alias("sha256"),
+        (F.lit(64) + byte(1) % 192).alias("width"),
+        (F.lit(64) + byte(3) % 192).alias("height"),
+        F.when(
+            F.col(media_type_col).isin("audio", "video"),
+            F.conv(F.substring(sha, 5, 4), 16, 10).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("duration_ms"),
+    ]
+
+
 def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> DataFrame:
     """Decode/feature-extract media rows.
 
@@ -164,23 +189,7 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
             real_batches, schema=DECODED_SCHEMA
         )
     if not use_arrow:
-        content = F.coalesce(F.col("content"), F.lit(b""))
-        sha = F.sha2(content, 256)
-        byte = lambda pos: F.conv(F.substring(sha, pos, 2), 16, 10).cast("int")  # noqa: E731
-        return df.select(
-            "media_id",
-            "media_type",
-            F.length(content).cast("long").alias("n_bytes"),
-            sha.alias("sha256"),
-            (F.lit(64) + byte(1) % 192).alias("width"),
-            (F.lit(64) + byte(3) % 192).alias("height"),
-            F.when(
-                F.col("media_type").isin("audio", "video"),
-                F.conv(F.substring(sha, 5, 4), 16, 10).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("duration_ms"),
-        )
+        return df.select("media_id", "media_type", *fake_decode_columns())
 
     def batches(it):
         import pandas as pd

@@ -70,6 +70,18 @@ def hash_sample(
     return df.filter(_bucket(F.col(id_col), salt) < int(round(fraction * _BUCKETS)))
 
 
+def hash_sample_flag(
+    fraction: float, id_col: Column | str = "doc_id", salt: str = "sample"
+) -> Column:
+    """Membership FLAG (0/1 int) for the deterministic Bernoulli
+    sample ``hash_sample`` keeps — same bucket arithmetic, exposed as
+    a column so a query can carry sample membership alongside other
+    assignments without a second scan. Same salt ⇒ nested subsample
+    of any other same-salt sample/stratification."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (_bucket(c, salt) < int(round(fraction * _BUCKETS))).cast("int")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

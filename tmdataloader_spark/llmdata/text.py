@@ -149,6 +149,39 @@ def language_id(text: Column | str, threshold: float = 0.05) -> Column:
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und"))
 
 
+def text_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-scan per-document signal projection: BPE-ish token count,
+    normalization fingerprint, language ID, and the multimodal
+    metadata of the text bytes viewed as opaque media content
+    (n_bytes/sha256/fake-decoded dims via
+    ``multimodal.fake_decode_columns``).
+
+    Replaces four single-projection gate queries (token_count,
+    fingerprint, langid, multimodal_meta — retired r10) with ONE scan:
+    at 100 TB each extra pass over the corpus is the dominant cost, so
+    signal extraction composes into a single projection — pure
+    codegen, no shuffle, column pruning intact."""
+    from tmdataloader_spark.llmdata.multimodal import fake_decode_columns
+
+    return df.select(
+        id_col,
+        bpeish_token_count(text_col).alias("n_bpeish_tokens"),
+        fingerprint(text_col).alias("fingerprint"),
+        language_id(text_col).alias("lang_pred"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+    ).select(
+        id_col,
+        "n_bpeish_tokens",
+        "fingerprint",
+        "lang_pred",
+        "media_type",
+        *fake_decode_columns(),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
