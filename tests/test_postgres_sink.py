@@ -179,3 +179,58 @@ def test_q_ident_escapes_embedded_quotes():
         ddl = pg_create_table_sql(df, 'evil"name')
         assert '"col""umn" bigint' in ddl
         assert '"evil""name"' in ddl
+
+
+def test_upsert_staging_per_run_and_self_healing(spark, pg_dsn):
+    """r10 ADVICE: the upsert staging name carries a pid+counter nonce
+    (concurrent upserts must not drop each other's staging), and the
+    sink pre-drops its staging name before CREATE so a hard-crashed
+    prior run (kill -9 before the finally, then pid/counter reuse)
+    cannot brick every subsequent upsert."""
+    import tmdataloader_spark.sinks as sinks
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, s string")
+    run_psql(pg_dsn, 'DROP TABLE IF EXISTS "ups_heal"')
+    # leak a stale staging table under the NAME THE NEXT UPSERT WILL
+    # USE, with a conflicting schema — the pre-drop must heal it
+    nxt = next(sinks._staging_counter) + 1
+    leaked = f"ups_heal__staging_{os.getpid()}_{nxt}"
+    run_psql(pg_dsn, f'CREATE TABLE "{leaked}" ("wrong" text)')
+    n = write_postgres_copy(
+        df, pg_dsn, "ups_heal", mode="upsert", conflict_cols=["pk"]
+    )
+    assert n == 2
+    rows = _copy_out(pg_dsn, 'SELECT "pk", "s" FROM "ups_heal" ORDER BY "pk"')
+    assert rows == [["1", "a"], ["2", "b"]]
+    # no staging table survives the run
+    left = run_psql(
+        pg_dsn,
+        "SELECT count(*) FROM pg_tables WHERE tablename ~ '^ups_heal__staging'",
+    )
+    assert left.strip() == "0"
+
+
+def test_upsert_drop_failure_does_not_mask_body_error(spark, monkeypatch):
+    """r10 ADVICE: when the database dies mid-COPY, the finally's
+    staging DROP also fails — that failure must be suppressed (warned)
+    so the ORIGINAL COPY error propagates, not the drop's."""
+    import tmdataloader_spark.sinks as sinks
+
+    calls = []
+
+    def fake_run_psql(dsn, sql, stdin=None):
+        calls.append(sql)
+        if "\\copy" in sql:
+            raise RuntimeError("db unreachable (copy)")
+        if sql.startswith("DROP TABLE IF EXISTS") and len(calls) > 2:
+            raise RuntimeError("db unreachable (drop)")
+        return ""
+
+    monkeypatch.setattr(sinks, "run_psql", fake_run_psql)
+    df = spark.createDataFrame([(1, "a")], "pk long, s string")
+    with pytest.warns(UserWarning, match="staging"):
+        with pytest.raises(RuntimeError, match="copy"):
+            sinks.write_postgres_copy(
+                df, "dsn://dead", "t", mode="upsert", conflict_cols=["pk"],
+                create=False,
+            )

@@ -711,3 +711,98 @@ def test_micro_quantizer_overflow_mirrors_cast_null():
     # boundary: largest double below 1e32 still fits
     below = math.nextafter(1e32, 0)
     assert _micro_q(below) is not None
+
+
+def test_all_null_session_emits_null_sum(spark, tmp_path):
+    """r10 ADVICE: a session whose EVERY value casts to NULL under
+    decimal(38,6) (NaN / inf / |v| >= 1e32) must emit sum_value NULL —
+    the batch twin's SUM(CAST(...)) is NULL over all-NULL input, and
+    the stream previously emitted 0.0 there (reconciliation split)."""
+    import datetime as dt
+
+    from tmdataloader_spark.streaming import sessionize_batch, sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    # user 1 session 1: both values cast to NULL; session 2 (normal)
+    # arrives 6h later and closes session 1 by gap
+    batch1 = [
+        (1, 1, "m", t0, float("nan")),
+        (2, 1, "m", t0 + dt.timedelta(minutes=1), 1e33),
+    ]
+    batch2 = [(3, 1, "m", t0 + dt.timedelta(minutes=360), 7.0)]
+    src = str(tmp_path / "nullsess_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("nullsess_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_seq): (r.n_events, r.sum_value)
+            for r in spark.sql("select * from nullsess_test").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got[(1, 1)] == (2, None)  # rows counted, sum NULL like SUM()
+    batch_twin = {
+        (r.user_id, r.session_seq): (r.n_events, r.sum_value)
+        for r in sessionize_batch(
+            spark.createDataFrame(batch1 + batch2, schema), gap_seconds=1800
+        ).collect()
+    }
+    assert batch_twin[(1, 1)] == (2, None)
+
+
+def test_all_null_drift_batch_emits_null_mean(spark, tmp_path):
+    """r10 ADVICE twin for the drift monitor: a micro-batch whose every
+    value casts to NULL reports batch_mean NULL (no drift, no alert),
+    and an all-NULL history reports hist_mean NULL."""
+    import datetime as dt
+
+    from tmdataloader_spark.streaming import drift_monitor_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    batch1 = [(i, 1, "m", t0, float("nan")) for i in range(3)]  # all-NULL seed
+    batch2 = [(10 + i, 1, "m", t0, 2.0) for i in range(3)]
+    src = str(tmp_path / "nulldrift_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        drift_monitor_stream(stream, threshold=1.0)
+        .writeStream.format("memory")
+        .queryName("nulldrift_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("select * from nulldrift_test").collect(), key=lambda r: r.hist_n
+        )
+    finally:
+        q.stop()
+
+    assert len(rows) == 2
+    seed, second = rows
+    # all-NULL batch: mean NULL, no alert
+    assert seed.batch_n == 3 and seed.batch_mean is None and not seed.alert
+    # history exists but holds zero non-NULL values: hist_mean NULL,
+    # drift undefined, no alert
+    assert second.hist_n == 3 and second.hist_mean is None
+    assert second.batch_mean == 2.0 and second.drift is None and not second.alert

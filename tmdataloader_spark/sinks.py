@@ -14,9 +14,16 @@ lock (S10).
 
 from __future__ import annotations
 
+import itertools
 import os
 import subprocess
+import warnings
 from contextlib import contextmanager
+
+#: per-process monotonic suffix for upsert staging tables — combined
+#: with the pid it keeps concurrent upserts to one table from sharing
+#: (and dropping) each other's staging
+_staging_counter = itertools.count()
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -150,8 +157,10 @@ def write_postgres_copy(
 
     ``mode='append'`` streams straight into ``table``;
     ``mode='upsert'`` (requires ``conflict_cols``) COPYs into a
-    ``{table}__staging`` table (dropped in a ``finally`` — each
-    chunked COPY is its own psql session, so TEMP won't span them)
+    per-run ``{table}__staging_{pid}_{seq}`` table (dropped in a
+    ``finally`` — each chunked COPY is its own psql session, so TEMP
+    won't span them; the pid+counter suffix keeps concurrent upserts
+    from sharing a staging)
     then applies
     ``INSERT ... ON CONFLICT (cols) DO UPDATE SET …`` — the dialect
     quirk a Derby round-trip cannot prove. ``chunk_rows`` bounds the
@@ -174,7 +183,16 @@ def write_postgres_copy(
             )
     target = table
     if mode == "upsert":
-        target = f"{table}__staging"
+        # per-run staging name (r10 ADVICE): concurrent upserts to the
+        # same table must not share one staging — a fixed name let one
+        # run's finally drop the other's staging mid-COPY and
+        # interleaved COPYs mix rows
+        target = f"{table}__staging_{os.getpid()}_{next(_staging_counter)}"
+        # self-healing pre-drop (r10 ADVICE): a prior hard-crashed run
+        # (kill -9, OOM) can leak a staging table past its finally —
+        # with pid reuse that name can collide, so drop unconditionally
+        # before creating
+        run_psql(dsn, f"DROP TABLE IF EXISTS {_q_table(target)}")
         run_psql(dsn, pg_create_table_sql(df, target).replace(
             "CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
     # explicit column list: the target may carry MORE columns than the
@@ -220,7 +238,17 @@ def write_postgres_copy(
             )
     finally:
         if mode == "upsert":
-            run_psql(dsn, f"DROP TABLE IF EXISTS {_q_table(target)}")
+            try:
+                run_psql(dsn, f"DROP TABLE IF EXISTS {_q_table(target)}")
+            except Exception as drop_exc:  # noqa: BLE001
+                # an unreachable database makes this drop fail too —
+                # suppress so the body's COPY/INSERT error propagates
+                # instead of being masked (r10 ADVICE); the original
+                # stays reachable via __context__ when we ARE the error
+                warnings.warn(
+                    f"failed to drop upsert staging table {target}: {drop_exc}",
+                    stacklevel=2,
+                )
     return n
 
 

@@ -146,7 +146,8 @@ _SESSION_OUTPUT_SCHEMA = (
 # batch twin's decimal(38,6) sum applies, so stream and batch agree
 # bit-for-bit, not merely to rounding).
 _SESSION_STATE_SCHEMA = (
-    "seq long, start_us long, last_us long, n_events long, sum_micro long"
+    "seq long, start_us long, last_us long, n_events long, sum_micro long, "
+    "n_vals long"
 )
 
 
@@ -155,7 +156,7 @@ def _session_rows(key, closed):
 
     (user_id,) = key
     rows = []
-    for seq, start_us, last_us, n, sv_micro in closed:
+    for seq, start_us, last_us, n, sv_micro, n_vals in closed:
         rows.append(
             {
                 "user_id": user_id,
@@ -167,7 +168,10 @@ def _session_rows(key, closed):
                     "%Y-%m-%d %H:%M:%S"
                 ),
                 "n_events": n,
-                "sum_value": sv_micro / 1_000_000.0,
+                # all values cast to NULL -> SUM is NULL, not 0.0
+                # (r10 ADVICE: matches the batch twin's
+                # SUM(CAST(value AS DECIMAL(38,6))) all-NULL semantics)
+                "sum_value": sv_micro / 1_000_000.0 if n_vals else None,
             }
         )
     return pd.DataFrame(rows, columns=[c.split()[0] for c in _SESSION_OUTPUT_SCHEMA.split(", ")])
@@ -203,9 +207,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             return
 
         if state.exists:
-            seq, start_us, last_us, n, sv = state.get
+            seq, start_us, last_us, n, sv, nv = state.get
         else:
-            seq, start_us, last_us, n, sv = 0, None, None, 0, 0
+            seq, start_us, last_us, n, sv, nv = 0, None, None, 0, 0, 0
 
         closed = []
         # one group's micro-batch rows may span several Arrow chunks and
@@ -222,18 +226,25 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             for t, v in zip(ts_us, vals):
                 # exact micro-units, HALF_UP like batch; None (cast
                 # overflow → NULL) contributes 0 to the SUM but the
-                # row still counts, same as SUM(cast)+COUNT(*)
-                vq = _micro_q(v) or 0
+                # row still counts, same as SUM(cast)+COUNT(*).
+                # n_vals counts the non-NULL contributions so an
+                # all-NULL session emits a NULL sum, like SUM itself.
+                vq0 = _micro_q(v)
+                vq, dv = vq0 or 0, 0 if vq0 is None else 1
                 if start_us is None:
-                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
+                    seq, start_us, last_us, n, sv, nv = (
+                        seq + 1, int(t), int(t), 1, vq, dv,
+                    )
                 elif t - last_us > gap_us:
-                    closed.append((seq, start_us, last_us, n, sv))
-                    seq, start_us, last_us, n, sv = seq + 1, int(t), int(t), 1, vq
+                    closed.append((seq, start_us, last_us, n, sv, nv))
+                    seq, start_us, last_us, n, sv, nv = (
+                        seq + 1, int(t), int(t), 1, vq, dv,
+                    )
                 else:
-                    last_us, n, sv = int(t), n + 1, sv + vq
+                    last_us, n, sv, nv = int(t), n + 1, sv + vq, nv + dv
 
         if start_us is not None:
-            state.update((seq, start_us, last_us, n, sv))
+            state.update((seq, start_us, last_us, n, sv, nv))
             state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         if closed:
             yield _session_rows(key, closed)
@@ -664,7 +675,7 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-_DRIFT_STATE_SCHEMA = "n long, total long"
+_DRIFT_STATE_SCHEMA = "n long, total long, n_vals long"
 _DRIFT_OUTPUT_SCHEMA = (
     "event_type string, batch_n long, batch_mean double, "
     "hist_n long, hist_mean double, drift double, alert boolean"
@@ -696,22 +707,30 @@ def drift_monitor_stream(
         import pandas as pd
 
         (event_type,) = key
-        hist_n, hist_total = state.get if state.exists else (0, 0)
+        hist_n, hist_total, hist_vals = (
+            state.get if state.exists else (0, 0, 0)
+        )
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
         batch = pd.concat(chunks, ignore_index=True)
-        vq = [_micro_q(v) or 0 for v in batch["value"]]  # NULL→0, row counts
-        bn, btotal = len(vq), sum(vq)
-        bmean = btotal / bn / 1e6
-        if hist_n > 0:
+        # NULL→0 in the sum, rows still count; n_vals tracks non-NULL
+        # contributions so an all-NULL batch/history reports a NULL
+        # mean (r10 ADVICE: SUM's all-NULL semantics), not 0.0
+        vq0 = [_micro_q(v) for v in batch["value"]]
+        bn, btotal = len(vq0), sum(v or 0 for v in vq0)
+        bvals = sum(1 for v in vq0 if v is not None)
+        bmean = btotal / bn / 1e6 if bvals else None
+        if hist_n > 0 and hist_vals > 0 and bvals:
             hmean = hist_total / hist_n / 1e6
             drift = abs(bmean - hmean)
             alert = drift > thr
+        elif hist_n > 0 and hist_vals > 0:
+            hmean, drift, alert = hist_total / hist_n / 1e6, None, False
         else:
             hmean, drift, alert = None, None, False
-        state.update((hist_n + bn, hist_total + btotal))
+        state.update((hist_n + bn, hist_total + btotal, hist_vals + bvals))
         yield pd.DataFrame(
             [
                 {
