@@ -217,3 +217,277 @@ def test_gwas_plink_blobs_land_in_reference_ddl(spark, pg_dsn):
         (path,) = _glob.glob(os.path.join(fix, f"*{ext}"))
         with open(path, "rb") as fh:
             assert lzo_decompress(bytes.fromhex(hexed)) == fh.read(), ext
+
+
+CLINICAL_PATH_MIGRATION = (
+    "/root/reference/sql/postgres/migrations/"
+    "2015011300000000_UPDATED_PATH_LENGTH.sql"
+)
+
+#: The clinical warehouse core. The reference repo ships no CREATE
+#: TABLE for these (they come from the external tranSMART-data base
+#: schema), so this bootstrap states the PUBLIC i2b2 1.7 CRC/ONT data
+#: model restricted to the columns the reference's own inserts name
+#: (observation_fact: I2B2_LOAD_CLINICAL_DATA.sql:1386-1404 incl. the
+#: tranSMART sample_cd extension; concept_dimension :950-957; i2b2
+#: :1010-1030; patient_dimension :898-915; concept_counts
+#: I2B2_CREATE_CONCEPT_COUNTS.sql:80-84), with the public model's
+#: PK/NOT NULL/width constraints. The reference's OWN path-length
+#: migration (2015011300000000_UPDATED_PATH_LENGTH.sql) then runs
+#: VERBATIM on top — it only applies if this bootstrap matches the
+#: table/column/view surface a real tranSMART install presents.
+CLINICAL_CORE_BOOTSTRAP = """
+CREATE SCHEMA IF NOT EXISTS i2b2demodata;
+CREATE SCHEMA IF NOT EXISTS i2b2metadata;
+CREATE SEQUENCE IF NOT EXISTS i2b2demodata.seq_patient_num;
+CREATE SEQUENCE IF NOT EXISTS i2b2demodata.concept_id;
+CREATE TABLE i2b2demodata.observation_fact (
+  encounter_num numeric(38,0) NOT NULL,
+  patient_num numeric(38,0) NOT NULL,
+  concept_cd varchar(50) NOT NULL,
+  provider_id varchar(50) NOT NULL DEFAULT '@',
+  start_date timestamp NOT NULL,
+  modifier_cd varchar(100) NOT NULL DEFAULT '@',
+  instance_num numeric(18,0) NOT NULL DEFAULT 1,
+  valtype_cd varchar(50),
+  tval_char varchar(255),
+  nval_num numeric(18,5),
+  valueflag_cd varchar(50),
+  location_cd varchar(50),
+  import_date timestamp,
+  sourcesystem_cd varchar(50),
+  sample_cd varchar(200),
+  CONSTRAINT observation_fact_pk PRIMARY KEY
+    (patient_num, concept_cd, modifier_cd, start_date, encounter_num,
+     instance_num, provider_id)
+);
+CREATE TABLE i2b2demodata.patient_dimension (
+  patient_num numeric(38,0) NOT NULL PRIMARY KEY,
+  sex_cd varchar(50),
+  age_in_years_num numeric(38,0),
+  race_cd varchar(50),
+  update_date timestamp,
+  download_date timestamp,
+  import_date timestamp,
+  sourcesystem_cd varchar(50)
+);
+CREATE TABLE i2b2demodata.concept_dimension (
+  concept_path varchar(700) NOT NULL PRIMARY KEY,
+  concept_cd varchar(50) NOT NULL,
+  name_char varchar(2000),
+  update_date timestamp,
+  download_date timestamp,
+  import_date timestamp,
+  sourcesystem_cd varchar(50)
+);
+-- the path migration ALTERs a table literally named
+-- concept_dimenstion (sic) — present in real tranSMART installs, so
+-- the verbatim run needs it here too
+CREATE TABLE i2b2demodata.concept_dimenstion (
+  concept_path varchar(700) NOT NULL
+);
+CREATE TABLE i2b2demodata.concept_counts (
+  concept_path varchar(700),
+  parent_concept_path varchar(700),
+  patient_count int
+);
+CREATE TABLE i2b2metadata.i2b2 (
+  c_hlevel int NOT NULL,
+  c_fullname varchar(700) NOT NULL,
+  c_name varchar(2000) NOT NULL,
+  c_synonym_cd char(1) NOT NULL,
+  c_visualattributes char(3) NOT NULL,
+  c_basecode varchar(50),
+  c_metadataxml text,
+  c_facttablecolumn varchar(50) NOT NULL,
+  c_tablename varchar(150) NOT NULL,
+  c_columnname varchar(50) NOT NULL,
+  c_columndatatype varchar(50) NOT NULL,
+  c_operator varchar(10) NOT NULL,
+  c_dimcode varchar(700) NOT NULL,
+  c_comment text,
+  c_tooltip varchar(900),
+  m_applied_path varchar(700) NOT NULL DEFAULT '@',
+  update_date timestamp NOT NULL,
+  download_date timestamp,
+  import_date timestamp,
+  sourcesystem_cd varchar(50),
+  valuetype_cd varchar(50),
+  c_path varchar(700),
+  c_symbol varchar(50)
+);
+CREATE TABLE i2b2metadata.i2b2_secure (
+  c_hlevel int,
+  c_fullname varchar(700),
+  c_name varchar(2000),
+  m_applied_path varchar(700),
+  c_path varchar(700),
+  secure_obj_token varchar(50)
+);
+-- the migration DROPs this view bare (no IF EXISTS), then recreates
+-- it — the base install ships it, so the bootstrap must too
+CREATE VIEW i2b2metadata.i2b2_trial_nodes AS
+ SELECT DISTINCT ON (i2b2.c_comment) i2b2.c_fullname,
+    "substring"(i2b2.c_comment, 7) AS trial
+   FROM i2b2metadata.i2b2
+  WHERE i2b2.c_comment IS NOT NULL
+  ORDER BY i2b2.c_comment, char_length(i2b2.c_fullname::text);
+"""
+
+
+@pytest.fixture(scope="module")
+def clinical_core(pg_dsn):
+    """Bootstrap the public-i2b2 clinical core, then run the
+    reference's path-length migration VERBATIM on top."""
+    if not os.path.isfile(CLINICAL_PATH_MIGRATION):
+        pytest.skip("reference sql tree not present")
+    for role in ("i2b2metadata", "tm_cz", "biomart_user"):
+        try:
+            run_psql(pg_dsn, f"CREATE ROLE {role}")
+        except RuntimeError as e:
+            if "already exists" not in str(e):
+                raise
+    for tbl in (
+        "i2b2demodata.observation_fact", "i2b2demodata.patient_dimension",
+        "i2b2demodata.concept_dimension", "i2b2demodata.concept_dimenstion",
+        "i2b2demodata.concept_counts", "i2b2metadata.i2b2",
+        "i2b2metadata.i2b2_secure",
+    ):
+        run_psql(pg_dsn, f"DROP TABLE IF EXISTS {tbl} CASCADE")
+    run_psql(pg_dsn, CLINICAL_CORE_BOOTSTRAP)
+    # the reference's own migration, untouched — it only succeeds if
+    # the bootstrap presents the exact surface it expects
+    run_script(pg_dsn, CLINICAL_PATH_MIGRATION)
+    return pg_dsn
+
+
+GOLDEN_PATH = (
+    "\\Test Studies\\Test Study\\Biomarker Data\\Mutations"
+    "\\TST001 (Entrez ID: 1956)\\AA mutation\\"
+)
+
+
+def test_clinical_frames_land_in_reference_core(spark, clinical_core):
+    """End-to-end drop-in proof for the warehouse's center of gravity:
+    GSE0 through OUR clinical plan, frames mapped onto the reference's
+    insert contracts (I2B2_LOAD_CLINICAL_DATA.sql:898-1404), COPY'd
+    into the migrated clinical core — with Postgres enforcing the
+    composite observation_fact PK, NOT NULLs, and varchar widths — and
+    the reference's golden integration number (AA-mutation node = 9
+    patients) recomputed INSIDE Postgres from the landed rows."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.plans.clinical import load_clinical
+    from tmdataloader_spark.sources.mapping import melt_clinical_study
+
+    dsn = clinical_core
+    res = load_clinical(
+        spark,
+        melt_clinical_study(
+            spark,
+            "/root/reference/fixtures/Test Studies/Test Study_GSE0/"
+            "ClinicalDataToUpload/Test Study_GSE0_Mapping_File.txt",
+        ),
+        "GSE0",
+        "\\Test Studies\\Test Study\\",
+    )
+    # our patient_num is a 64-bit deterministic hash; the reference
+    # fills numeric ids from i2b2demodata.seq_patient_num — allocate
+    # ONE dense dictionary and apply it to every frame that carries
+    # the surrogate, preserving FK consistency
+    pat_dict = sequence_dictionary(res.patient_dimension, "patient_num")
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    patients = apply_sequence(res.patient_dimension, "patient_num", pat_dict).select(
+        "patient_num", "sex_cd", "age_in_years_num", "race_cd",
+        ts.alias("update_date"), ts.alias("download_date"),
+        ts.alias("import_date"), "sourcesystem_cd",
+    )
+    # observation_fact contract (:1386-1404): encounter_num :=
+    # patient_num, '@' provider/valueflag/location, instance_num 0
+    facts = apply_sequence(res.observation_fact, "patient_num", pat_dict).select(
+        F.col("patient_num").alias("encounter_num"),
+        "patient_num", "concept_cd", ts.alias("start_date"), "modifier_cd",
+        "valtype_cd", "tval_char", "nval_num", "sourcesystem_cd",
+        ts.alias("import_date"),
+        F.lit("@").alias("valueflag_cd"), F.lit("@").alias("provider_id"),
+        F.lit("@").alias("location_cd"),
+        F.lit(0).alias("instance_num"), "sample_cd",
+    )
+    concept_dim = res.concept_dimension.select(
+        "concept_cd", "concept_path", "name_char",
+        ts.alias("update_date"), ts.alias("download_date"),
+        ts.alias("import_date"), "sourcesystem_cd",
+    )
+    # i2b2 contract (:1010-1030): constants + path-derived dim/tooltip
+    i2b2 = res.i2b2.select(
+        "c_hlevel", "c_fullname", "c_name", "c_visualattributes",
+        F.lit("N").alias("c_synonym_cd"),
+        F.lit("CONCEPT_CD").alias("c_facttablecolumn"),
+        F.lit("CONCEPT_DIMENSION").alias("c_tablename"),
+        F.lit("CONCEPT_PATH").alias("c_columnname"),
+        F.col("c_fullname").alias("c_dimcode"),
+        F.col("c_fullname").alias("c_tooltip"),
+        ts.alias("update_date"), ts.alias("download_date"),
+        ts.alias("import_date"), "sourcesystem_cd", "c_basecode",
+        F.lit("LIKE").alias("c_operator"),
+        F.lit("T").alias("c_columndatatype"),
+        F.lit("trial:GSE0").alias("c_comment"),
+        F.lit("@").alias("m_applied_path"),
+    )
+    counts = res.concept_counts.select(
+        "concept_path",
+        F.regexp_replace(
+            "concept_path", r"[^\\\\]+\\\\$", ""
+        ).alias("parent_concept_path"),
+        F.col("patient_count").cast("int").alias("patient_count"),
+    )
+
+    loads = [
+        ("i2b2demodata.patient_dimension", patients),
+        ("i2b2demodata.concept_dimension", concept_dim),
+        ("i2b2metadata.i2b2", i2b2),
+        ("i2b2demodata.observation_fact", facts),
+        ("i2b2demodata.concept_counts", counts),
+    ]
+    written = {}
+    for table, frame in loads:
+        written[table] = write_postgres_copy(frame, dsn, table, create=False)
+    for table, frame in loads:
+        (db_n,) = run_psql(dsn, f"SELECT count(*) FROM {table}").split()
+        assert int(db_n) == written[table] == frame.count(), table
+
+    # the reference's golden integration number, recomputed INSIDE
+    # Postgres from the landed facts: 9 distinct patients across the
+    # leaves UNDER the AA-mutation node (facts attach at child leaves;
+    # the node count is the ancestor rollup I2B2_CREATE_CONCEPT_COUNTS
+    # computes through the tree)
+    golden = run_psql(
+        dsn,
+        "SELECT count(DISTINCT f.patient_num) FROM "
+        "i2b2demodata.observation_fact f "
+        "JOIN i2b2demodata.concept_dimension c ON f.concept_cd = c.concept_cd "
+        f"WHERE starts_with(c.concept_path, '{GOLDEN_PATH}')",
+    ).strip()
+    assert golden == "9"
+    # ...and it matches the concept_counts row our plan computed
+    cc = run_psql(
+        dsn,
+        "SELECT patient_count FROM i2b2demodata.concept_counts "
+        f"WHERE concept_path = '{GOLDEN_PATH}'",
+    ).strip()
+    assert cc == "9"
+    # the migrated width actually took: a >700-char path fits now
+    run_psql(
+        dsn,
+        "INSERT INTO i2b2metadata.i2b2 (c_hlevel, c_fullname, c_name, "
+        "c_synonym_cd, c_visualattributes, c_facttablecolumn, c_tablename, "
+        "c_columnname, c_columndatatype, c_operator, c_dimcode, update_date) "
+        "VALUES (1, repeat('x', 1500), 'wide', 'N', 'FA', 'CONCEPT_CD', "
+        "'CONCEPT_DIMENSION', 'CONCEPT_PATH', 'T', 'LIKE', 'd', now())",
+    )
+    # the composite observation_fact PK arbitrates: re-COPY violates it
+    with pytest.raises(RuntimeError, match="observation_fact_pk"):
+        write_postgres_copy(
+            facts, dsn, "i2b2demodata.observation_fact", create=False
+        )
