@@ -892,3 +892,30 @@ def test_bpe_local_gate_bounded_by_bytes(spark):
     dist = bpe.bpe_learn(docs, k=3, local_threshold_bytes=1)
     assert local == dist
     assert len(local) == 3
+
+
+def test_text_signals_matches_decode_media_and_split_gates(spark):
+    """The r10 merged gates must stay bit-equal to the operators they
+    retired: text_signals' media columns == decode_media(fake=True)
+    over documents_as_media (shared fake_decode_columns helper), and
+    stratified_sample's in_25pct flag == hash_sample(0.25) membership
+    (same salt ⇒ nested subsample)."""
+    from tmdataloader_spark.llmdata.multimodal import (
+        decode_media,
+        documents_as_media,
+    )
+    from tmdataloader_spark.llmdata.sampling import hash_sample, hash_sample_flag
+    from tmdataloader_spark.llmdata.text import text_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = text_signals(docs).select(
+        F.col("doc_id").alias("media_id"), "media_type", "n_bytes",
+        "sha256", "width", "height", "duration_ms",
+    )
+    dec = decode_media(documents_as_media(docs), fake=True)
+    assert sig.exceptAll(dec).count() == 0 and dec.exceptAll(sig).count() == 0
+
+    flagged = docs.select("doc_id", hash_sample_flag(0.25).alias("f"))
+    kept = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    for r in flagged.collect():
+        assert (r.f == 1) == (r.doc_id in kept)
