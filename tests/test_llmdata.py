@@ -919,3 +919,33 @@ def test_text_signals_matches_decode_media_and_split_gates(spark):
     kept = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
     for r in flagged.collect():
         assert (r.f == 1) == (r.doc_id in kept)
+
+
+def test_ivf_and_ivfpq_and_block_ann_recall(spark, embeddings):
+    """Recall@5 vs brute-force truth for every approximate ANN index,
+    not just LSH: IVF (nprobe=4 of 16 cells) and block ANN should
+    recover most true neighbors on this corpus; IVF-PQ adds code
+    quantization loss on top of cell routing, so its bar is lower but
+    still bounded — a silent recall collapse in the cell router /
+    code tables turns these red."""
+    from tmdataloader_spark.llmdata.similarity import (
+        cosine_topk_expr,
+        ivf_ann,
+        ivfpq_ann,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk_expr(q, embeddings, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in ivf_ann(q, embeddings, k=5, ncentroids=16, nprobe=4).collect()
+    }
+    assert len(truth & ivf) / len(truth) >= 0.5, "IVF recall collapsed"
+    pq = {
+        (r.query_id, r.cand_id)
+        for r in ivfpq_ann(q, embeddings, k=5).collect()
+    }
+    assert len(truth & pq) / len(truth) >= 0.3, "IVF-PQ recall collapsed"
