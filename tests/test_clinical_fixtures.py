@@ -296,3 +296,44 @@ def test_non_unique_column_names_load(spark):
         "\\Test Studies\\Test Study With Non Unique Column Names\\",
     )
     assert res.observation_fact.count() > 0
+
+
+def test_extra_level_top_node_keeps_upper_levels_studyless(spark):
+    r"""ClinicalDataProcessorTest.groovy:847-857 — loading under a
+    DEEPER top node (\Test Studies\Extra Level\<study>\) must not set
+    the study id on upper-level directories: the reference adds them
+    via i2b2_fill_in_tree(null, tPath)
+    (I2B2_LOAD_CLINICAL_DATA.sql:196-213), so '\Test Studies\Extra
+    Level\' exists exactly once with NULL sourcesystem_cd, while the
+    study subtree carries the trial id; the Age node still counts all
+    9 patients."""
+    study = "Test Study Deeper in the Tree"
+    mapping = (
+        f"{FIX}Test Study Deeper in the Tree_GSE0EL/ClinicalDataToUpload/"
+        "Test Study Deeper in the Tree_GSE0EL_Mapping_File.txt"
+    )
+    top = f"\\Test Studies\\Extra Level\\{study}\\"
+    res = load_clinical(spark, melt_clinical_study(spark, mapping), "GSE0EL", top)
+
+    counts = {
+        r["concept_path"]: r["patient_count"] for r in res.concept_counts.collect()
+    }
+    assert counts[top + "Subjects\\Demographics\\Age (AGE)\\"] == 9
+
+    upper = res.concept_dimension.filter(
+        F.col("concept_path") == "\\Test Studies\\Extra Level\\"
+    ).collect()
+    assert len(upper) == 1 and upper[0]["sourcesystem_cd"] is None
+    root = res.concept_dimension.filter(
+        F.col("concept_path") == "\\Test Studies\\"
+    ).collect()
+    assert len(root) == 1 and root[0]["sourcesystem_cd"] is None
+    # the study node itself and everything below carry the trial id
+    tagged = {
+        r["concept_path"]: r["sourcesystem_cd"]
+        for r in res.concept_dimension.collect()
+    }
+    assert tagged[top] == "GSE0EL"
+    assert all(
+        v == "GSE0EL" for p, v in tagged.items() if p.startswith(top)
+    )

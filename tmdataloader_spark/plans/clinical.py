@@ -298,11 +298,18 @@ def load_clinical(
     i2b2 = (
         all_nodes.join(leaf_flags, on="path", how="left")
         .withColumn("c_basecode", F.sha2(F.col("path"), 256).substr(1, 16))
-        # the shared root node (hlevel 0) belongs to no study — it is
-        # added by I2B2_ADD_ROOT_NODE without a sourcesystem_cd
+        # nodes ABOVE the study root belong to no study: the root is
+        # added by I2B2_ADD_ROOT_NODE and any intermediate upper-level
+        # directories by i2b2_fill_in_tree(null, tPath) — both with
+        # NULL sourcesystem_cd (I2B2_LOAD_CLINICAL_DATA.sql:189,208;
+        # ClinicalDataProcessorTest.groovy:847-857 asserts the NULL on
+        # the extra level). Only topNode and below carry the trial id.
         .withColumn(
             "sourcesystem_cd",
-            F.when(F.col("hlevel") > 0, F.lit(trial_id)),
+            F.when(
+                F.col("hlevel") >= len([c for c in top_node.split("\\") if c]) - 1,
+                F.lit(trial_id),
+            ),
         )
         .select(
             F.col("path").alias("c_fullname"),
