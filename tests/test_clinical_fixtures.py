@@ -337,3 +337,71 @@ def test_extra_level_top_node_keeps_upper_levels_studyless(spark):
     assert all(
         v == "GSE0EL" for p, v in tagged.items() if p.startswith(top)
     )
+
+
+def test_serial_ldd_timestamps_with_per_subject_baseline(spark, tmp_path):
+    r"""ClinicalDataProcessorTest.groovy:860-915 ('Serial LDD data with
+    timestamp different baseline in one column'), replicated byte-for-
+    byte from the reference's builder: the mapped variable's value is
+    the Days column, the PATH timepoint comes from the $$Timestamp tag
+    column, and the leaf is renamed to the interval vs the per-subject
+    Baseline column ('Baseline', '1 minute', '-5 minutes', '2 hours').
+    Counts and per-subject facts must land under the RENAMED leaves —
+    r10 caught fact assembly joining on the un-renamed timestamp leaf,
+    which silently dropped every timestamp fact."""
+    mapping = tmp_path / "TS_Mapping_File.txt"
+    data = tmp_path / "TEST.txt"
+    mapping.write_text(
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tbaseline\tvariable_type\n"
+        "TEST.txt\t\t1\tSTUDY_ID\t\t\n"
+        "TEST.txt\t\t2\tSUBJ_ID\t\t\n"
+        "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\tBaseline\tTimestamp\n"
+        "TEST.txt\t\t4\tTimestamp\t\tTimestamp\n"
+        "TEST.txt\tVars\t5\tSex\t\t\n"
+        "TEST.txt\t\t6\tBaseline\t\t\n"
+    )
+    rows = [
+        ("SUBJ1", "0", "2000-12-31 12:00", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:01", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "12", "2000-12-31 12:02", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:05", "Female", "2000-12-31 12:00"),
+        ("SUBJ2", "5", "2000-12-31 12:00", "Male", "2000-12-31 12:05"),
+        ("SUBJ2", "13", "2000-12-31 12:02", "Male", "2000-12-31 12:05"),
+        ("SUBJ2", "15", "2000-12-31 12:05", "Male", "2000-12-31 12:05"),
+        ("SUBJ3", "7", "2000-12-31 11:00", "Male", "2000-12-31 11:05"),
+        ("SUBJ3", "8", "2000-12-31 11:02", "Male", "2000-12-31 11:05"),
+        ("SUBJ3", "9", "2000-12-31 11:05", "Male", "2000-12-31 11:05"),
+        ("SUBJ4", "17", "2000-12-31 13:00", "Male", "2000-12-31 11:05"),
+        ("SUBJ4", "18", "2000-12-31 13:02", "Male", "2000-12-31 11:05"),
+        ("SUBJ4", "19", "2000-12-31 13:05", "Male", "2000-12-31 11:05"),
+    ]
+    data.write_text(
+        "STUDY_ID\tSUBJ_ID\tDays\tTimestamp\tSex\tBaseline\n"
+        + "".join(f"GSE0SLDDWTS\t{s}\t{d}\t{t}\t{x}\t{b}\n" for s, d, t, x, b in rows)
+    )
+    top = "\\Test Studies\\TS Study\\"
+    res = load_clinical(
+        spark, melt_clinical_study(spark, str(mapping)), "GSE0SLDDWTS", top
+    )
+    tp = top + "Vars\\Timestamp\\"
+    counts = {
+        r["concept_path"]: r["patient_count"] for r in res.concept_counts.collect()
+    }
+    assert counts[tp + "Baseline\\"] == 3
+    assert counts[tp + "1 minute\\"] == 1
+
+    pats = {
+        r["sourcesystem_cd"]: r["patient_num"]
+        for r in res.patient_dimension.collect()
+    }
+    facts = {
+        (r["concept_path"], r["patient_num"]): r["nval_num"]
+        for r in res.observation_fact.collect()
+    }
+    subj = lambda s: pats[f"GSE0SLDDWTS:{s}"]  # noqa: E731
+    assert facts[(tp + "Baseline\\", subj("SUBJ1"))] == 0
+    assert facts[(tp + "Baseline\\", subj("SUBJ2"))] == 15
+    assert facts[(tp + "Baseline\\", subj("SUBJ3"))] == 9
+    assert facts[(tp + "1 minute\\", subj("SUBJ1"))] == 10
+    assert facts[(tp + "-5 minutes\\", subj("SUBJ3"))] == 7
+    assert facts[(tp + "2 hours\\", subj("SUBJ4"))] == 19

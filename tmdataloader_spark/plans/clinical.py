@@ -195,6 +195,23 @@ def _substitute_placeholders():
     ).otherwise(subst)
 
 
+def _rename_timestamp_leaf(leaf_col):
+    r"""Timestamp-variable leaf rename (shared by build_trial_nodes and
+    fact assembly — the two MUST stay expression-identical or facts
+    fall out of the node join): when the row carries a baseline, the
+    last path component (the raw timestamp) becomes the timepoint
+    interval label vs that baseline ('Baseline', '1 minute', ...;
+    functions/timepoints.timestamp_to_timepoint, X4)."""
+    renamed = replace_last_path_component(
+        leaf_col,
+        timestamp_to_timepoint(
+            F.to_timestamp(get_last_path_component(leaf_col)),
+            F.to_timestamp(F.col("baseline_value")),
+        ),
+    )
+    return F.when(F.col("baseline_value").isNotNull(), renamed).otherwise(leaf_col)
+
+
 def build_trial_nodes(df: DataFrame, top_node: str) -> DataFrame:
     r"""Stage 5b (:758-798): distinct leaf paths with placeholders
     substituted; numeric leaves omit DATAVALUE; ``\\``-runs collapse;
@@ -216,15 +233,8 @@ def build_trial_nodes(df: DataFrame, top_node: str) -> DataFrame:
     ).distinct()
     # Timestamp variables: leaf renamed to the timepoint interval label
     has_baseline = F.col("baseline_value").isNotNull()
-    renamed = replace_last_path_component(
-        F.col("leaf_node"),
-        timestamp_to_timepoint(
-            F.to_timestamp(get_last_path_component("leaf_node")),
-            F.to_timestamp(F.col("baseline_value")),
-        ),
-    )
     nodes = nodes.withColumn(
-        "leaf_node", F.when(has_baseline, renamed).otherwise(F.col("leaf_node"))
+        "leaf_node", _rename_timestamp_leaf(F.col("leaf_node"))
     ).withColumn(
         "valuetype_cd",
         F.when(has_baseline, F.lit("TIMEPOINT")).otherwise(F.col("valuetype_cd")),
@@ -331,6 +341,12 @@ def load_clinical(
     # join nodes (broadcast: node count ≪ fact count) and patients.
     subst = _substitute_placeholders()
     leaf = F.regexp_replace(F.concat(F.lit(top_node), subst, F.lit("\\")), r"(\\){2,}", "\\\\")
+    # Timestamp leaves were renamed to timepoint labels in
+    # build_trial_nodes — rename the fact's leaf IDENTICALLY or every
+    # timestamp fact silently falls out of the inner node join
+    # (ClinicalDataProcessorTest.groovy:860-954 counts patients at
+    # '\Baseline\'/'\1 minute\' nodes)
+    leaf = _rename_timestamp_leaf(leaf)
     facts_raw = work.withColumn("leaf_node", leaf)
     node_keys = F.broadcast(
         trial_nodes.select("leaf_node").distinct().join(
