@@ -405,3 +405,44 @@ def test_serial_ldd_timestamps_with_per_subject_baseline(spark, tmp_path):
     assert facts[(tp + "1 minute\\", subj("SUBJ1"))] == 10
     assert facts[(tp + "-5 minutes\\", subj("SUBJ3"))] == 7
     assert facts[(tp + "2 hours\\", subj("SUBJ4"))] == 19
+
+
+def test_serial_ldd_timestamps_with_terminator(spark, tmp_path):
+    r"""ClinicalDataProcessorTest.groovy:956-994: the `+$` terminator
+    composes with the $$Timestamp tag — the category ends with the
+    terminator (no visit-name suffix), and the timestamp component is
+    still renamed to its interval label."""
+    mapping = tmp_path / "TS_Mapping_File.txt"
+    data = tmp_path / "TEST.txt"
+    mapping.write_text(
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tbaseline\tvariable_type\n"
+        "TEST.txt\t\t1\tSTUDY_ID\t\t\n"
+        "TEST.txt\t\t2\tSUBJ_ID\t\t\n"
+        "TEST.txt\tVars+DATALABEL+$$Timestamp+$\t3\tTimestamp\tBaseline\tTimestamp\n"
+        "TEST.txt\t\t4\tTimestamp\t\tTimestamp\n"
+        "TEST.txt\tVars\t5\tSex\t\t\n"
+        "TEST.txt\t\t6\tBaseline\t\t\n"
+    )
+    rows = [
+        ("SUBJ1", "0", "2000-12-31 12:00", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:01", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "12", "2000-12-31 12:02", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:05", "Female", "2000-12-31 12:00"),
+        ("SUBJ2", "5", "2000-12-31 12:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ2", "13", "2000-12-31 12:02", "Male", "2000-12-31 12:00"),
+        ("SUBJ2", "15", "2000-12-31 12:05", "Male", "2000-12-31 12:00"),
+    ]
+    data.write_text(
+        "STUDY_ID\tSUBJ_ID\tDays\tTimestamp\tSex\tBaseline\n"
+        + "".join(f"GSE0SLDDWTS\t{s}\t{d}\t{t}\t{x}\t{b}\n" for s, d, t, x, b in rows)
+    )
+    top = "\\Test Studies\\TS Study\\"
+    res = load_clinical(
+        spark, melt_clinical_study(spark, str(mapping)), "GSE0SLDDWTS", top
+    )
+    counts = {
+        r["concept_path"]: r["patient_count"] for r in res.concept_counts.collect()
+    }
+    tp = top + "Vars\\Timestamp\\"
+    assert counts[tp + "Baseline\\"] == 2
+    assert counts[tp + "1 minute\\"] == 1
