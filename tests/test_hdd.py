@@ -292,3 +292,26 @@ def test_load_samples_node_templating_mirrors_reference(spark):
     # null tissue follows the 'Unspecified Tissue Type' default
     # (I2B2_LOAD_SAMPLES.sql:330) under the resolved platform title
     assert f"{top}LDR\\Loader Test Platform\\Unspecified Tissue Type\\" in nodes
+
+
+def test_platform_multiple_gene_ids(spark):
+    """PlatformLoaderTest.groovy:28-44 (testMultipleGeneIds) on the
+    reference's own fixtures/Platforms/TST.txt: with
+    use_first_gene_id, '123 /// 456' keeps the first id (123) and the
+    symbol truncates at the same '///'; an empty id lands as NULL; ALL
+    6 rows load. Without the flag (default), the non-numeric multi-id
+    row is skipped entirely (GexPlatform.eachEntry:70) and the empty
+    id still lands as NULL."""
+    from tmdataloader_spark.sources.gpl import read_gpl
+
+    path = "/root/reference/fixtures/Platforms/TST.txt"
+    first = read_gpl(spark, path, "TST", use_first_gene_id=True).annotation
+    rows = {r.gene_symbol: r.entrez_gene_id for r in first.collect()}
+    assert first.count() == 6
+    assert rows["MULTID"] == "123"
+    assert rows["ARX"] is None
+
+    default = read_gpl(spark, path, "TST").annotation
+    drows = {r.gene_symbol: r.entrez_gene_id for r in default.collect()}
+    assert default.count() == 5 and "MULTID" not in drows
+    assert drows["ARX"] is None

@@ -313,7 +313,10 @@ def main(argv: list[str] | None = None) -> int:
             for study_dir, rel in studies:
                 parent = args.parent_node + rel
                 print(f">>> STUDY {study_dir} -> {parent}")
-                loaded = load_study(spark, study_dir, parent_node=parent)
+                loaded = load_study(
+                    spark, study_dir, parent_node=parent,
+                    use_first_gene_id=args.use_first_gene_id,
+                )
                 for ptype, d, status, err in loaded.manifest:
                     print(f"    {ptype:<14} {status}{': ' + err if err else ''}")
                 if not loaded.succeeded:

@@ -416,6 +416,7 @@ def load_hdd(
     top_node: str,
     omics: str = "expression",
     log_base: float = 2.0,
+    use_first_gene_id: bool = False,
 ) -> HDDLoadResult:
     """The parameterized HDD pipeline: one kernel instantiated per
     omics type (the reference's six ~1100-LoC stored-procedure twins —
@@ -435,7 +436,10 @@ def load_hdd(
     platforms = [r[0] for r in mapping.select("platform").distinct().collect()]
     platform_path = os.path.join(data_dir, f"{platforms[0]}.txt")
     if ot.name == "expression":
-        platform = read_gpl(spark, platform_path, platforms[0], marker_type=ot.marker_type)
+        platform = read_gpl(
+            spark, platform_path, platforms[0], marker_type=ot.marker_type,
+            use_first_gene_id=use_first_gene_id,
+        )
     else:
         platform = read_omics_platform(spark, platform_path, platforms[0], ot.marker_type)
 

@@ -104,6 +104,7 @@ def load_snp(
     top_node: str,
     existing_gene_map: DataFrame | None = None,
     data_type: str = "L",
+    use_first_gene_id: bool = False,
 ) -> SnpLoadResult:
     """Full SNP load of an ``SNPDataToUpload`` directory."""
     data_dir = str(data_dir)
@@ -120,7 +121,7 @@ def load_snp(
     platforms = [r[0] for r in mapping.select("platform").distinct().collect()]
     platform = read_gpl(
         spark, os.path.join(data_dir, f"{platforms[0]}.txt"), platforms[0],
-        marker_type="SNP",
+        marker_type="SNP", use_first_gene_id=use_first_gene_id,
     )
 
     calls_files, cn_files = _file_columns(spark, data_dir, mapping_path)

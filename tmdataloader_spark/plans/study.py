@@ -150,6 +150,7 @@ def load_study(
     study_dir: str,
     parent_node: str = "\\Test Studies",
     audit: AuditLog | None = None,
+    use_first_gene_id: bool = False,
 ) -> StudyLoadResult:
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
@@ -192,7 +193,8 @@ def load_study(
                     res = load_clinical(spark, landing, trial, top_node)
                 elif ptype in _HDD_ROUTE:
                     res = load_hdd(
-                        spark, type_dir, study_id, top_node, _HDD_ROUTE[ptype]
+                        spark, type_dir, study_id, top_node, _HDD_ROUTE[ptype],
+                        use_first_gene_id=use_first_gene_id,
                     )
                 elif ptype in _SERIAL_HDD_ROUTE:
                     from tmdataloader_spark.plans.hdd import load_serial_hdd
@@ -203,7 +205,7 @@ def load_study(
                 elif ptype == "VCF":
                     res = load_vcf_study(spark, type_dir, top_node)
                 elif ptype == "SNP":
-                    res = load_snp(spark, type_dir, study_id, top_node)
+                    res = load_snp(spark, type_dir, study_id, top_node, use_first_gene_id=use_first_gene_id)
                 elif ptype == "ACGH":
                     # the aCGH mapping file carries its own trial id
                     res = load_acgh(spark, type_dir, None, top_node)

@@ -35,6 +35,7 @@ def read_gpl(
     path: str | os.PathLike,
     platform_id: str | None = None,
     marker_type: str = "Gene Expression",
+    use_first_gene_id: bool = False,
 ) -> GplPlatform:
     meta = read_head_meta(path)
     platform = platform_id or meta.get("PLATFORM_ID") or os.path.basename(str(path)).rsplit(".", 1)[0]
@@ -54,21 +55,48 @@ def read_gpl(
     if entrez is None or symbol is None:
         raise ValueError(f"Incorrect platform file header: {cols[:6]}...")
 
-    # numeric-or-empty entrez ids only (GexPlatform.eachEntry skips
-    # non-numeric ids unless useFirstGeneId)
-    ann = df.select(
-        F.lit(platform).alias("gpl_id"),
-        F.col(f"`{cols[0]}`").cast("string").alias("probeset_id"),
-        F.col(f"`{symbol}`").cast("string").alias("gene_symbol"),
-        F.col(f"`{entrez}`").cast("string").alias("entrez_gene_id"),
-        (
-            F.coalesce(F.col(f"`{species}`").cast("string"), F.lit(organism))
-            if species
-            else F.lit(organism)
-        ).alias("organism"),
-    ).filter(
-        F.coalesce(F.col("entrez_gene_id"), F.lit("")).rlike(r"^\d*$")
-    )
+    raw_id = F.trim(F.coalesce(F.col(f"`{entrez}`").cast("string"), F.lit("")))
+    raw_sym = F.coalesce(F.col(f"`{symbol}`").cast("string"), F.lit(""))
+    if use_first_gene_id:
+        # --use-first-gene-id (CommandLineTool.groovy:59,218;
+        # PlatformProcessor.normalizeGeneIdAndSymbol:57-73, decided
+        # 2015-07-17): '123 /// 456' keeps the first id, the gene
+        # symbol is truncated at the same '///', rows are NEVER
+        # skipped — a still-non-numeric id becomes NULL, a symbol with
+        # no word character becomes ''
+        norm_id = F.regexp_replace(raw_id, " *//+.*", "")
+        sym = F.when(norm_id != raw_id, F.regexp_replace(raw_sym, " *//+.*", "")).otherwise(raw_sym)
+        gene_id = F.when(norm_id.rlike(r"^\d+$"), norm_id)
+        sym = F.when(sym.rlike(r"\w"), sym).otherwise(F.lit(""))
+        ann = df.select(
+            F.lit(platform).alias("gpl_id"),
+            F.col(f"`{cols[0]}`").cast("string").alias("probeset_id"),
+            sym.alias("gene_symbol"),
+            gene_id.alias("entrez_gene_id"),
+            (
+                F.coalesce(F.col(f"`{species}`").cast("string"), F.lit(organism))
+                if species
+                else F.lit(organism)
+            ).alias("organism"),
+        )
+    else:
+        # numeric-or-empty entrez ids only (GexPlatform.eachEntry skips
+        # non-numeric ids when useFirstGeneId is off); empty ids land
+        # as NULL like the reference's normalized null
+        # filter BEFORE the select: afterwards the original entrez
+        # column name would resolve (case-insensitively) to the new
+        # nulled alias and the skip-filter would pass everything
+        ann = df.filter(raw_id.rlike(r"^\d*$")).select(
+            F.lit(platform).alias("gpl_id"),
+            F.col(f"`{cols[0]}`").cast("string").alias("probeset_id"),
+            F.col(f"`{symbol}`").cast("string").alias("gene_symbol"),
+            F.when(raw_id.rlike(r"^\d+$"), raw_id).alias("entrez_gene_id"),
+            (
+                F.coalesce(F.col(f"`{species}`").cast("string"), F.lit(organism))
+                if species
+                else F.lit(organism)
+            ).alias("organism"),
+        )
     return GplPlatform(
         platform=platform,
         title=title,
