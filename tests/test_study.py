@@ -201,3 +201,49 @@ def test_typed_metadata_links(spark, tmp_path):
         ("GSE9", "123", "Publication Web Link"),
         ("GSE9", "456", "Publication Web Link"),
     }
+
+
+def test_metadata_creates_study_folders(spark):
+    """MetaDataProcessorTest.groovy:93-121 (testCreateStudyFolder) on
+    the GSE0 fixture: the etl-program PROGRAM folder exists at level 0,
+    a STUDY folder at level 1 parents to it, the folder associates to
+    the experiment's EXP:GSE0 uid, and FOL:<id> carries the
+    STUDY_PHASE:DEVELOPMENT_CANDIDATE tag (I2B2_LOAD_STUDY_METADATA.sql
+    :74-100,255-300)."""
+    res = load_study_metadata(spark, STUDY_DIR + "/MetaDataToUpload", "GSE0")
+    folders = {r.folder_name: r for r in res.fm_folder.collect()}
+    prog = folders["etl-program"]
+    assert prog.folder_type == "PROGRAM" and prog.folder_level == 0
+    study = folders["GSE0"]
+    assert study.folder_type == "STUDY" and study.folder_level == 1
+    assert study.parent_id == prog.folder_id
+
+    assoc = res.fm_folder_association.collect()
+    assert [(a.folder_id, a.object_uid, a.object_type) for a in assoc] == [
+        (study.folder_id, "EXP:GSE0", "org.transmart.biomart.Experiment")
+    ]
+    tags = res.am_tag_association.collect()
+    assert [(t.subject_uid, t.object_uid, t.object_type) for t in tags] == [
+        (f"FOL:{study.folder_id}", "STUDY_PHASE:DEVELOPMENT_CANDIDATE",
+         "BIO_CONCEPT_CODE")
+    ]
+
+
+def test_metadata_folders_idempotent_with_existing(spark):
+    """Second load with the folders/associations from the first
+    passed as the existing state: the program folder is reused (not
+    re-created), the already-associated study gets NO new folder —
+    the reference's not-exists loop (:261-263)."""
+    res = load_study_metadata(spark, STUDY_DIR + "/MetaDataToUpload", "GSE0")
+    from tmdataloader_spark.plans.metadata import build_study_folders
+
+    fm2, assoc2, tag2 = build_study_folders(
+        res.bio_experiment,
+        res.bio_data_uid,
+        res.landing,
+        existing_folders=res.fm_folder,
+        existing_associations=res.fm_folder_association,
+    )
+    assert fm2.filter(F.col("folder_type") == "PROGRAM").count() == 0
+    assert fm2.filter(F.col("folder_type") == "STUDY").count() == 0
+    assert assoc2.count() == 0 and tag2.count() == 0

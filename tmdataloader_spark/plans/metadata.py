@@ -86,6 +86,10 @@ class MetadataLoadResult:
     data_taxonomies: DataFrame  # bio_data_taxonomy: (accession, taxon_name, etl_source)
     contents: DataFrame  # bio_content analog: (location, title, file_type, etl_id)
     content_references: DataFrame  # bio_content_reference: (accession, location, content_reference_type, etl_id)
+    # folder management (I2B2_LOAD_STUDY_METADATA.sql:74-100,255-300):
+    fm_folder: DataFrame  # (folder_id, folder_name, folder_level, folder_type, active_ind, parent_id, description)
+    fm_folder_association: DataFrame  # (folder_id, object_uid, object_type)
+    am_tag_association: DataFrame  # (subject_uid, object_uid, object_type, tag_item_id)
 
 
 def map_headers(columns: list[str]) -> dict[str, str]:
@@ -154,6 +158,121 @@ def build_bio_experiment(
         incoming.select("accession"), on="accession", how="left_anti"
     )
     return keep.unionByName(incoming.select(existing.columns))
+
+
+def build_study_folders(
+    bio_experiment: DataFrame,
+    bio_data_uid: DataFrame,
+    landing: DataFrame,
+    existing_folders: DataFrame | None = None,
+    existing_associations: DataFrame | None = None,
+    tag_item_id: int | None = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Folder management (I2B2_LOAD_STUDY_METADATA.sql:74-100 program
+    folder, :255-300 study folders; asserted by
+    MetaDataProcessorTest.groovy:93-121): ensure the ``etl-program``
+    PROGRAM folder (level 0), add one STUDY folder (level 1, parent =
+    program) per experiment whose bio_data_uid has no
+    fm_folder_association yet, associate it to the experiment
+    (object_type ``org.transmart.biomart.Experiment``), and tag
+    ``FOL:<id>`` with ``STUDY_PHASE:<PHASE>`` (spaces → ``_``,
+    uppercased) when the study has a phase and the am_tag_item for
+    STUDY_PHASE exists (pass its id; ``None`` skips tagging, like the
+    reference's NULL lookup).
+
+    Returns ``(fm_folder, fm_folder_association, am_tag_association)``
+    — study-count-sized frames; folder ids are allocated densely after
+    the max existing id (the SEQ_FM_ID analog), deterministic by
+    accession order."""
+    from pyspark.sql import Window
+
+    spark = bio_experiment.sparkSession
+    next_id = 1
+    program_id = None
+    if existing_folders is not None:
+        hit = (
+            existing_folders.filter(
+                (F.col("folder_name") == "etl-program")
+                & (F.col("folder_type") == "PROGRAM")
+            )
+            .select("folder_id")
+            .limit(1)
+            .collect()
+        )
+        program_id = hit[0][0] if hit else None
+        mx = existing_folders.agg(F.max("folder_id")).first()[0]
+        next_id = (mx or 0) + 1
+    folder_schema = (
+        "folder_id long, folder_name string, folder_level int, "
+        "folder_type string, active_ind boolean, parent_id long, "
+        "description string"
+    )
+    new_folders = []
+    if program_id is None:
+        program_id = next_id
+        next_id += 1
+        new_folders.append(
+            (
+                program_id, "etl-program", 0, "PROGRAM", True, None,
+                "Special program. Create automatically when tmDataloader "
+                "load metadata for study. Necessary for support study filters",
+            )
+        )
+    phases = (
+        landing.select(F.upper(F.col("study_id")).alias("accession"), "study_phase")
+        if "study_phase" in landing.columns
+        else landing.select(
+            F.upper(F.col("study_id")).alias("accession"),
+            F.lit(None).cast("string").alias("study_phase"),
+        )
+    ).dropDuplicates(["accession"])
+    todo = (
+        bio_experiment.join(bio_data_uid.select("accession", "unique_id"), "accession")
+        .join(phases, "accession", "left")
+        .select("accession", "title", "description", "unique_id", "study_phase")
+    )
+    if existing_associations is not None:
+        todo = todo.join(
+            existing_associations.select(F.col("object_uid").alias("unique_id")),
+            on="unique_id",
+            how="left_anti",
+        )
+    w = Window.orderBy("accession")
+    todo = todo.withColumn(
+        "folder_id", F.row_number().over(w).cast("long") + F.lit(next_id - 1)
+    )
+    studies = todo.select(
+        "folder_id",
+        F.col("title").alias("folder_name"),
+        F.lit(1).alias("folder_level"),
+        F.lit("STUDY").alias("folder_type"),
+        F.lit(True).alias("active_ind"),
+        F.lit(program_id).cast("long").alias("parent_id"),
+        "description",
+    )
+    fm_folder = spark.createDataFrame(new_folders, folder_schema).unionByName(studies)
+    fm_folder_association = todo.select(
+        "folder_id",
+        F.col("unique_id").alias("object_uid"),
+        F.lit("org.transmart.biomart.Experiment").alias("object_type"),
+    )
+    if tag_item_id is None:
+        am_tag_association = spark.createDataFrame(
+            [],
+            "subject_uid string, object_uid string, object_type string, "
+            "tag_item_id int",
+        )
+    else:
+        am_tag_association = todo.filter(F.col("study_phase").isNotNull()).select(
+            F.concat(F.lit("FOL:"), F.col("folder_id")).alias("subject_uid"),
+            F.concat(
+                F.lit("STUDY_PHASE:"),
+                F.upper(F.regexp_replace("study_phase", " ", "_")),
+            ).alias("object_uid"),
+            F.lit("BIO_CONCEPT_CODE").alias("object_type"),
+            F.lit(tag_item_id).cast("int").alias("tag_item_id"),
+        )
+    return fm_folder, fm_folder_association, am_tag_association
 
 
 def build_bio_data_uid(bio_experiment: DataFrame) -> DataFrame:
@@ -318,6 +437,10 @@ def load_study_metadata(
                 f"metadata study id does not match {study_id}"
             )
     bio_experiment = build_bio_experiment(landing, existing_bio_experiment)
+    bio_data_uid = build_bio_data_uid(bio_experiment)
+    fm_folder, fm_assoc, am_tag = build_study_folders(
+        bio_experiment, bio_data_uid, landing
+    )
     compounds, data_compounds = _split_links(landing, "drug_name", "generic_name")
     diseases, data_diseases = _split_links(landing, "condition", "disease")
     taxonomies, data_taxonomies = _split_links(landing, "species", "taxon_name")
@@ -325,7 +448,7 @@ def load_study_metadata(
     return MetadataLoadResult(
         landing=landing,
         bio_experiment=bio_experiment,
-        bio_data_uid=build_bio_data_uid(bio_experiment),
+        bio_data_uid=bio_data_uid,
         tags=build_tags(landing),
         compounds=compounds,
         data_compounds=data_compounds,
@@ -335,4 +458,7 @@ def load_study_metadata(
         data_taxonomies=data_taxonomies,
         contents=contents,
         content_references=content_references,
+        fm_folder=fm_folder,
+        fm_folder_association=fm_assoc,
+        am_tag_association=am_tag,
     )
