@@ -3,6 +3,7 @@ assertions of src/test/groovy/.../etl/VCFDataProcessorTest.groovy
 (311 LoC) — no database, all on DataFrames."""
 
 import pytest
+from pyspark.sql import functions as sf
 
 from tmdataloader_spark.plans.vcf import load_vcf_study
 
@@ -186,3 +187,43 @@ def test_unmapped_samples_fail(spark, tmp_path):
     )
     with pytest.raises(LoadValidationError, match="S2"):
         load_vcf_study(spark, str(d), TOP)
+
+
+def test_multi_vcf_with_configured_paths(spark):
+    """VCFDataProcessorTest.testItLoadsMultipleVcfFilesWithConfiguredPaths
+    (:248-303): the subject-sample mapping's CATEGORY_CD overrides the
+    default VCF+<file> node — Subject0 holds 1 patient, Other holds 2,
+    all three samples land on platform VCF, and the per-dataset detail
+    rows still load."""
+    res = load_vcf_study(
+        spark,
+        "/root/reference/fixtures/Test Studies/Test Study_GSE0/"
+        "MultiVCFDataWithConfiguredPaths",
+        TOP,
+    )
+    nodes = {r["c_fullname"] for r in rows(res.i2b2.select("c_fullname"))}
+    assert TOP + "VCF\\Subjects\\Subject0\\" in nodes
+    assert TOP + "VCF\\Subjects\\Other\\" in nodes
+
+    per_cat = {
+        r["category_cd"]: r["n"]
+        for r in rows(
+            res.sample_mapping.groupBy("category_cd").agg(
+                sf.countDistinct("patient_id").alias("n")
+            )
+        )
+    }
+    assert per_cat == {"VCF+Subjects+Subject0": 1, "VCF+Subjects+Other": 2}
+    samples = {
+        (r["sample_cd"], r["platform"]) for r in rows(res.sample_mapping)
+    }
+    assert samples == {
+        ("VCF_TST001", "VCF"), ("VCF_TST002", "VCF"), ("VCF_TST003", "VCF")
+    }
+    ids = sorted(ds.dataset_id for ds in res.datasets)
+    assert ids == ["GSE0:VCFTEST1", "GSE0:VCFTEST2", "GSE0:VCFTEST3"]
+    by_id = {ds.dataset_id: ds for ds in res.datasets}
+    r = one(by_id["GSE0:VCFTEST1"].subject_detail, pos=16050408, rs_id="rs149201999")
+    assert r["variant_value"] == "0|0:0.050:-0.03,-1.17,-5.00"
+    r2 = one(by_id["GSE0:VCFTEST2"].subject_detail, pos=16050408, rs_id="rs149201999")
+    assert r2["variant_value"] == "0|1:0.900:-0.71,-0.09,-5.00"
