@@ -35,6 +35,25 @@ CASES = {
         1,
         12,
     ),
+    # ProteinDataProcessorTest.testItLoadsDataWithoutPeptide (:83):
+    # the platform/data files have NO peptide column — the protein id
+    # itself is the probe (component == gene_symbol)
+    "protein2": (
+        f"{FIX}/Test Protein Study 2_GSE374251/ProteinDataToUpload",
+        "GSE374251",
+        "Test Study_GSE374251_PROTEIN_Data_R.txt",
+        0,
+        1,
+    ),
+    # ProteinDataProcessorTest.testItLoadsDataWithoutDuplicates (:111):
+    # one row per (probe, sample) — 5 samples => 5 rows per protein
+    "protein3": (
+        f"{FIX}/Test Protein Study 3_GSE374253/ProteinDataToUpload",
+        "GSE374253",
+        "Test Study_GSE374253_PROTEIN_Data_R.txt",
+        0,
+        1,
+    ),
     "mirna_qpcr": (
         f"{FIX}/Test MirnaQpcr Study/MIRNA_QPCRDataToUpload",
         "TEST005",
@@ -74,8 +93,9 @@ def _oracle(data_path, probe_idx, first_sample_idx, platform_probes):
 @pytest.mark.parametrize("omics", list(CASES))
 def test_omics_load_matches_oracle(spark, omics):
     data_dir, trial, data_file, probe_idx, first_sample_idx = CASES[omics]
-    res = load_hdd(spark, data_dir, trial, TOP, omics)
-    assert res.platform.marker_type == OMICS_TYPES[omics].marker_type
+    kind = omics.rstrip("23")
+    res = load_hdd(spark, data_dir, trial, TOP, kind)
+    assert res.platform.marker_type == OMICS_TYPES[kind].marker_type
 
     got = res.data.toPandas()
     assert (got.trial_name == trial).all()
@@ -97,6 +117,10 @@ def test_omics_load_matches_oracle(spark, omics):
     )
     assert (merged._merge == "both").all(), merged[merged._merge != "both"].head()
     assert (merged.zscore - merged.z).abs().max() < 1e-9
+    if omics == "protein3":
+        # testItLoadsDataWithoutDuplicates: exactly one row per
+        # (probe, sample) — 5 samples => 5 rows for O002311
+        assert len(got[got.probeset_id == "O002311"]) == 5
 
 
 def test_rbm_long_format(spark):
