@@ -64,7 +64,8 @@ CASES = {
 }
 
 
-def _oracle(data_path, probe_idx, first_sample_idx, platform_probes):
+def _oracle(data_path, probe_idx, first_sample_idx, platform_probes,
+            r_zero="filter", log_round=None):
     wide = pd.read_csv(data_path, sep="\t", dtype=str)
     probe_col = wide.columns[probe_idx]
     samples = list(wide.columns[first_sample_idx:])
@@ -74,13 +75,28 @@ def _oracle(data_path, probe_idx, first_sample_idx, platform_probes):
     long = long[long[probe_col].isin(platform_probes)]
     long = long[pd.to_numeric(long.x, errors="coerce").notna()]
     long["x"] = long.x.astype(float)
-    # collapse duplicate probes per sample to their mean (A4), then R:
-    # >0 filter, log2, per-probe median/std, clamp
+    # collapse duplicate probes per sample to their mean (A4), then the
+    # per-family R transform (see operators/zscore.log_transform):
+    # filter/shift/zero zero-policies, optional log rounding, per-probe
+    # median/std, clamp
     long = (
         long.groupby([probe_col, "sample"], as_index=False).x.mean()
     )
-    long = long[long.x > 0]
-    long["log2"] = long.x.map(math.log2)
+    if r_zero == "filter":
+        long = long[long.x > 0]
+        long["log2"] = long.x.map(math.log2)
+    elif r_zero == "shift_all":
+        long["log2"] = (long.x + 0.001).map(math.log2)
+    elif r_zero == "shift_nonpos":
+        long["log2"] = long.x.where(long.x > 0, long.x + 0.001).map(math.log2)
+    elif r_zero == "zero":
+        long["log2"] = long.x.map(lambda v: math.log2(v) if v > 0 else 0.0)
+    if log_round is not None:
+        # pandas round is half-even like Spark's ROUND? Spark F.round is
+        # HALF_UP — use explicit decimal-free float rounding that
+        # matches F.round on these magnitudes
+        long["log2"] = long.log2.map(lambda v: float(f"%.{log_round}f" % v)
+                                     if v >= 0 else -float(f"%.{log_round}f" % -v))
     stats = long.groupby(probe_col).log2.agg(["median", "std"])
     out = long.join(stats, on=probe_col)
     out["z"] = ((out.log2 - out["median"]) / out["std"].where(out["std"] > 0)).clip(
@@ -103,8 +119,10 @@ def test_omics_load_matches_oracle(spark, omics):
     probes = set(
         r[0] for r in res.platform.annotation.select("probeset_id").distinct().collect()
     )
+    ot = OMICS_TYPES[kind]
     oracle, probe_col = _oracle(
-        f"{data_dir}/{data_file}", probe_idx, first_sample_idx, probes
+        f"{data_dir}/{data_file}", probe_idx, first_sample_idx, probes,
+        r_zero=ot.r_zero, log_round=ot.log_round,
     )
     sm = res.sample_mapping.toPandas().set_index("sample_cd").assay_id
     oracle = oracle.assign(assay_id=oracle["sample"].map(sm))

@@ -25,17 +25,52 @@ from pyspark.sql import DataFrame, Window, functions as F
 CLAMP = 2.5
 
 
-def log_transform(df: DataFrame, data_type: str, value_col: str = "intensity", log_base: float = 2.0) -> DataFrame:
-    """R → log_base(raw) keeping only positive raws (F10,
-    I2B2_PROCESS_MRNA_DATA.sql:157-159,257-260); L → pass through;
-    T/Z → pass through (value already standardized)."""
+def log_transform(
+    df: DataFrame,
+    data_type: str,
+    value_col: str = "intensity",
+    log_base: float = 2.0,
+    r_zero: str = "filter",
+    log_round: int | None = None,
+) -> DataFrame:
+    """R → log_base(raw); L → pass through; T/Z → pass through (value
+    already standardized).
+
+    ``r_zero`` — the omics families handle non-positive R values
+    DIFFERENTLY in the reference, so the policy is explicit:
+
+    - ``'filter'``   (mRNA/RNASeq): keep only positive raws, log(x)
+      (F10, I2B2_PROCESS_MRNA_DATA.sql:157-159,257-260)
+    - ``'shift_all'`` (proteomics): every row kept, log(x + 0.001)
+      (i2b2_proteomics_zscore_calc.sql:150)
+    - ``'shift_nonpos'`` (metabolomics/RBM): x ≤ 0 → log(x + 0.001),
+      else log(x) (I2B2_METABOLOMICS_ZSCORE_CALC.sql:154,
+      I2B2_RBM_ZSCORE_CALC_NEW.sql:194)
+    - ``'zero'``      (miRNA): x ≤ 0 → 0, else log(x)
+      (I2B2_MIRNA_ZSCORE_CALC.sql:118-121)
+
+    ``log_round`` rounds the R/L log column like the reference does
+    per family (proteomics 4dp :150,122; miRNA 5dp :121-122)."""
     v = F.col(value_col).try_cast("double")
-    if data_type == "R":
-        df = df.filter(v > 0)
+
+    def _log(x):
         # log2 (the overwhelmingly common base, ExpressionDataProcessor
         # passes 2) uses the dedicated intrinsic for bit-exact parity
         # with other engines; other bases fall back to ln(x)/ln(b).
-        log_col = F.log2(v) if float(log_base) == 2.0 else F.log(float(log_base), v)
+        return F.log2(x) if float(log_base) == 2.0 else F.log(float(log_base), x)
+
+    if data_type == "R":
+        if r_zero == "filter":
+            df = df.filter(v > 0)
+            log_col = _log(v)
+        elif r_zero == "shift_all":
+            log_col = _log(v + F.lit(0.001))
+        elif r_zero == "shift_nonpos":
+            log_col = F.when(v <= 0, _log(v + F.lit(0.001))).otherwise(_log(v))
+        elif r_zero == "zero":
+            log_col = F.when(v <= 0, F.lit(0.0)).otherwise(_log(v))
+        else:
+            raise ValueError(f"unknown r_zero policy {r_zero!r}")
         raw_col = v
     elif data_type == "L":
         log_col = v
@@ -43,6 +78,8 @@ def log_transform(df: DataFrame, data_type: str, value_col: str = "intensity", l
     else:  # T / Z: pre-standardized
         log_col = v
         raw_col = F.lit(None).cast("double")
+    if log_round is not None and data_type in ("R", "L"):
+        log_col = F.round(log_col, log_round)
     return df.withColumn("raw_intensity", raw_col).withColumn("log_intensity", log_col)
 
 
@@ -73,6 +110,8 @@ def zscore(
     probe_col: str = "probeset_id",
     value_col: str = "intensity",
     log_base: float = 2.0,
+    r_zero: str = "filter",
+    log_round: int | None = None,
 ) -> DataFrame:
     """Full kernel: log transform → per-probe stats → clamped z-score.
 
@@ -80,7 +119,7 @@ def zscore(
     z-score and is only clamped (I2B2_PROCESS_MRNA_DATA.sql:226-235;
     Groovy forces T→Z, ExpressionDataProcessor.groovy:72-75).
     """
-    df = log_transform(df, data_type, value_col, log_base)
+    df = log_transform(df, data_type, value_col, log_base, r_zero, log_round)
     if data_type in ("T", "Z"):
         z = F.greatest(F.least(F.col("log_intensity"), F.lit(CLAMP)), F.lit(-CLAMP))
         return df.withColumn("zscore", z)

@@ -310,6 +310,11 @@ class OmicsType:
     required_header: tuple[int, str] | None = None
     #: already-long input (RBM): (sample_idx, probe_idx, value_idx)
     long_format: tuple[int, int, int] | None = None
+    #: non-positive-raw policy + log rounding for data_type R — the
+    #: reference's zscore-calc twins differ per family (see
+    #: operators/zscore.log_transform r_zero docstring)
+    r_zero: str = "filter"
+    log_round: int | None = None
 
 
 #: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
@@ -332,6 +337,11 @@ OMICS_TYPES = {
         # header[0]=='PEPTIDE' ⇒ samples start at col 2 (skipping the
         # Majority-protein-IDs column), else col 1
         first_sample_idx=2,
+        # i2b2_proteomics_zscore_calc.sql:150: log2(x + 0.001) over ALL
+        # rows (zeros kept — ProteinDataProcessorTest expects 5 rows
+        # for a protein with one zero sample), rounded to 4dp
+        r_zero="shift_all",
+        log_round=4,
     ),
     "metabolomics": OmicsType(
         "metabolomics",
@@ -340,18 +350,25 @@ OMICS_TYPES = {
         probe_idx=1,
         first_sample_idx=12,  # MetabolomicsDataProcessor.groovy:201
         required_header=(1, "BIOCHEMICAL"),
+        # I2B2_METABOLOMICS_ZSCORE_CALC.sql:154: x<=0 -> log2(x+0.001)
+        r_zero="shift_nonpos",
     ),
     "mirna_qpcr": OmicsType(
         "mirna_qpcr",
         re.compile(r".+_MIRNA_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
         "MIRNA_QPCR",
         required_header=(0, "ID_REF"),
+        # I2B2_MIRNA_ZSCORE_CALC.sql:118-122: x<=0 -> 0, 5dp rounding
+        r_zero="zero",
+        log_round=5,
     ),
     "mirna_seq": OmicsType(
         "mirna_seq",
         re.compile(r".+_MIRNA_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
         "MIRNA_SEQ",
         required_header=(0, "ID_REF"),
+        r_zero="zero",
+        log_round=5,
     ),
     "rbm": OmicsType(
         "rbm",
@@ -360,6 +377,8 @@ OMICS_TYPES = {
         # RBMDataProcessor.groovy:185-205: already-long rows —
         # sampid(col 2) / Analyte(col 5) / avalue(col 7)
         long_format=(2, 5, 7),
+        # I2B2_RBM_ZSCORE_CALC_NEW.sql:194: x<=0 -> log2(x+0.001)
+        r_zero="shift_nonpos",
     ),
 }
 
@@ -508,6 +527,7 @@ def load_hdd(
     scored = zscore(
         collapsed, data_type=data_type, probe_col="probeset_id",
         value_col="intensity", log_base=log_base,
+        r_zero=ot.r_zero, log_round=ot.log_round,
     )
     data = scored.select(
         F.lit(trial_id.upper()).alias("trial_name"),
