@@ -230,3 +230,33 @@ def test_quantile_normalize_unequal_depth_and_prune(spark):
         df, "sample", "v", tie_cols=("rid",), max_rank=1
     ).collect()
     assert {r.rnk for r in pruned} == {1} and len(pruned) == 2
+
+
+def test_mirna_seq_reference_numbers(spark):
+    """MIRNASeqDataProcessorTest.groovy:64-69 pins exact warehouse
+    numbers for sample GSM918944 probe '16': raw 0.163313108,
+    log_intensity -2.61429 (the 5dp rounding the miRNA zscore calc
+    applies — I2B2_MIRNA_ZSCORE_CALC.sql:121-122), zscore 1.05828."""
+    res = load_hdd(
+        spark,
+        f"{FIX}/Test MirnaSeq Study/MIRNA_SEQDataToUpload",
+        "MIRNASEQBASED",
+        TOP,
+        "mirna_seq",
+    )
+    sm = {
+        r.sample_cd: r.assay_id
+        for r in res.sample_mapping.select("sample_cd", "assay_id").collect()
+    }
+    row = (
+        res.data.filter(
+            (res.data.probeset_id == "16")
+            & (res.data.assay_id == sm["GSM918944"])
+        )
+        .collect()
+    )
+    assert len(row) == 1
+    r = row[0]
+    assert abs(r.raw_intensity - 0.163313108) < 1e-12
+    assert abs(r.log_intensity - (-2.61429)) < 1e-12
+    assert abs(r.zscore - 1.05828) < 5e-6
