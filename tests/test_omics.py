@@ -82,7 +82,9 @@ def _oracle(data_path, probe_idx, first_sample_idx, platform_probes,
     long = (
         long.groupby([probe_col, "sample"], as_index=False).x.mean()
     )
-    if r_zero == "filter":
+    if r_zero == "dct":  # miRNA qPCR: value IS a negative log
+        long["log2"] = -long.x
+    elif r_zero == "filter":
         long = long[long.x > 0]
         long["log2"] = long.x.map(math.log2)
     elif r_zero == "shift_all":
@@ -120,9 +122,10 @@ def test_omics_load_matches_oracle(spark, omics):
         r[0] for r in res.platform.annotation.select("probeset_id").distinct().collect()
     )
     ot = OMICS_TYPES[kind]
+    style = "dct" if ot.data_type_override == "C" else ot.r_zero
     oracle, probe_col = _oracle(
         f"{data_dir}/{data_file}", probe_idx, first_sample_idx, probes,
-        r_zero=ot.r_zero, log_round=ot.log_round,
+        r_zero=style, log_round=ot.log_round,
     )
     sm = res.sample_mapping.toPandas().set_index("sample_cd").assay_id
     oracle = oracle.assign(assay_id=oracle["sample"].map(sm))
@@ -260,3 +263,25 @@ def test_mirna_seq_reference_numbers(spark):
     assert abs(r.raw_intensity - 0.163313108) < 1e-12
     assert abs(r.log_intensity - (-2.61429)) < 1e-12
     assert abs(r.zscore - 1.05828) < 5e-6
+
+
+def test_mirna_qpcr_reference_numbers(spark):
+    """MIRNAQpcrDataProcessorTest.groovy:49-68 pins the dCt semantics:
+    sample GSM918938 (subject S57023) probe '1' lands with raw
+    0.113408, log_intensity -0.113408 (NOT log2 — qPCR dCt values are
+    negative logs, I2B2_MIRNA_ZSCORE_CALC.sql:159-170), zscore
+    0.70711 (two samples per probe => +-1/sqrt(2))."""
+    data_dir, trial, *_ = CASES["mirna_qpcr"]
+    res = load_hdd(spark, data_dir, trial, TOP, "mirna_qpcr")
+    sm = {
+        r.sample_cd: r.assay_id
+        for r in res.sample_mapping.select("sample_cd", "assay_id").collect()
+    }
+    row = res.data.filter(
+        (res.data.probeset_id == "1") & (res.data.assay_id == sm["GSM918938"])
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert abs(r.raw_intensity - 0.113408) < 1e-12
+    assert abs(r.log_intensity - (-0.113408)) < 1e-12
+    assert abs(r.zscore - 0.70711) < 5e-6

@@ -59,6 +59,12 @@ def log_transform(
         # with other engines; other bases fall back to ln(x)/ln(b).
         return F.log2(x) if float(log_base) == 2.0 else F.log(float(log_base), x)
 
+    if data_type == "C":
+        # miRNA qPCR dCt: the value IS a negative log already —
+        # log_intensity = -(x), every row kept, no log2
+        # (I2B2_MIRNA_ZSCORE_CALC.sql:159-170; both R and L qPCR files
+        # route here, I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1076-1080)
+        return df.withColumn("raw_intensity", v).withColumn("log_intensity", -v)
     if data_type == "R":
         if r_zero == "filter":
             df = df.filter(v > 0)

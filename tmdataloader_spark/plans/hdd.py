@@ -315,6 +315,9 @@ class OmicsType:
     #: operators/zscore.log_transform r_zero docstring)
     r_zero: str = "filter"
     log_round: int | None = None
+    #: data-type override for R/L inputs (miRNA qPCR routes both to
+    #: the dCt 'C' transform — I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1076)
+    data_type_override: str | None = None
 
 
 #: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
@@ -358,9 +361,9 @@ OMICS_TYPES = {
         re.compile(r".+_MIRNA_Data_([RLTZ])(_GPL\d+)*\.txt$", re.I),
         "MIRNA_QPCR",
         required_header=(0, "ID_REF"),
-        # I2B2_MIRNA_ZSCORE_CALC.sql:118-122: x<=0 -> 0, 5dp rounding
-        r_zero="zero",
-        log_round=5,
+        # qPCR dCt values ARE negative logs: log = -(x), no log2 —
+        # both R and L files route to the 'C' transform
+        data_type_override="C",
     ),
     "mirna_seq": OmicsType(
         "mirna_seq",
@@ -470,6 +473,8 @@ def load_hdd(
     data_type = ot.data_file_re.match(os.path.basename(matrix_files[0])).group(1).upper()
     if data_type == "T":  # Groovy forces T→Z (ExpressionDataProcessor.groovy:72-75)
         data_type = "Z"
+    elif ot.data_type_override is not None and data_type in ("R", "L"):
+        data_type = ot.data_type_override
 
     wide = read_tsv(spark, matrix_files[0], header=True, comment="#")
     if ot.required_header is not None:
