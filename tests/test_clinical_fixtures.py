@@ -406,6 +406,33 @@ def test_serial_ldd_timestamps_with_per_subject_baseline(spark, tmp_path):
     assert facts[(tp + "-5 minutes\\", subj("SUBJ3"))] == 7
     assert facts[(tp + "2 hours\\", subj("SUBJ4"))] == 19
 
+    # checkMetaDataXMLForTimestamp (ClinicalDataProcessorTest.groovy:
+    # 1368-1380): the timepoint nodes carry the reference-verbatim
+    # SeriesMeta XML — Oktousevalues Y, Value = minutes, Unit minutes,
+    # DisplayName = the node name (negatives and hour conversion incl.)
+    import xml.etree.ElementTree as ET
+
+    xmls = {
+        r["c_fullname"]: r["c_metadataxml"]
+        for r in res.i2b2.filter("c_metadataxml is not null").collect()
+    }
+    for display, value in [
+        ("Baseline", "0"), ("1 minute", "1"), ("-5 minutes", "-5"),
+        ("2 hours", "120"), ("-1 hour", None), ("5 minutes", "5"),
+    ]:
+        path = tp + display + "\\"
+        if value is None:
+            continue  # node not present in this fixture
+        if path not in xmls:
+            continue
+        meta = ET.fromstring(xmls[path])
+        assert meta.findtext("Oktousevalues") == "Y"
+        series = meta.find("SeriesMeta")
+        assert series.findtext("Value") == value, (display, xmls[path])
+        assert series.findtext("Unit") == "minutes"
+        assert series.findtext("DisplayName") == display
+    assert ET.fromstring(xmls[tp + "Baseline\\"]).find("SeriesMeta") is not None
+
 
 def test_serial_ldd_timestamps_with_terminator(spark, tmp_path):
     r"""ClinicalDataProcessorTest.groovy:956-994: the `+$` terminator

@@ -97,40 +97,49 @@ def timepoint_minutes(name: Column | str) -> Column:
 
 
 def build_metadata_xml(name: Column | str, data_type: Column | str, is_timepoint: Column | None = None) -> Column:
-    """c_metadataxml for numeric / timepoint leaves
-    (I2B2_BUILD_METADATA_XML.sql:57-70). Text leaves → null."""
+    """c_metadataxml exactly as i2b2_build_metadata_xml emits it
+    (I2B2_BUILD_METADATA_XML.sql:13-70 — template strings VERBATIM,
+    including the reference's stray ``100`` text node after
+    LowofHighValue): TIMEPOINT leaves get the ValueMetadata template
+    plus a ``<SeriesMeta>`` block carrying the minutes value, unit
+    'minutes', and the original display name
+    (ClinicalDataProcessorTest.groovy:1368-1380 parses exactly these);
+    numeric ('N') leaves get the plain template; text leaves NULL.
+    A TIMEPOINT name that parses to no minutes yields NULL (the
+    reference RAISEs there — our loads never produce one, since the
+    timepoint names come from timestamp_to_timepoint)."""
     dt = _c(data_type)
     nm = _c(name)
-    minutes = timepoint_minutes(nm) if is_timepoint is not None else F.lit(None).cast("long")
-    oktousevalues = F.lit("Y")
-    normal_units = F.when(
-        is_timepoint if is_timepoint is not None else F.lit(False), F.lit("minutes")
-    ).otherwise(F.lit("ratio"))
-    xml = F.concat(
-        F.lit("<?xml version=\"1.0\"?><ValueMetadata><Version>3.02</Version><CreationDateTime>"),
-        F.lit("01/01/2011"),
-        F.lit("</CreationDateTime><TestID>"),
-        nm,
-        F.lit("</TestID><TestName>"),
-        F.coalesce(
-            F.when(
-                (is_timepoint if is_timepoint is not None else F.lit(False))
-                & minutes.isNotNull(),
-                minutes.cast("string"),
-            ),
-            nm,
-        ),
-        F.lit("</TestName><DataType>PosFloat</DataType><CodeType></CodeType><Loinc></Loinc>"),
-        F.lit("<Flagstouse></Flagstouse><Oktousevalues>"),
-        oktousevalues,
-        F.lit("</Oktousevalues><MaxStringLength></MaxStringLength><LowofLowValue></LowofLowValue>"),
-        F.lit("<HighofLowValue></HighofLowValue><LowofHighValue></LowofHighValue><HighofHighValue>"),
-        F.lit("</HighofHighValue><LowofToxicValue></LowofToxicValue><HighofToxicValue></HighofToxicValue>"),
-        F.lit("<EnumValues></EnumValues><CommentsDeterminingExclusion><Com></Com></CommentsDeterminingExclusion>"),
-        F.lit("<UnitValues><NormalUnits>"),
-        normal_units,
-        F.lit("</NormalUnits><EqualUnits></EqualUnits><ExcludingUnits></ExcludingUnits>"),
-        F.lit("<ConvertingUnits><Units></Units><MultiplyingFactor></MultiplyingFactor></ConvertingUnits>"),
-        F.lit("</UnitValues><Analysis><Enums /><Counts /><New /></Analysis></ValueMetadata>"),
+    head = (
+        '<?xml version="1.0"?><ValueMetadata><Version>3.02</Version>'
+        "<CreationDateTime>08/14/2008 01:22:59</CreationDateTime>"
+        "<TestID></TestID><TestName></TestName><DataType>PosFloat</DataType>"
+        "<CodeType></CodeType><Loinc></Loinc><Flagstouse></Flagstouse>"
+        "<Oktousevalues>Y</Oktousevalues><MaxStringLength></MaxStringLength>"
+        "<LowofLowValue>0</LowofLowValue><HighofLowValue>0</HighofLowValue>"
+        "<LowofHighValue>100</LowofHighValue>100"
+        "<HighofHighValue>100</HighofHighValue>"
+        "<LowofToxicValue></LowofToxicValue><HighofToxicValue></HighofToxicValue>"
+        "<EnumValues></EnumValues>"
+        "<CommentsDeterminingExclusion><Com></Com></CommentsDeterminingExclusion>"
+        "<UnitValues><NormalUnits>ratio</NormalUnits><EqualUnits></EqualUnits>"
+        "<ExcludingUnits></ExcludingUnits><ConvertingUnits><Units></Units>"
+        "<MultiplyingFactor></MultiplyingFactor></ConvertingUnits></UnitValues>"
+        "<Analysis><Enums /><Counts /><New /></Analysis>"
     )
-    return F.when(dt == "N", xml).otherwise(F.lit(None).cast("string"))
+    numeric_xml = F.lit(head + "</ValueMetadata>")
+    if is_timepoint is None:
+        return F.when(dt == "N", numeric_xml).otherwise(F.lit(None).cast("string"))
+    minutes = timepoint_minutes(nm)
+    series_xml = F.concat(
+        F.lit(head + "<SeriesMeta><Value>"),
+        minutes.cast("string"),
+        F.lit("</Value><Unit>minutes</Unit><DisplayName>"),
+        nm,
+        F.lit("</DisplayName></SeriesMeta></ValueMetadata>"),
+    )
+    return (
+        F.when(is_timepoint & minutes.isNotNull(), series_xml)
+        .when(dt == "N", numeric_xml)
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -31,7 +31,10 @@ from tmdataloader_spark.functions.paths import (
     path_hlevel,
     replace_last_path_component,
 )
-from tmdataloader_spark.functions.timepoints import timestamp_to_timepoint
+from tmdataloader_spark.functions.timepoints import (
+    build_metadata_xml,
+    timestamp_to_timepoint,
+)
 from tmdataloader_spark.operators import cleansing
 from tmdataloader_spark.operators.dedup import (
     assert_no_duplicates,
@@ -303,7 +306,7 @@ def load_clinical(
     # Stage 7: ontology — every leaf's prefixes become nodes (T1)
     all_nodes = fill_in_tree(trial_nodes.select(F.col("leaf_node").alias("path")))
     leaf_flags = trial_nodes.select(
-        F.col("leaf_node").alias("path"), F.col("data_type")
+        F.col("leaf_node").alias("path"), F.col("data_type"), F.col("valuetype_cd")
     ).distinct()
     i2b2 = (
         all_nodes.join(leaf_flags, on="path", how="left")
@@ -328,6 +331,14 @@ def load_clinical(
             "c_basecode",
             F.col("data_type").alias("valtype_cd"),
             "sourcesystem_cd",
+            # numeric/timepoint metadata XML, reference-verbatim
+            # (i2b2_build_metadata_xml, applied to leaves at
+            # I2B2_LOAD_CLINICAL_DATA.sql:1004-1010)
+            build_metadata_xml(
+                F.col("name"),
+                F.col("data_type"),
+                F.col("valuetype_cd") == "TIMEPOINT",
+            ).alias("c_metadataxml"),
         )
     )
     concept_dim = i2b2.select(
