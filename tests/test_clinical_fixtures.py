@@ -473,3 +473,98 @@ def test_serial_ldd_timestamps_with_terminator(spark, tmp_path):
     tp = top + "Vars\\Timestamp\\"
     assert counts[tp + "Baseline\\"] == 2
     assert counts[tp + "1 minute\\"] == 1
+
+
+def _ts_study(tmp_path, rows, race=False, name="TS"):
+    """Write the reference's serial-LDD-with-timestamp builder study
+    (ClinicalDataProcessorTest.groovy:917-1021 DSL) as fixture files."""
+    d = tmp_path / name
+    d.mkdir()
+    mapping = d / "TS_Mapping_File.txt"
+    label = "Race" if race else "Sex"
+    mapping.write_text(
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tbaseline\tvariable_type\n"
+        "TEST.txt\t\t1\tSTUDY_ID\t\t\n"
+        "TEST.txt\t\t2\tSUBJ_ID\t\t\n"
+        "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\tBaseline\tTimestamp\n"
+        "TEST.txt\t\t4\tTimestamp\t\tTimestamp\n"
+        f"TEST.txt\tVars\t5\t{label}\t\t\n"
+        "TEST.txt\t\t6\tBaseline\t\t\n"
+    )
+    (d / "TEST.txt").write_text(
+        f"STUDY_ID\tSUBJ_ID\tDays\tTimestamp\t{label}\tBaseline\n"
+        + "".join(f"GSE0SLDDWTS\t{s}\t{dd}\t{t}\t{x}\t{b}\n" for s, dd, t, x, b in rows)
+    )
+    return str(mapping)
+
+
+def _series_meta(result, path):
+    import xml.etree.ElementTree as ET
+
+    row = result.i2b2.filter(F.col("c_fullname") == path).collect()
+    assert row and row[0]["c_metadataxml"], path
+    meta = ET.fromstring(row[0]["c_metadataxml"])
+    s = meta.find("SeriesMeta")
+    return (s.findtext("Value"), s.findtext("Unit"), meta.findtext("Oktousevalues"))
+
+
+def test_serial_ldd_timestamp_append_merge(spark, tmp_path):
+    r"""ClinicalDataProcessorTest.groovy:995-1125 — APPEND-merging new
+    timestamp data creates timepoint nodes relative to the same
+    baseline, with SeriesMeta minutes: all-new-greater (13:00/14:00 →
+    '1 hour' 60 / '2 hours' 120) and some-lesser (11:00..11:05 →
+    '-1 hour' -60 / '-55 minutes' -55, Baseline still 0)."""
+    from tmdataloader_spark.plans.merge import MergeMode, merge_clinical_load
+
+    top = "\\Test Studies\\TS Study\\"
+    tp = top + "Vars\\Timestamp\\"
+    first_rows = [
+        ("SUBJ1", "0", "2000-12-31 12:00", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:01", "Female", "2000-12-31 12:00"),
+        ("SUBJ2", "5", "2000-12-31 12:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ2", "15", "2000-12-31 12:05", "Male", "2000-12-31 12:00"),
+    ]
+    base = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts_study(tmp_path, first_rows, name="first")),
+        "GSE0SLDDWTS",
+        top,
+    )
+    # :995 all new timestamps greater than the old min
+    greater = [
+        ("SUBJ1", "0", "2000-12-31 13:00", "One", "2000-12-31 12:00"),
+        ("SUBJ1", "12", "2000-12-31 14:00", "One", "2000-12-31 12:00"),
+        ("SUBJ2", "5", "2000-12-31 13:00", "Two", "2000-12-31 12:00"),
+    ]
+    inc = load_clinical(
+        spark,
+        melt_clinical_study(
+            spark, _ts_study(tmp_path, greater, race=True, name="greater")
+        ),
+        "GSE0SLDDWTS",
+        top,
+    )
+    merged = merge_clinical_load(base, inc, MergeMode.APPEND, "GSE0SLDDWTS", top)
+    assert _series_meta(merged, tp + "1 hour\\") == ("60", "minutes", "Y")
+    assert _series_meta(merged, tp + "2 hours\\") == ("120", "minutes", "Y")
+    # pre-existing nodes keep their XML through the merge union
+    assert _series_meta(merged, tp + "Baseline\\") == ("0", "minutes", "Y")
+
+    # :1057 some new timestamps lesser than the old min
+    lesser = [
+        ("SUBJ1", "5", "2000-12-31 11:00", "One", "2000-12-31 12:00"),
+        ("SUBJ1", "2", "2000-12-31 11:05", "One", "2000-12-31 12:00"),
+        ("SUBJ2", "10", "2000-12-31 11:00", "Two", "2000-12-31 12:00"),
+    ]
+    inc2 = load_clinical(
+        spark,
+        melt_clinical_study(
+            spark, _ts_study(tmp_path, lesser, race=True, name="lesser")
+        ),
+        "GSE0SLDDWTS",
+        top,
+    )
+    merged2 = merge_clinical_load(base, inc2, MergeMode.APPEND, "GSE0SLDDWTS", top)
+    assert _series_meta(merged2, tp + "-1 hour\\") == ("-60", "minutes", "Y")
+    assert _series_meta(merged2, tp + "-55 minutes\\") == ("-55", "minutes", "Y")
+    assert _series_meta(merged2, tp + "Baseline\\") == ("0", "minutes", "Y")

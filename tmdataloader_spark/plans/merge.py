@@ -340,13 +340,21 @@ def merge_clinical_load(
             ["concept_path"]
         )
     )
-    i2b2_paths = (
-        existing.i2b2.select(F.col("c_fullname"), "c_hlevel", "c_name", "c_basecode",
-                             "valtype_cd", "sourcesystem_cd")
-        .unionByName(
-            incoming.i2b2.select("c_fullname", "c_hlevel", "c_name", "c_basecode",
-                                 "valtype_cd", "sourcesystem_cd")
+    def _i2b2_cols(df):
+        # older warehouses may predate the c_metadataxml column
+        xml = (
+            F.col("c_metadataxml")
+            if "c_metadataxml" in df.columns
+            else F.lit(None).cast("string").alias("c_metadataxml")
         )
+        return df.select(
+            F.col("c_fullname"), "c_hlevel", "c_name", "c_basecode",
+            "valtype_cd", "sourcesystem_cd", xml,
+        )
+
+    i2b2_paths = (
+        _i2b2_cols(existing.i2b2)
+        .unionByName(_i2b2_cols(incoming.i2b2))
         .dropDuplicates(["c_fullname"])
     )
     i2b2 = visual_attributes(
