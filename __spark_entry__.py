@@ -2575,78 +2575,22 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
-    # r10 WINDOW (VERDICT r9 item 1 — the two-round catch-up repair):
-    #   39 obligated r6-cohort queries (the 44 whose driver rows age
-    #      out, minus the 5 retired this round: token_count/
-    #      fingerprint/langid/multimodal_meta merged into text_signals,
-    #      hash_split folded into stratified_sample),
-    #   4 r8 debuts never driver-checked (plink_fam, vcf_assay_link,
-    #      add_nodes, security_tokens),
-    #   4 r10 debuts (text_signals; snp_gene_novelty/prune_nodes/
-    #      audit_ordering — first oracles for J11/T6+T7/W4),
-    #   1 changed-query re-window (stratified_sample absorbed
-    #      hash_split's split+membership columns),
-    #   2 slack picks from the r7 cohort (random_projection,
-    #      pmi_collocations).
-    # The remaining 48 r7-cohort queries carry a ONE-TIME self-expiring
-    # amnesty (tests/test_window_hygiene.py AMNESTY, expires when
-    # CORRECTNESS_r10.json lands) and ARE the r11 window obligation.
+    # r11 WINDOW (VERDICT r10 item 1 — the pre-ordered head-swap that
+    # completes the two-round repair):
+    #   48 obligated r7-cohort queries (the expired-amnesty set; last
+    #      driver row r7, parked at positions 51-98 through r10),
+    #   2 slack re-picks from the r10-green cohort (moving_avg,
+    #      mixture_upsample — the two worst bench ratios on the r10
+    #      board, so they also get fresh driver timing rows).
+    # Steady-state period-3 cohort map from here on (VERDICT r10
+    # item 2; see tests/test_window_hygiene.py for the same table):
+    #   positions  1-50  r11 window   (48 r7-cohort + 2 slack)
+    #   positions 51-99  r9-checked   -> r12 window obligation (49)
+    #   positions 100-147 r10-checked -> r13 window obligation (48)
+    # Each round's rotation is a mechanical head-swap of the next
+    # cohort block plus 1-2 slack picks from the freshest cohort.
     return {
-        # --- r10 WINDOW (first 50; driver-checked this round) ---
-        "moving_avg": q_moving_avg,
-        "skew_report": q_skew_report,
-        "salted_join": q_salted_join,
-        "bpe_encode": q_bpe_encode,
-        "mixture_upsample": q_mixture_upsample,
-        "triangle_count": q_triangle_count,
-        "link_predict": q_link_predict,
-        "event_transitions": q_event_transitions,
-        "interarrival_profile": q_interarrival_profile,
-        "diversity_profile": q_diversity_profile,
-        "vcf_genotypes": q_vcf_genotypes,
-        "visit_suppression": q_visit_suppression,
-        "simhash": q_simhash,
-        "cleansing": q_cleansing,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_redaction": q_pii_redaction,
-        "decontamination": q_decontamination,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_dropped": q_except_dropped,
-        "union_exclusion": q_union_exclusion,
-        "first_value": q_first_value,
-        "path_functions": q_path_functions,
-        "move_study": q_move_study,
-        "delete_study": q_delete_study,
-        "visual_attributes": q_visual_attributes,
-        "timepoints": q_timepoints,
-        "funnel": q_funnel,
-        "event_rollup": q_event_rollup,
-        "curate": q_curate,
-        "fact_assembly": q_fact_assembly,
-        "quota_sample": q_quota_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "json_rollup": q_json_rollup,
-        "embedding_dedup": q_embedding_dedup,
-        "chunk_docs": q_chunk_docs,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "plink_fam": q_plink_fam,
-        "vcf_assay_link": q_vcf_assay_link,
-        "add_nodes": q_add_nodes,
-        "security_tokens": q_security_tokens,
-        "text_signals": q_text_signals,
-        "snp_gene_novelty": q_snp_gene_novelty,
-        "prune_nodes": q_prune_nodes,
-        "audit_ordering": q_audit_ordering,
-        "stratified_sample": q_stratified_sample,
-        "random_projection": q_random_projection,
-        "pmi_collocations": q_pmi_collocations,
-        # --- tail (51+): oracle-checked at sf0.01 every pytest run
-        # by tests/test_oracle_tail.py.  First the 48 amnestied
-        # r7-cohort queries (r11's window obligation, in order),
-        # then the 49 r9-green window queries. ---
+        # --- r11 WINDOW (first 50; driver-checked this round) ---
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
         "skyline": q_skyline,
@@ -2695,7 +2639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "study_uniqueness": q_study_uniqueness,
         "tag_substitution": q_tag_substitution,
         "ann_ivfpq": q_ann_ivfpq,
-        # --- r9-green (driver rows in CORRECTNESS_r09.json) ---
+        # slack re-picks (r10-green; worst two bench ratios)
+        "moving_avg": q_moving_avg,
+        "mixture_upsample": q_mixture_upsample,
+        # --- tail (51+): oracle-checked at sf0.01 every pytest run
+        # by tests/test_oracle_tail.py.  First the 49 r9-checked
+        # queries (r12's window obligation, in order), then the 48
+        # r10-checked queries (r13's obligation, in order). ---
         "profile_table": q_profile_table,
         "table_checksum": q_table_checksum,
         "user_cardinality": q_user_cardinality,
@@ -2745,6 +2695,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "roc_auc": q_roc_auc,
         "lm_perplexity": q_lm_perplexity,
+        # --- r10-green (driver rows in CORRECTNESS_r10.json) ---
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
+        "bpe_encode": q_bpe_encode,
+        "triangle_count": q_triangle_count,
+        "link_predict": q_link_predict,
+        "event_transitions": q_event_transitions,
+        "interarrival_profile": q_interarrival_profile,
+        "diversity_profile": q_diversity_profile,
+        "vcf_genotypes": q_vcf_genotypes,
+        "visit_suppression": q_visit_suppression,
+        "simhash": q_simhash,
+        "cleansing": q_cleansing,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "visual_attributes": q_visual_attributes,
+        "timepoints": q_timepoints,
+        "funnel": q_funnel,
+        "event_rollup": q_event_rollup,
+        "curate": q_curate,
+        "fact_assembly": q_fact_assembly,
+        "quota_sample": q_quota_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "json_rollup": q_json_rollup,
+        "embedding_dedup": q_embedding_dedup,
+        "chunk_docs": q_chunk_docs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "plink_fam": q_plink_fam,
+        "vcf_assay_link": q_vcf_assay_link,
+        "add_nodes": q_add_nodes,
+        "security_tokens": q_security_tokens,
+        "text_signals": q_text_signals,
+        "snp_gene_novelty": q_snp_gene_novelty,
+        "prune_nodes": q_prune_nodes,
+        "audit_ordering": q_audit_ordering,
+        "stratified_sample": q_stratified_sample,
+        "random_projection": q_random_projection,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 _PATH_CTE = """

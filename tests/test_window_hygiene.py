@@ -50,35 +50,28 @@ DEBUT_OVERFLOW: dict[str, int] = {
     # r10 — no live overflow entries.)
 }
 
-# ONE-TIME amnesty (r10, same self-expiry semantics as DEBUT_OVERFLOW):
-# r9 skipped its obligated rotation, so at r10 authoring BOTH the r6
-# cohort (44, due r9) and the r7 cohort (50, due r10) lack recent
-# driver rows — 98 > the 50-row window, mathematically unsatisfiable
-# in one round.  The r10 window takes the r6 cohort + all debuts +
-# 2 r7 slack picks; the 48 remaining r7-cohort queries listed here are
-# exempt ONLY until CORRECTNESS_r{value}.json lands, and they ARE the
-# r11 window obligation (they sit at queries() positions 51-98, in
-# window order, so r11's rotation is a mechanical head-swap).  They
-# stay oracle-checked at sf0.01 every pytest run meanwhile.
-AMNESTY: dict[str, int] = {
-    q: 10
-    for q in (
-        "attribution", "basket_rules", "skyline", "cusum_changepoint",
-        "calibration_curve", "quantile_normalize", "retention",
-        "incremental_dedup", "semantic_dedup", "kmeans", "length_profile",
-        "zorder", "hdd_leaf_paths", "seq_pack", "interval_join",
-        "vocab_topk", "asof_join", "range_join", "gpl_info_join",
-        "timepoint_minutes", "ann_block", "summary_stats",
-        "validation_rules", "duplicate_detection", "demographics_pivot",
-        "winnow", "merge_update", "tfidf", "repetition", "ann_cosine",
-        "ngram_jaccard", "minhash_lsh", "simhash_pairs", "pricing_summary",
-        "probe_stats", "zscore", "median_exact", "probeset_collapse",
-        "dedup_keep_one", "type_inference", "clinical_melt",
-        "fill_in_tree", "tree_closure", "concept_counts",
-        "visit_consistency", "study_uniqueness", "tag_substitution",
-        "ann_ivfpq",
-    )
-}
+# (The one-time r10 amnesty — 48 r7-cohort queries orphaned by r9's
+# skipped rotation — self-expired when CORRECTNESS_r10.json landed and
+# was discharged by the r11 head-swap.  No live amnesty entries.)
+AMNESTY: dict[str, int] = {}
+
+# STEADY-STATE ROTATION MAP (r11 onward; VERDICT r10 item 2).
+# With a 50-row window, two-round hygiene, and 147 gate queries, the
+# rotation is period-3 over three cohort blocks that queries() keeps
+# in POSITION ORDER so every rotation is a mechanical head-swap of
+# the next block (+ 1-2 slack picks from the freshest cohort):
+#
+#   queries() positions | cohort (last driver row) | due in window
+#   --------------------+--------------------------+--------------
+#          1-50         | r11 window (48 r7 + 2)   | checked now
+#         51-99         | r9-checked  (49 queries) | round 12
+#        100-147        | r10-checked (48 queries) | round 13
+#
+# After each rotation the just-checked 50 move to the END of the
+# tail, the next-due block moves to the head, and the map shifts by
+# one round.  NEVER skip a round's swap: one skipped rotation strands
+# two cohorts (98 > 50) and forces another amnesty (the r9/r10
+# incident this table exists to prevent).
 
 
 def test_every_query_recently_driver_checked():
