@@ -65,7 +65,7 @@ CASES = {
 
 
 def _oracle(data_path, probe_idx, first_sample_idx, platform_probes,
-            r_zero="filter", log_round=None):
+            r_zero="filter", log_round=None, negative_filter=False):
     wide = pd.read_csv(data_path, sep="\t", dtype=str)
     probe_col = wide.columns[probe_idx]
     samples = list(wide.columns[first_sample_idx:])
@@ -75,6 +75,8 @@ def _oracle(data_path, probe_idx, first_sample_idx, platform_probes,
     long = long[long[probe_col].isin(platform_probes)]
     long = long[pd.to_numeric(long.x, errors="coerce").notna()]
     long["x"] = long.x.astype(float)
+    if negative_filter:  # miRNA R files: sign(x) <> -1 pre-collapse
+        long = long[long.x >= 0]
     # collapse duplicate probes per sample to their mean (A4), then the
     # per-family R transform (see operators/zscore.log_transform):
     # filter/shift/zero zero-policies, optional log rounding, per-probe
@@ -126,6 +128,7 @@ def test_omics_load_matches_oracle(spark, omics):
     oracle, probe_col = _oracle(
         f"{data_dir}/{data_file}", probe_idx, first_sample_idx, probes,
         r_zero=style, log_round=ot.log_round,
+        negative_filter=ot.negative_r_filter,
     )
     sm = res.sample_mapping.toPandas().set_index("sample_cd").assay_id
     oracle = oracle.assign(assay_id=oracle["sample"].map(sm))
@@ -285,3 +288,87 @@ def test_mirna_qpcr_reference_numbers(spark):
     assert abs(r.raw_intensity - 0.113408) < 1e-12
     assert abs(r.log_intensity - (-0.113408)) < 1e-12
     assert abs(r.zscore - 0.70711) < 5e-6
+
+
+def _copy_seq_fixture(tmp_path, data_edit=None, rename_to=None):
+    """Clone the MirnaSeq fixture into tmp_path, optionally rewriting
+    the R data file (data_edit: text -> text) and/or renaming it."""
+    import shutil
+
+    src = f"{FIX}/Test MirnaSeq Study/MIRNA_SEQDataToUpload"
+    dst = tmp_path / "MIRNA_SEQDataToUpload"
+    shutil.copytree(src, dst)
+    data = dst / "Test Study_mirnaseqbased_MIRNA_Data_R.txt"
+    if data_edit is not None:
+        data.write_text(data_edit(data.read_text()))
+    if rename_to is not None:
+        data.rename(dst / rename_to)
+    return str(dst)
+
+
+def test_mirna_negative_r_rows_dropped_before_collapse(spark, tmp_path):
+    """I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1002 drops sign(intensity)=-1
+    rows for a dataType-R file (both MIRNA_QPCR and MIRNA_SEQ) BEFORE
+    the probe collapse — a negative raw must not surface as a data row
+    (previously miRNA-seq kept it with log 0, qPCR kept it as dCt)."""
+
+    def negate_first_value(text):
+        lines = text.splitlines(True)
+        # row for probe '1': make GSM918942's value negative
+        cells = lines[1].rstrip("\n").split("\t")
+        cells[1] = "-" + cells[1]
+        lines[1] = "\t".join(cells) + "\n"
+        return "".join(lines)
+
+    data_dir = _copy_seq_fixture(tmp_path, data_edit=negate_first_value)
+    res = load_hdd(spark, data_dir, "MIRNASEQBASED", TOP, "mirna_seq")
+    sm = {
+        r.sample_cd: r.assay_id
+        for r in res.sample_mapping.select("sample_cd", "assay_id").collect()
+    }
+    got = res.data.filter(res.data.probeset_id == "1").collect()
+    # 8 samples in the file, the negated one dropped pre-collapse
+    assert len(got) == 7
+    assert sm["GSM918942"] not in {r.assay_id for r in got}
+    # zeros are KEPT (sign(0)=0 <> -1): floor a value to 0 instead
+    def zero_first_value(text):
+        lines = text.splitlines(True)
+        cells = lines[1].rstrip("\n").split("\t")
+        cells[1] = "0"
+        lines[1] = "\t".join(cells) + "\n"
+        return "".join(lines)
+
+    data_dir2 = _copy_seq_fixture(tmp_path / "z", data_edit=zero_first_value)
+    res2 = load_hdd(spark, data_dir2, "MIRNASEQBASED", TOP, "mirna_seq")
+    sm2 = {
+        r.sample_cd: r.assay_id
+        for r in res2.sample_mapping.select("sample_cd", "assay_id").collect()
+    }
+    kept = res2.data.filter(
+        (res2.data.probeset_id == "1")
+        & (res2.data.assay_id == sm2["GSM918942"])
+    ).collect()
+    assert len(kept) == 1 and kept[0].log_intensity == 0.0
+
+
+def test_mirna_seq_l_branch_not_rounded(spark, tmp_path):
+    """The miRNA zscore calc's L branch stores intensity_value as
+    log_intensity UNROUNDED (I2B2_MIRNA_ZSCORE_CALC.sql:132-151) —
+    the 5dp round exists only in its R branch (:118-121), unlike
+    proteomics which rounds both."""
+    data_dir = _copy_seq_fixture(
+        tmp_path, rename_to="Test Study_mirnaseqbased_MIRNA_Data_L.txt"
+    )
+    res = load_hdd(spark, data_dir, "MIRNASEQBASED", TOP, "mirna_seq")
+    sm = {
+        r.sample_cd: r.assay_id
+        for r in res.sample_mapping.select("sample_cd", "assay_id").collect()
+    }
+    row = res.data.filter(
+        (res.data.probeset_id == "1") & (res.data.assay_id == sm["GSM918942"])
+    ).collect()
+    assert len(row) == 1
+    # the file value 0.002908561 has >5dp: unrounded pass-through,
+    # raw = 2^log (would be 0.00291 if the R-branch round leaked in)
+    assert row[0].log_intensity == 0.002908561
+    assert abs(row[0].raw_intensity - 2.0 ** 0.002908561) < 1e-15

@@ -32,6 +32,7 @@ def log_transform(
     log_base: float = 2.0,
     r_zero: str = "filter",
     log_round: int | None = None,
+    log_round_types: tuple[str, ...] = ("R", "L"),
 ) -> DataFrame:
     """R → log_base(raw); L → pass through; T/Z → pass through (value
     already standardized).
@@ -49,8 +50,12 @@ def log_transform(
     - ``'zero'``      (miRNA): x ≤ 0 → 0, else log(x)
       (I2B2_MIRNA_ZSCORE_CALC.sql:118-121)
 
-    ``log_round`` rounds the R/L log column like the reference does
-    per family (proteomics 4dp :150,122; miRNA 5dp :121-122)."""
+    ``log_round`` rounds the log column to the family's precision;
+    ``log_round_types`` says WHICH branches round, because the
+    reference differs per family: proteomics rounds BOTH R and L to
+    4dp (i2b2_proteomics_zscore_calc.sql:150,122) while miRNA rounds
+    only its R branch to 5dp — the L branch stores intensity_value
+    unrounded (I2B2_MIRNA_ZSCORE_CALC.sql:118-121 vs :132-151)."""
     v = F.col(value_col).try_cast("double")
 
     def _log(x):
@@ -84,7 +89,7 @@ def log_transform(
     else:  # T / Z: pre-standardized
         log_col = v
         raw_col = F.lit(None).cast("double")
-    if log_round is not None and data_type in ("R", "L"):
+    if log_round is not None and data_type in log_round_types:
         log_col = F.round(log_col, log_round)
     return df.withColumn("raw_intensity", raw_col).withColumn("log_intensity", log_col)
 
@@ -118,6 +123,7 @@ def zscore(
     log_base: float = 2.0,
     r_zero: str = "filter",
     log_round: int | None = None,
+    log_round_types: tuple[str, ...] = ("R", "L"),
 ) -> DataFrame:
     """Full kernel: log transform → per-probe stats → clamped z-score.
 
@@ -125,7 +131,9 @@ def zscore(
     z-score and is only clamped (I2B2_PROCESS_MRNA_DATA.sql:226-235;
     Groovy forces T→Z, ExpressionDataProcessor.groovy:72-75).
     """
-    df = log_transform(df, data_type, value_col, log_base, r_zero, log_round)
+    df = log_transform(
+        df, data_type, value_col, log_base, r_zero, log_round, log_round_types
+    )
     if data_type in ("T", "Z"):
         z = F.greatest(F.least(F.col("log_intensity"), F.lit(CLAMP)), F.lit(-CLAMP))
         return df.withColumn("zscore", z)

@@ -315,9 +315,19 @@ class OmicsType:
     #: operators/zscore.log_transform r_zero docstring)
     r_zero: str = "filter"
     log_round: int | None = None
+    #: which data-type branches the reference rounds — proteomics
+    #: rounds both R and L, miRNA only R (see zscore.log_transform)
+    log_round_types: tuple[str, ...] = ("R", "L")
     #: data-type override for R/L inputs (miRNA qPCR routes both to
     #: the dCt 'C' transform — I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1076)
     data_type_override: str | None = None
+    #: drop negative raws from a dataType-R FILE before the probe
+    #: collapse (miRNA only: I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1002
+    #: `CASE WHEN dataType='R' THEN sign(intensity) ELSE 1 END <> -1`
+    #: at the wt_subject_mirna_probeset insert, applied for BOTH
+    #: MIRNA_QPCR and MIRNA_SEQ — the check runs on the file's
+    #: dataType, before qPCR re-routes to 'C')
+    negative_r_filter: bool = False
 
 
 #: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
@@ -364,6 +374,7 @@ OMICS_TYPES = {
         # qPCR dCt values ARE negative logs: log = -(x), no log2 —
         # both R and L files route to the 'C' transform
         data_type_override="C",
+        negative_r_filter=True,
     ),
     "mirna_seq": OmicsType(
         "mirna_seq",
@@ -372,6 +383,10 @@ OMICS_TYPES = {
         required_header=(0, "ID_REF"),
         r_zero="zero",
         log_round=5,
+        # the reference's L branch stores intensity_value unrounded
+        # (I2B2_MIRNA_ZSCORE_CALC.sql:132-151) — 5dp applies to R only
+        log_round_types=("R",),
+        negative_r_filter=True,
     ),
     "rbm": OmicsType(
         "rbm",
@@ -470,7 +485,10 @@ def load_hdd(
     ]
     if not matrix_files:
         raise LoadValidationError(f"no {ot.name} matrix in {data_dir}")
-    data_type = ot.data_file_re.match(os.path.basename(matrix_files[0])).group(1).upper()
+    file_data_type = (
+        ot.data_file_re.match(os.path.basename(matrix_files[0])).group(1).upper()
+    )
+    data_type = file_data_type
     if data_type == "T":  # Groovy forces T→Z (ExpressionDataProcessor.groovy:72-75)
         data_type = "Z"
     elif ot.data_type_override is not None and data_type in ("R", "L"):
@@ -525,6 +543,12 @@ def load_hdd(
         )
         .join(F.broadcast(probes), on="probeset_id", how="left_semi")
     )
+    # miRNA drops negative raws from a dataType-R FILE before the
+    # probe collapse — the reference checks sign() on the file's
+    # dataType, before qPCR re-routes R to the 'C' transform
+    # (I2B2_PROCESS_QPCR_MIRNA_DATA.sql:1002)
+    if ot.negative_r_filter and file_data_type == "R":
+        tagged = tagged.filter(F.col("intensity").try_cast("double") >= 0)
     # A4: duplicate probes per assay collapse to mean, then the kernel
     collapsed = tagged.groupBy("probeset_id", "assay_id").agg(
         F.avg(F.col("intensity").try_cast("double")).alias("intensity")
@@ -533,6 +557,7 @@ def load_hdd(
         collapsed, data_type=data_type, probe_col="probeset_id",
         value_col="intensity", log_base=log_base,
         r_zero=ot.r_zero, log_round=ot.log_round,
+        log_round_types=ot.log_round_types,
     )
     data = scored.select(
         F.lit(trial_id.upper()).alias("trial_name"),
