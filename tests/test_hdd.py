@@ -315,3 +315,28 @@ def test_platform_multiple_gene_ids(spark):
     drows = {r.gene_symbol: r.entrez_gene_id for r in default.collect()}
     assert default.count() == 5 and "MULTID" not in drows
     assert drows["ARX"] is None
+
+
+def test_platform_symbol_blanking_without_flag(spark, tmp_path):
+    """normalizeGeneIdAndSymbol runs on kept rows even WITHOUT
+    --use-first-gene-id (GexPlatform.groovy:73-74): a symbol with no
+    word character blanks to '' (PlatformProcessor.groovy:68-70).
+    A space-padded id is kept: the reference's commons-csv parser is
+    withIgnoreSurroundingSpaces(true) (CsvLikeFile.groovy:28-31), so
+    ' 123 ' reaches the numeric skip test already trimmed."""
+    from tmdataloader_spark.sources.gpl import read_gpl
+
+    p = tmp_path / "BLK.txt"
+    p.write_text(
+        "# PLATFORM_ID: blk\n"
+        "ID\tENTREZ_GENE_ID\tGene Symbol\n"
+        "1\t11\t---\n"
+        "2\t 22 \tGOOD\n"
+        "3\t33\t\n"
+    )
+    for flag in (False, True):
+        ann = read_gpl(spark, str(p), "BLK", use_first_gene_id=flag).annotation
+        rows = {r.probeset_id: (r.gene_symbol, r.entrez_gene_id) for r in ann.collect()}
+        assert rows["1"] == ("", "11"), (flag, rows)
+        assert rows["2"] == ("GOOD", "22"), (flag, rows)
+        assert rows["3"] == ("", "33"), (flag, rows)

@@ -80,16 +80,25 @@ def read_gpl(
             ).alias("organism"),
         )
     else:
-        # numeric-or-empty entrez ids only (GexPlatform.eachEntry skips
-        # non-numeric ids when useFirstGeneId is off); empty ids land
-        # as NULL like the reference's normalized null
+        # numeric-or-empty entrez ids only (GexPlatform.eachEntry:69-71
+        # skips non-numeric ids when useFirstGeneId is off); empty ids
+        # land as NULL like the reference's normalized null.  The
+        # F.trim on raw_id matches the reference's parser, not a
+        # divergence: CsvLikeFile builds commons-csv CSVFormat.TDF
+        # .withIgnoreSurroundingSpaces(true) (CsvLikeFile.groovy:28-31)
+        # so ' 123 ' reaches the ==~ /\d+/ skip test already trimmed.
+        # normalizeGeneIdAndSymbol STILL runs on kept rows
+        # (GexPlatform.groovy:73-74): a symbol with no word character
+        # (e.g. '---') blanks to '' (PlatformProcessor.groovy:68-70).
         # filter BEFORE the select: afterwards the original entrez
         # column name would resolve (case-insensitively) to the new
         # nulled alias and the skip-filter would pass everything
         ann = df.filter(raw_id.rlike(r"^\d*$")).select(
             F.lit(platform).alias("gpl_id"),
             F.col(f"`{cols[0]}`").cast("string").alias("probeset_id"),
-            F.col(f"`{symbol}`").cast("string").alias("gene_symbol"),
+            F.when(raw_sym.rlike(r"\w"), raw_sym).otherwise(F.lit("")).alias(
+                "gene_symbol"
+            ),
             F.when(raw_id.rlike(r"^\d+$"), raw_id).alias("entrez_gene_id"),
             (
                 F.coalesce(F.col(f"`{species}`").cast("string"), F.lit(organism))
