@@ -5028,7 +5028,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 2 THEN CAST(l_quantity AS INT) * 1440 + l_linenumber * 60
                      WHEN 3 THEN CAST(l_quantity AS INT) * 43200
                      ELSE NULL
-                   END AS BIGINT) AS minutes
+                   END AS DOUBLE) AS minutes
             FROM lineitem
         """,
         # BM25: the oracle is generated from the SAME (terms, k, k1, b)

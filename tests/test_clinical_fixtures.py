@@ -568,3 +568,28 @@ def test_serial_ldd_timestamp_append_merge(spark, tmp_path):
     assert _series_meta(merged2, tp + "-1 hour\\") == ("-60", "minutes", "Y")
     assert _series_meta(merged2, tp + "-55 minutes\\") == ("-55", "minutes", "Y")
     assert _series_meta(merged2, tp + "Baseline\\") == ("0", "minutes", "Y")
+
+    # A path present in BOTH warehouses must keep the INCOMING XML
+    # deterministically — the reference UPDATEs existing i2b2 rows
+    # from the new load (I2B2_LOAD_CLINICAL_DATA.sql:989-994), so an
+    # old NULL-xml row may never win the union (regression for the
+    # former dropDuplicates-based carry, which kept an arbitrary
+    # side). Re-load the SAME rows so every timepoint path is shared,
+    # and strip the existing side's XML: the merge must still show it.
+    import dataclasses
+
+    stripped = dataclasses.replace(
+        base,
+        i2b2=base.i2b2.withColumn("c_metadataxml", F.lit(None).cast("string")),
+    )
+    inc_same = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts_study(tmp_path, first_rows, name="again")),
+        "GSE0SLDDWTS",
+        top,
+    )
+    merged3 = merge_clinical_load(
+        stripped, inc_same, MergeMode.APPEND, "GSE0SLDDWTS", top
+    )
+    assert _series_meta(merged3, tp + "Baseline\\") == ("0", "minutes", "Y")
+    assert _series_meta(merged3, tp + "1 minute\\") == ("1", "minutes", "Y")

@@ -133,11 +133,56 @@ def test_fix_parens_reference_semantics(spark):
 
 
 def test_timepoint_minutes(spark):
+    # Pair names take the reference's EXTRACT(epoch FROM interval)/60
+    # path (I2B2_BUILD_METADATA_XML.sql:47-50): seconds participate
+    # ('1 minute 30 seconds' → 1.5) and '1 year' is 365.25 days →
+    # 525960 min, while unit-first 'Year 1' uses the explicit 518400
+    # multiplier — the reference's own inconsistency, mirrored.
     df = spark.createDataFrame(
-        [("Baseline",), ("2 days 3 hours",), ("Week 4",), ("1 year",), ("n/a",)], ["v"]
+        [
+            ("Baseline",),
+            ("2 days 3 hours",),
+            ("Week 4",),
+            ("1 year",),
+            ("Year 1",),
+            ("1 minute 30 seconds",),
+            ("30 seconds",),  # ref RAISEs; we yield NULL (documented)
+            ("Visit 3",),  # unknown unit → NULL minutes (XML keeps it)
+            ("n/a",),
+        ],
+        ["v"],
     )
     vals = [r.m for r in df.select(timepoint_minutes("v").alias("m")).collect()]
-    assert vals == [0, 2 * 1440 + 3 * 60, 4 * 10080, 518400, None]
+    assert vals == [0.0, 2 * 1440 + 3 * 60, 4 * 10080, 525960.0, 518400.0, 1.5, None, None, None]
+
+
+def test_build_metadata_xml_series_units(spark):
+    """I2B2_BUILD_METADATA_XML.sql:19-21,58-64 — unit-first unknown
+    units keep the raw unit/value verbatim ('Visit 3' →
+    <Unit>visit</Unit><Value>3</Value>); fractional epoch minutes
+    render float8-style ('1.5'); sub-minute-only names NULL."""
+    import xml.etree.ElementTree as ET
+
+    from tmdataloader_spark.functions.timepoints import build_metadata_xml
+
+    df = spark.createDataFrame(
+        [("Visit 3",), ("1 minute 30 seconds",), ("2 hours",), ("30 seconds",)], ["v"]
+    )
+    xmls = [
+        r.x
+        for r in df.select(
+            build_metadata_xml("v", F.lit("T"), is_timepoint=F.lit(True)).alias("x")
+        ).collect()
+    ]
+    s = ET.fromstring(xmls[0]).find("SeriesMeta")
+    assert (s.findtext("Value"), s.findtext("Unit"), s.findtext("DisplayName")) == (
+        "3", "visit", "Visit 3",
+    )
+    s = ET.fromstring(xmls[1]).find("SeriesMeta")
+    assert (s.findtext("Value"), s.findtext("Unit")) == ("1.5", "minutes")
+    s = ET.fromstring(xmls[2]).find("SeriesMeta")
+    assert (s.findtext("Value"), s.findtext("Unit")) == ("120", "minutes")
+    assert xmls[3] is None
 
 
 def test_tag_value_types_null_group_key(spark):

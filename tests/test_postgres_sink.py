@@ -182,19 +182,24 @@ def test_q_ident_escapes_embedded_quotes():
 
 
 def test_upsert_staging_per_run_and_self_healing(spark, pg_dsn):
-    """r10 ADVICE: the upsert staging name carries a pid+counter nonce
-    (concurrent upserts must not drop each other's staging), and the
-    sink pre-drops its staging name before CREATE so a hard-crashed
-    prior run (kill -9 before the finally, then pid/counter reuse)
-    cannot brick every subsequent upsert."""
+    """r10/r11 ADVICE: the upsert staging name carries a
+    host+pid+counter nonce (concurrent upserts — even from two hosts
+    against one database — must not drop each other's staging), and
+    the sink pre-drops its staging name before CREATE so a
+    hard-crashed prior run (kill -9 before the finally, then
+    pid/counter reuse) cannot brick every subsequent upsert."""
+    import re
+    import socket
+
     import tmdataloader_spark.sinks as sinks
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, s string")
     run_psql(pg_dsn, 'DROP TABLE IF EXISTS "ups_heal"')
     # leak a stale staging table under the NAME THE NEXT UPSERT WILL
     # USE, with a conflicting schema — the pre-drop must heal it
+    host = re.sub(r"[^A-Za-z0-9]", "_", socket.gethostname())[:24] or "host"
     nxt = next(sinks._staging_counter) + 1
-    leaked = f"ups_heal__staging_{os.getpid()}_{nxt}"
+    leaked = f"ups_heal__staging_{host}_{os.getpid()}_{nxt}"
     run_psql(pg_dsn, f'CREATE TABLE "{leaked}" ("wrong" text)')
     n = write_postgres_copy(
         df, pg_dsn, "ups_heal", mode="upsert", conflict_cols=["pk"]

@@ -109,8 +109,10 @@ def test_prop_timestamp_to_timepoint(spark, diff):
 @settings(max_examples=25, deadline=None)
 @given(diff=st.integers(min_value=0, max_value=10**7))
 def test_prop_timepoint_minutes_roundtrip(spark, diff):
-    """Rendering a nonnegative offset then parsing it back yields
-    floor(diff/60) minutes (the seconds unit carries no minutes)."""
+    """Rendering a nonnegative offset then parsing it back is EXACT
+    (diff/60, fractional when seconds are present — the reference's
+    EXTRACT(epoch FROM interval)/60). A seconds-only name fails the
+    reference's pair gate (it RAISEs; we yield NULL)."""
     base = dt.datetime(2020, 6, 1, 12, 0, 0)
     [row] = _one_row(
         spark,
@@ -121,9 +123,9 @@ def test_prop_timepoint_minutes_roundtrip(spark, diff):
     if diff == 0:
         assert row.mins == 0  # Baseline
     elif diff < 60:
-        assert row.mins is None  # seconds-only name carries no minute units
+        assert row.mins is None  # seconds-only name fails the pair gate
     else:
-        assert row.mins == diff // 60
+        assert row.mins == diff / 60
 
 
 def _norm_label(s: str) -> str:

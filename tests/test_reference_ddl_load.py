@@ -491,3 +491,226 @@ def test_clinical_frames_land_in_reference_core(spark, clinical_core):
         write_postgres_copy(
             facts, dsn, "i2b2demodata.observation_fact", create=False
         )
+
+
+#: The deapp omics core. Like the clinical core above, the reference
+#: repo ships no CREATE TABLE for these (they come from the external
+#: tranSMART base schema) — this bootstrap states the PUBLIC
+#: tranSMART/i2b2 deapp data model restricted to the columns the
+#: reference's own inserts name (de_subject_sample_mapping:
+#: I2B2_LOAD_SAMPLES.sql:699-723 incl. the seq_assay_id default;
+#: de_subject_microarray_data: the partition inserts at
+#: I2B2_PROCESS_MRNA_DATA.sql:227-231 and :318-331), with the public
+#: model's PK/NOT NULL/width constraints. The reference's OWN dynamic
+#: partition DDL (:189-191 create-inherits, :335-341 indexes) then
+#: runs with its sqlText strings VERBATIM on top — it only applies if
+#: this bootstrap matches the surface a real tranSMART install
+#: presents (schema deapp, tablespace indx, the inheritance base).
+DEAPP_OMICS_BOOTSTRAP = """
+CREATE SEQUENCE IF NOT EXISTS deapp.seq_assay_id;
+CREATE SEQUENCE IF NOT EXISTS deapp.seq_mrna_partition_id;
+CREATE TABLE deapp.de_subject_sample_mapping (
+  patient_id numeric(38,0),
+  site_id varchar(100),
+  subject_id varchar(100),
+  subject_type varchar(100),
+  concept_code varchar(1000),
+  assay_id numeric(18,0) NOT NULL DEFAULT nextval('deapp.seq_assay_id'),
+  sample_type varchar(100),
+  sample_type_cd varchar(50),
+  trial_name varchar(30),
+  timepoint varchar(100),
+  timepoint_cd varchar(50),
+  tissue_type varchar(100),
+  tissue_type_cd varchar(50),
+  platform varchar(50),
+  platform_cd varchar(50),
+  data_uid varchar(100),
+  gpl_id varchar(50),
+  sample_cd varchar(200),
+  category_cd varchar(1000),
+  source_cd varchar(50),
+  omic_source_study varchar(200),
+  omic_patient_id numeric(38,0),
+  partition_id numeric,
+  CONSTRAINT de_subject_smpl_mpng_pk PRIMARY KEY (assay_id)
+);
+CREATE TABLE deapp.de_subject_microarray_data (
+  trial_name varchar(50),
+  probeset_id numeric(38,0) NOT NULL,
+  assay_id numeric(18,0) NOT NULL,
+  raw_intensity double precision,
+  log_intensity double precision,
+  zscore double precision,
+  partition_id numeric
+);
+"""
+
+
+@pytest.fixture(scope="module")
+def deapp_omics(deapp):
+    """Bootstrap the public deapp omics core on top of the VCF
+    fixture's deapp schema/tablespaces, then run the reference's
+    partition-create and index sqlText strings VERBATIM
+    (I2B2_PROCESS_MRNA_DATA.sql:189-191,335-341). Yields
+    (dsn, partition_id)."""
+    dsn = deapp
+    for tbl in (
+        "deapp.de_subject_sample_mapping",
+        "deapp.de_subject_microarray_data",
+    ):
+        run_psql(dsn, f"DROP TABLE IF EXISTS {tbl} CASCADE")
+    run_psql(dsn, DEAPP_OMICS_BOOTSTRAP)
+    # the procedure's partition bootstrap, statement for statement:
+    # partitionId := nextval, partitionName/'partitionIndx' derived,
+    # create-inherits with the CHECK, then the three btree indexes
+    part_id = int(run_psql(
+        dsn, "SELECT nextval('deapp.seq_mrna_partition_id')"
+    ).strip())
+    partition_name = f"deapp.de_subject_microarray_data_{part_id}"
+    partition_indx = f"de_subject_microarray_data_{part_id}"
+    run_psql(
+        dsn,
+        f"create table {partition_name} ( constraint mrna_{part_id}_check "
+        f"check ( partition_id = {part_id})) "
+        "inherits (deapp.de_subject_microarray_data)",
+    )
+    for idx, cols in (("idx2", "assay_id"), ("idx3", "probeset_id"),
+                      ("idx4", "assay_id, probeset_id")):
+        run_psql(
+            dsn,
+            f" create index {partition_indx}_{idx} on {partition_name} "
+            f"using btree ({cols}) tablespace indx",
+        )
+    return dsn, part_id
+
+
+def test_mrna_frames_land_in_deapp_ddl(spark, deapp_omics):
+    """End-to-end drop-in proof for the deapp omics side: GSE0
+    expression through OUR hdd plan, sample mapping + z-scored matrix
+    mapped onto the reference's insert contracts with
+    sequence_dictionary-allocated assay/patient/probeset ids, COPY'd
+    into the bootstrapped DDL — Postgres enforcing the assay_id PK,
+    NOT NULLs, varchar widths, and the partition CHECK — and the
+    reference-parity numbers (Blood subtree = 32 distinct patients,
+    TST1000000719 × 1007_s_at raw intensity 6.624529839) recomputed
+    INSIDE Postgres from the landed rows."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.plans.hdd import load_expression
+
+    dsn, part_id = deapp_omics
+    res = load_expression(
+        spark,
+        "/root/reference/fixtures/Test Studies/Test Study_GSE0/"
+        "ExpressionDataToUpload",
+        "GSE0",
+        "\\Test Studies\\Test Study\\",
+    )
+    # one dense dictionary per surrogate domain, applied to EVERY
+    # frame that carries it (the reference fills these from
+    # seq_assay_id / seq_patient_num / the annotation's probeset ids)
+    assay_dict = sequence_dictionary(res.sample_mapping, "assay_id")
+    pat_dict = sequence_dictionary(res.patient_dimension, "patient_num")
+    data = res.data.withColumn("probeset_key", F.xxhash64("probeset_id"))
+    probe_dict = sequence_dictionary(data, "probeset_key")
+
+    sm = apply_sequence(res.sample_mapping, "assay_id", assay_dict)
+    sm = apply_sequence(sm, "patient_id", pat_dict)
+    # sourcesystem_cd is trial[:site]:subject — recover the insert's
+    # site_id/subject_id fields (I2B2_LOAD_SAMPLES.sql:748-750)
+    parts = F.split(F.col("sourcesystem_cd"), ":")
+    mapping_frame = sm.select(
+        "patient_id",
+        F.when(F.size(parts) >= 3, parts[1]).alias("site_id"),
+        F.element_at(parts, -1).alias("subject_id"),
+        F.lit(None).cast("string").alias("subject_type"),
+        F.col("concept_code"),
+        "assay_id",
+        "sample_type",
+        "trial_name",
+        "timepoint",
+        "tissue_type",
+        "platform",
+        "gpl_id",
+        "sample_cd",
+        "category_cd",
+        F.coalesce(F.col("source_cd"), F.lit("STD")).alias("source_cd"),
+        F.col("trial_name").alias("omic_source_study"),
+        F.col("patient_id").alias("omic_patient_id"),
+        F.lit(part_id).alias("partition_id"),
+    )
+    data_frame = apply_sequence(
+        apply_sequence(data, "probeset_key", probe_dict), "assay_id", assay_dict
+    ).select(
+        F.lit(part_id).alias("partition_id"),
+        "trial_name",
+        F.col("probeset_key").alias("probeset_id"),
+        "assay_id",
+        "raw_intensity",
+        "log_intensity",
+        "zscore",
+    )
+    partition = f"deapp.de_subject_microarray_data_{part_id}"
+    n_sm = write_postgres_copy(
+        mapping_frame, dsn, "deapp.de_subject_sample_mapping", create=False
+    )
+    n_data = write_postgres_copy(data_frame, dsn, partition, create=False)
+    assert n_sm == mapping_frame.count()
+    assert n_data == data_frame.count() > 0
+    # inheritance plumbing: the BASE table sees the partition's rows,
+    # scoped by the partition_id the reference's queries filter on
+    (base_n,) = run_psql(
+        dsn,
+        "SELECT count(*) FROM deapp.de_subject_microarray_data "
+        f"WHERE partition_id = {part_id}",
+    ).split()
+    assert int(base_n) == n_data
+    # the verbatim CHECK constraint arbitrates: a wrong-partition row
+    # is rejected by the partition table itself
+    with pytest.raises(RuntimeError, match=f"mrna_{part_id}_check"):
+        write_postgres_copy(
+            data_frame.withColumn("partition_id", F.lit(part_id + 1)).limit(1),
+            dsn,
+            partition,
+            create=False,
+        )
+    # the assay_id PK arbitrates on the mapping side
+    with pytest.raises(RuntimeError, match="de_subject_smpl_mpng_pk"):
+        write_postgres_copy(
+            mapping_frame.limit(1), dsn, "deapp.de_subject_sample_mapping",
+            create=False,
+        )
+    # reference-parity numbers recomputed INSIDE Postgres
+    # (ExpressionDataProcessorTest.testItLoadsData): the Blood
+    # subtree's 32 distinct patients — the whole GSE0 expression
+    # mapping sits under \Test GEX Platform\Blood\, so the table-wide
+    # distinct patient count IS the node count
+    assert mapping_frame.filter(F.col("tissue_type") == "Blood").count() == (
+        mapping_frame.count()
+    )
+    (blood,) = run_psql(
+        dsn,
+        "SELECT count(DISTINCT patient_id) FROM deapp.de_subject_sample_mapping",
+    ).split()
+    assert int(blood) == 32
+    # ...and one exact raw intensity, addressed by the landed
+    # surrogate ids (probe 1007_s_at's dictionary id resolved
+    # driver-side from the same dictionary the COPY used), joined
+    # across the two tables exactly as warehouse queries do
+    probe_hash = spark.createDataFrame([("1007_s_at",)], "p string").select(
+        F.xxhash64("p").alias("h")
+    ).collect()[0]["h"]
+    [probe_seq] = [
+        r["seq_id"]
+        for r in probe_dict.filter(F.col("value") == probe_hash).collect()
+    ]
+    raw = run_psql(
+        dsn,
+        "SELECT d.raw_intensity FROM deapp.de_subject_microarray_data d "
+        "JOIN deapp.de_subject_sample_mapping sm ON sm.assay_id = d.assay_id "
+        "WHERE sm.sample_cd = 'TST1000000719'"
+        f" AND d.partition_id = {part_id}"
+        f" AND d.probeset_id = {probe_seq}",
+    ).strip()
+    assert abs(float(raw) - 6.624529839) < 1e-9

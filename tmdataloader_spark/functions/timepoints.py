@@ -55,6 +55,9 @@ def timestamp_to_timepoint(ts: Column | str, baseline: Column | str) -> Column:
     return F.when(secs == 0, F.lit("Baseline")).otherwise(signed)
 
 
+# Unit-first ('Week 4') multipliers — the reference's EXPLICIT branch
+# constants (I2B2_BUILD_METADATA_XML.sql:22-45): hour×60, day×1440,
+# week×10080, month×43200 (30-day), year×518400 (360-day).
 _UNIT_MINUTES = {
     "minute": 1,
     "minutes": 1,
@@ -70,30 +73,100 @@ _UNIT_MINUTES = {
     "years": 518400,
 }
 
+# Pair-path ('2 days 3 hours') epoch seconds — the reference computes
+# EXTRACT(epoch FROM name::INTERVAL)/60 here instead
+# (I2B2_BUILD_METADATA_XML.sql:47-50), so these are Postgres interval
+# epoch factors: month = 30 days but year = 365.25 days (31557600 s),
+# deliberately DIFFERENT from the unit-first path's 518400-minute year —
+# the reference is internally inconsistent and we mirror it verbatim.
+# Seconds participate (possibly fractional minutes: '1 minute
+# 30 seconds' → 1.5), matching the interval parser.
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
+    "month": 2592000,
+    "months": 2592000,
+    "year": 31557600,
+    "years": 31557600,
+}
 
-def timepoint_minutes(name: Column | str) -> Column:
-    """Parse a timepoint display name like ``'2 days 3 hours'`` /
-    ``'Week 4'`` into total minutes (I2B2_BUILD_METADATA_XML.sql:24-56).
-    ``Baseline`` → 0. Unparseable → null."""
-    c = F.lower(F.trim(_c(name)))
-    # 'N unit [N unit ...]' pairs: extract all (number, unit) pairs and sum.
-    pairs_n = F.regexp_extract_all(c, F.lit(r"(-?\d+)\s*(minutes?|hours?|days?|weeks?|months?|years?)"), 1)
-    pairs_u = F.regexp_extract_all(c, F.lit(r"(?:-?\d+)\s*(minutes?|hours?|days?|weeks?|months?|years?)"), 1)
-    unit_map = F.create_map(*[x for k, v in _UNIT_MINUTES.items() for x in (F.lit(k), F.lit(v))])
-    summed = F.aggregate(
-        F.zip_with(pairs_n, pairs_u, lambda n, u: n.cast("long") * unit_map[u]),
+# The reference's pair-path gate regex units — note NO seconds
+# (I2B2_BUILD_METADATA_XML.sql:47): a name must START with a
+# '-?[0-9]{1,4} <non-second unit>' pair to enter the epoch path; a
+# pure sub-minute name like '30 seconds' RAISEs 'Check date format'
+# in the reference (aborting the load) — we yield NULL instead, the
+# one documented divergence (cannot raise per-row in a column expr).
+_PAIR_GATE = r"^-?[0-9]{1,4} (week|weeks|minute|minutes|hour|hours|day|days|year|years|month|months)"
+
+
+def _unit_first_parts(c: Column) -> tuple[Column, Column]:
+    """The reference's first branch (I2B2_BUILD_METADATA_XML.sql:19-21):
+    a name matching ``^[a-zA-Z]+ -?\\d+`` yields (first number
+    substring, lowered first alpha substring) — ANY alpha unit, not
+    just time units ('Visit 3' → ('3', 'visit'))."""
+    matched = c.rlike(r"^[a-z]+ -?\d+")
+    num = F.regexp_extract(c, r"(-?[0-9]+)", 1)
+    unit = F.regexp_extract(c, r"([a-z]+)", 1)
+    return (
+        F.when(matched, num).otherwise(F.lit(None).cast("string")),
+        F.when(matched, unit).otherwise(F.lit(None).cast("string")),
+    )
+
+
+def _pair_epoch_minutes(c: Column) -> Column:
+    """Pair-path minutes: Postgres ``EXTRACT(epoch FROM c::INTERVAL)/60``
+    re-expressed as a sum over (number, unit) pairs (seconds included,
+    result possibly fractional). NULL unless the name passes the
+    reference's first-pair gate regex."""
+    pairs_n = F.regexp_extract_all(
+        c, F.lit(r"(-?\d+)\s*(seconds?|minutes?|hours?|days?|weeks?|months?|years?)"), 1
+    )
+    pairs_u = F.regexp_extract_all(
+        c, F.lit(r"(?:-?\d+)\s*(seconds?|minutes?|hours?|days?|weeks?|months?|years?)"), 1
+    )
+    sec_map = F.create_map(*[x for k, v in _UNIT_SECONDS.items() for x in (F.lit(k), F.lit(v))])
+    total_secs = F.aggregate(
+        F.zip_with(pairs_n, pairs_u, lambda n, u: n.cast("long") * sec_map[u]),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    # 'week 4' / 'visit 3' style: unit-first with trailing number.
-    unit_first = F.regexp_extract(c, r"^(minutes?|hours?|days?|weeks?|months?|years?)\s+(-?\d+)$", 1)
-    unit_first_n = F.regexp_extract(c, r"^(?:minutes?|hours?|days?|weeks?|months?|years?)\s+(-?\d+)$", 1)
+    return F.when(c.rlike(_PAIR_GATE), total_secs / F.lit(60.0))
+
+
+def timepoint_minutes(name: Column | str) -> Column:
+    """Parse a timepoint display name like ``'2 days 3 hours'`` /
+    ``'Week 4'`` into total minutes as DOUBLE
+    (I2B2_BUILD_METADATA_XML.sql:13-56). ``Baseline`` → 0. Unit-first
+    names use the reference's explicit multipliers; pair names use
+    interval-epoch/60 (seconds included, so '1 minute 30 seconds' →
+    1.5). Unknown-unit unit-first names ('Visit 3') and unparseable
+    names → null (the XML emitter handles the reference's verbatim
+    '<Unit>visit</Unit>' behavior separately)."""
+    c = F.lower(F.trim(_c(name)))
+    uf_num, uf_unit = _unit_first_parts(c)
+    unit_map = F.create_map(*[x for k, v in _UNIT_MINUTES.items() for x in (F.lit(k), F.lit(v))])
     return (
-        F.when(c == "baseline", F.lit(0).cast("long"))
-        .when(unit_first != "", unit_first_n.cast("long") * unit_map[unit_first])
-        .when(F.size(pairs_n) > 0, summed)
-        .otherwise(F.lit(None).cast("long"))
+        F.when(c == "baseline", F.lit(0.0))
+        .when(uf_unit.isNotNull(), uf_num.cast("double") * unit_map[uf_unit].cast("double"))
+        .otherwise(_pair_epoch_minutes(c))
     )
+
+
+def _float8_str(x: Column) -> Column:
+    """Format a double the way Postgres float8→varchar does: no
+    trailing '.0' on integer values ('120', '-5', '1.5')."""
+    as_long = x.cast("long")
+    return F.when(
+        x == as_long.cast("double"), as_long.cast("string")
+    ).otherwise(x.cast("string"))
 
 
 def build_metadata_xml(name: Column | str, data_type: Column | str, is_timepoint: Column | None = None) -> Column:
@@ -105,9 +178,14 @@ def build_metadata_xml(name: Column | str, data_type: Column | str, is_timepoint
     'minutes', and the original display name
     (ClinicalDataProcessorTest.groovy:1368-1380 parses exactly these);
     numeric ('N') leaves get the plain template; text leaves NULL.
-    A TIMEPOINT name that parses to no minutes yields NULL (the
-    reference RAISEs there — our loads never produce one, since the
-    timepoint names come from timestamp_to_timepoint)."""
+    Unit-first names with an unknown unit keep it verbatim — the
+    reference emits '<Unit>visit</Unit><Value>3</Value>' for
+    'Visit 3' (I2B2_BUILD_METADATA_XML.sql:19-21,58-64). A TIMEPOINT
+    name that matches neither path yields NULL where the reference
+    RAISEs 'Check date format' and aborts the load (e.g. a pure
+    sub-minute '30 seconds' name) — documented divergence; our
+    clinical timepoint names come from timestamp_to_timepoint, which
+    only emits such names for sub-minute offsets."""
     dt = _c(data_type)
     nm = _c(name)
     head = (
@@ -130,16 +208,36 @@ def build_metadata_xml(name: Column | str, data_type: Column | str, is_timepoint
     numeric_xml = F.lit(head + "</ValueMetadata>")
     if is_timepoint is None:
         return F.when(dt == "N", numeric_xml).otherwise(F.lit(None).cast("string"))
-    minutes = timepoint_minutes(nm)
+    c = F.lower(F.trim(nm))
+    uf_num, uf_unit = _unit_first_parts(c)
+    unit_map = F.create_map(*[x for k, v in _UNIT_MINUTES.items() for x in (F.lit(k), F.lit(v))])
+    uf_minutes = uf_num.cast("double") * unit_map[uf_unit].cast("double")
+    # series (value, unit) exactly as the reference assigns them:
+    # Baseline → ('0','minutes'); unit-first known unit → converted
+    # minutes; unit-first UNKNOWN unit → raw number + raw unit
+    # verbatim; else pair path → epoch/60 minutes.
+    value = (
+        F.when(c == "baseline", F.lit("0"))
+        .when(uf_unit.isNotNull() & uf_minutes.isNotNull(), _float8_str(uf_minutes))
+        .when(uf_unit.isNotNull(), uf_num)
+        .otherwise(_float8_str(_pair_epoch_minutes(c)))
+    )
+    unit = (
+        F.when(c == "baseline", F.lit("minutes"))
+        .when(uf_unit.isNotNull() & uf_minutes.isNull(), uf_unit)
+        .otherwise(F.lit("minutes"))
+    )
     series_xml = F.concat(
         F.lit(head + "<SeriesMeta><Value>"),
-        minutes.cast("string"),
-        F.lit("</Value><Unit>minutes</Unit><DisplayName>"),
+        value,
+        F.lit("</Value><Unit>"),
+        unit,
+        F.lit("</Unit><DisplayName>"),
         nm,
         F.lit("</DisplayName></SeriesMeta></ValueMetadata>"),
     )
     return (
-        F.when(is_timepoint & minutes.isNotNull(), series_xml)
+        F.when(is_timepoint & value.isNotNull(), series_xml)
         .when(dt == "N", numeric_xml)
         .otherwise(F.lit(None).cast("string"))
     )

@@ -352,10 +352,17 @@ def merge_clinical_load(
             "valtype_cd", "sourcesystem_cd", xml,
         )
 
+    # Incoming rows WIN for shared paths — the reference UPDATEs
+    # existing i2b2 rows with the new load's name/datatype/metadataxml
+    # (I2B2_LOAD_CLINICAL_DATA.sql:989-994) — so anti-join the
+    # existing side against incoming paths instead of an arbitrary
+    # dropDuplicates (which could nondeterministically keep the old
+    # NULL c_metadataxml and defeat the carry).
+    inc_i2b2 = _i2b2_cols(incoming.i2b2)
     i2b2_paths = (
         _i2b2_cols(existing.i2b2)
-        .unionByName(_i2b2_cols(incoming.i2b2))
-        .dropDuplicates(["c_fullname"])
+        .join(inc_i2b2.select("c_fullname"), on="c_fullname", how="left_anti")
+        .unionByName(inc_i2b2)
     )
     i2b2 = visual_attributes(
         i2b2_paths.withColumnRenamed("c_fullname", "path"), "path"

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
+import socket
 import subprocess
 import warnings
 from contextlib import contextmanager
@@ -186,8 +188,11 @@ def write_postgres_copy(
         # per-run staging name (r10 ADVICE): concurrent upserts to the
         # same table must not share one staging — a fixed name let one
         # run's finally drop the other's staging mid-COPY and
-        # interleaved COPYs mix rows
-        target = f"{table}__staging_{os.getpid()}_{next(_staging_counter)}"
+        # interleaved COPYs mix rows. pid+counter alone still collides
+        # when two HOSTS hit one database, so the host name joins the
+        # nonce (sanitized — identifiers only)
+        host = re.sub(r"[^A-Za-z0-9]", "_", socket.gethostname())[:24] or "host"
+        target = f"{table}__staging_{host}_{os.getpid()}_{next(_staging_counter)}"
         # self-healing pre-drop (r10 ADVICE): a prior hard-crashed run
         # (kill -9, OOM) can leak a staging table past its finally —
         # with pid reuse that name can collide, so drop unconditionally
