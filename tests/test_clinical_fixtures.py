@@ -593,3 +593,234 @@ def test_serial_ldd_timestamp_append_merge(spark, tmp_path):
     )
     assert _series_meta(merged3, tp + "Baseline\\") == ("0", "minutes", "Y")
     assert _series_meta(merged3, tp + "1 minute\\") == ("1", "minutes", "Y")
+
+
+SINGLEVN = (
+    "/root/reference/fixtures/Test Studies/"
+    "Test Study With Single Visit Name_GSE0SINGLEVN/ClinicalDataToUpload/"
+    "Test Study With Single Visit Name_GSE0SINGLEVN_Mapping_File.txt"
+)
+
+
+def _singlevn_counts(spark, always_set):
+    res = load_clinical(
+        spark,
+        melt_clinical_study(spark, SINGLEVN),
+        "GSE0SINGLEVN",
+        "\\Test Studies\\Test Study With Single Visit Name\\",
+        always_set_visit_name=always_set,
+    )
+    return {
+        r["concept_path"]: r["patient_count"]
+        for r in res.concept_counts.collect()
+    }
+
+
+def test_single_visit_name_removed_by_default(spark):
+    r"""ClinicalDataProcessorTest.groovy:421-438 ('it should remove
+    single visit name by default'): a study whose only visit name is
+    'Baseline' drops it from every path — node counts land at the
+    visit-less paths and no '...\Baseline\' nodes exist."""
+    counts = _singlevn_counts(spark, always_set=False)
+    demo = (
+        "\\Test Studies\\Test Study With Single Visit Name\\Subjects"
+        "\\Demographics"
+    )
+    assert counts[demo + "\\Female\\French\\Sex (SEX)\\"] == 2
+    assert counts[demo + "\\Female\\English\\Sex (SEX)\\"] == 1
+    assert counts[demo + "\\Russian language\\Age (AGE)\\"] == 1
+    assert demo + "\\Russian language\\Age (AGE)\\Baseline\\" not in counts
+    assert counts[demo + "\\Language\\French\\"] == 2
+    assert demo + "\\Language\\French\\Baseline\\" not in counts
+
+
+def test_single_visit_name_kept_with_option(spark):
+    r"""ClinicalDataProcessorTest.groovy:439-455 ('it should always
+    set visit name if option specified'): with alwaysSetVisitName the
+    'Baseline' visit stays in every path — including between DATAVALUE
+    and the $$Language tag, and after the Age label."""
+    counts = _singlevn_counts(spark, always_set=True)
+    demo = (
+        "\\Test Studies\\Test Study With Single Visit Name\\Subjects"
+        "\\Demographics"
+    )
+    assert counts[demo + "\\Female\\Baseline\\French\\Sex (SEX)\\"] == 2
+    assert counts[demo + "\\Female\\Baseline\\English\\Sex (SEX)\\"] == 1
+    assert counts[demo + "\\Russian language\\Age (AGE)\\Baseline\\"] == 1
+    assert counts[demo + "\\Language\\French\\Baseline\\"] == 2
+
+
+def _ts2_study(tmp_path, separate_baseline, name):
+    r"""The two-timestamp-column builder studies
+    (ClinicalDataProcessorTest.groovy:1276-1369 DSL): a second
+    $$Timestamp2 group, sharing the first group's baseline column or
+    carrying its own 'Baseline2' column."""
+    d = tmp_path / name
+    d.mkdir()
+    mapping = d / "TS2_Mapping_File.txt"
+    b2_label = "Baseline2" if separate_baseline else "Baseline"
+    lines = [
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tbaseline\tvariable_type",
+        "TEST.txt\t\t1\tSTUDY_ID\t\t",
+        "TEST.txt\t\t2\tSUBJ_ID\t\t",
+        "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\tBaseline\tTimestamp",
+        "TEST.txt\t\t4\tTimestamp\t\tTimestamp",
+        "TEST.txt\tVars\t5\tSex\t\t",
+        "TEST.txt\t\t6\tBaseline\t\t",
+        f"TEST.txt\tOther+DATALABEL+$$Timestamp2\t7\tTimestamp2\t{b2_label}\tTimestamp",
+        "TEST.txt\t\t8\tTimestamp2\t\tTimestamp",
+    ]
+    header = "STUDY_ID\tSUBJ_ID\tDays\tTimestamp\tSex\tBaseline\tCount\tTimestamp2"
+    if separate_baseline:
+        lines.append("TEST.txt\t\t9\tBaseline2\t\t")
+        header += "\tBaseline2"
+    mapping.write_text("\n".join(lines) + "\n")
+    rows = [
+        ("SUBJ1", "0", "2000-12-31 12:00", "Female", "1", "2000-12-31 14:00"),
+        ("SUBJ1", "10", "2000-12-31 12:01", "Female", "2", "2000-12-31 14:01"),
+        ("SUBJ1", "12", "2000-12-31 12:02", "Female", "3", "2000-12-31 14:02"),
+        ("SUBJ1", "10", "2000-12-31 12:05", "Female", "4", "2000-12-31 14:03"),
+        ("SUBJ2", "5", "2000-12-31 12:00", "Male", "1", "2000-12-31 14:00"),
+        ("SUBJ2", "13", "2000-12-31 12:02", "Male", "10", "2000-12-31 14:01"),
+        ("SUBJ2", "15", "2000-12-31 12:05", "Male", "100", "2000-12-31 14:02"),
+    ]
+    body = ""
+    for s, days, ts, sex, cnt, ts2 in rows:
+        line = f"GSE0SLDDW2TS\t{s}\t{days}\t{ts}\t{sex}\t2000-12-31 12:00\t{cnt}\t{ts2}"
+        if separate_baseline:
+            line += "\t2000-12-31 13:00"
+        body += line + "\n"
+    (d / "TEST.txt").write_text(header + "\n" + body)
+    return str(mapping)
+
+
+@pytest.mark.parametrize(
+    "separate_baseline,second_expect",
+    [
+        # :1276 shared baseline (12:00): Timestamp2 at 14:00.. → 2 hours
+        (False, {"2 hours": ("120", 2), "2 hours 3 minutes": ("123", 1)}),
+        # :1321 own Baseline2 column (13:00): same stamps → 1 hour
+        (True, {"1 hour": ("60", 2), "1 hour 3 minutes": ("63", 1)}),
+    ],
+)
+def test_serial_ldd_two_timestamp_columns(spark, tmp_path, separate_baseline, second_expect):
+    r"""ClinicalDataProcessorTest.groovy:1276-1369 ('two timestamp
+    column' / 'two timestamp and baseline'): each $$Timestamp group
+    resolves against ITS OWN baseline column, so the same wall-clock
+    stamps land at different timepoint nodes per group, each with the
+    reference SeriesMeta XML."""
+    top = "\\Test Studies\\TS2 Study\\"
+    name = "sep" if separate_baseline else "shared"
+    res = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts2_study(tmp_path, separate_baseline, name)),
+        "GSE0SLDDW2TS",
+        top,
+    )
+    counts = {
+        r["concept_path"]: r["patient_count"] for r in res.concept_counts.collect()
+    }
+    tp1 = top + "Vars\\Timestamp\\"
+    tp2 = top + "Other\\Timestamp2\\"
+    assert counts[tp1 + "Baseline\\"] == 2
+    assert counts[tp1 + "1 minute\\"] == 1
+    for nodename, (_, n) in second_expect.items():
+        assert counts[tp2 + nodename + "\\"] == n, nodename
+    # checkMetaDataXMLForTimestamp: reference-verbatim SeriesMeta
+    assert _series_meta(res, tp1 + "Baseline\\") == ("0", "minutes", "Y")
+    assert _series_meta(res, tp1 + "5 minutes\\") == ("5", "minutes", "Y")
+    for nodename, (minutes, _) in second_expect.items():
+        assert _series_meta(res, tp2 + nodename + "\\") == (minutes, "minutes", "Y")
+
+
+def _fact_vals(result, path):
+    """{subject_suffix: nval} for facts at one concept path."""
+    rows = (
+        result.observation_fact.filter(F.col("concept_path") == path)
+        .join(
+            result.patient_dimension.select(
+                "patient_num", F.col("sourcesystem_cd").alias("_src")
+            ),
+            on="patient_num",
+        )
+        .collect()
+    )
+    return {r["_src"].split(":")[-1]: r["nval_num"] for r in rows}
+
+
+def test_serial_ldd_timestamp_update_merge(spark, tmp_path):
+    r"""ClinicalDataProcessorTest.groovy:1126-1275 — the UPDATE-mode
+    twins of the APPEND timestamp merges: re-loading SUBJ1 replaces
+    its facts at the NEW timepoints (negative when the new stamps
+    precede the shared baseline, '1 hour ...' when they follow),
+    SUBJ2's original Baseline fact survives, and the brand-new SUBJ3
+    lands alongside — each node carrying the reference SeriesMeta."""
+    from tmdataloader_spark.plans.merge import MergeMode, merge_clinical_load
+
+    top = "\\Test Studies\\TS Study\\"
+    tp = top + "Vars\\Timestamp\\"
+    first_rows = [
+        ("SUBJ1", "0", "2000-12-31 12:00", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:01", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "12", "2000-12-31 12:02", "Female", "2000-12-31 12:00"),
+        ("SUBJ1", "10", "2000-12-31 12:05", "Female", "2000-12-31 12:00"),
+        ("SUBJ2", "5", "2000-12-31 12:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ2", "13", "2000-12-31 12:02", "Male", "2000-12-31 12:00"),
+        ("SUBJ2", "15", "2000-12-31 12:05", "Male", "2000-12-31 12:00"),
+    ]
+    base = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts_study(tmp_path, first_rows, name="ufirst")),
+        "GSE0SLDDWTS",
+        top,
+    )
+    # :1126 some new timestamps lesser than the shared baseline
+    lesser = [
+        ("SUBJ1", "5", "2000-12-31 11:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "7", "2000-12-31 12:03", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "2", "2000-12-31 11:02", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "4", "2000-12-31 11:05", "Male", "2000-12-31 12:00"),
+        ("SUBJ3", "0", "2000-12-31 11:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ3", "1", "2000-12-31 11:02", "Male", "2000-12-31 12:00"),
+        ("SUBJ3", "2", "2000-12-31 11:05", "Male", "2000-12-31 12:00"),
+    ]
+    inc = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts_study(tmp_path, lesser, name="ulesser")),
+        "GSE0SLDDWTS",
+        top,
+    )
+    merged = merge_clinical_load(base, inc, MergeMode.UPDATE, "GSE0SLDDWTS", top)
+    assert _fact_vals(merged, tp + "-1 hour\\")["SUBJ1"] == 5
+    assert _fact_vals(merged, tp + "-58 minutes\\") == {"SUBJ1": 2, "SUBJ3": 1}
+    assert _fact_vals(merged, tp + "3 minutes\\")["SUBJ1"] == 7
+    assert _fact_vals(merged, tp + "-55 minutes\\")["SUBJ1"] == 4
+    assert _fact_vals(merged, tp + "Baseline\\")["SUBJ2"] == 5
+    assert _series_meta(merged, tp + "-55 minutes\\") == ("-55", "minutes", "Y")
+    assert _series_meta(merged, tp + "3 minutes\\") == ("3", "minutes", "Y")
+    assert _series_meta(merged, tp + "Baseline\\") == ("0", "minutes", "Y")
+
+    # :1202 all new timestamps greater than the old min
+    greater = [
+        ("SUBJ1", "5", "2000-12-31 13:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "7", "2000-12-31 13:01", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "2", "2000-12-31 13:02", "Male", "2000-12-31 12:00"),
+        ("SUBJ1", "4", "2000-12-31 13:05", "Male", "2000-12-31 12:00"),
+        ("SUBJ3", "0", "2000-12-31 13:00", "Male", "2000-12-31 12:00"),
+        ("SUBJ3", "1", "2000-12-31 13:02", "Male", "2000-12-31 12:00"),
+    ]
+    inc2 = load_clinical(
+        spark,
+        melt_clinical_study(spark, _ts_study(tmp_path, greater, name="ugreater")),
+        "GSE0SLDDWTS",
+        top,
+    )
+    merged2 = merge_clinical_load(base, inc2, MergeMode.UPDATE, "GSE0SLDDWTS", top)
+    assert _fact_vals(merged2, tp + "1 hour\\") == {"SUBJ1": 5, "SUBJ3": 0}
+    assert _fact_vals(merged2, tp + "1 hour 1 minute\\")["SUBJ1"] == 7
+    assert _fact_vals(merged2, tp + "1 hour 2 minutes\\") == {"SUBJ1": 2, "SUBJ3": 1}
+    assert _fact_vals(merged2, tp + "1 hour 5 minutes\\")["SUBJ1"] == 4
+    assert _fact_vals(merged2, tp + "Baseline\\")["SUBJ2"] == 5
+    assert _series_meta(merged2, tp + "1 hour\\") == ("60", "minutes", "Y")
+    assert _series_meta(merged2, tp + "1 hour 5 minutes\\") == ("65", "minutes", "Y")
+    assert _series_meta(merged2, tp + "Baseline\\") == ("0", "minutes", "Y")

@@ -372,3 +372,61 @@ def test_mirna_seq_l_branch_not_rounded(spark, tmp_path):
     # raw = 2^log (would be 0.00291 if the R-branch round leaked in)
     assert row[0].log_intensity == 0.002908561
     assert abs(row[0].raw_intensity - 2.0 ** 0.002908561) < 1e-15
+
+
+@pytest.mark.parametrize(
+    "omics,fixture_dir,expect_samples",
+    [
+        # MIRNASerialHDDDataProcessorTest.groovy:19-46
+        ("mirna_qpcr", "Test MirnaQpcr Study/MIRNA_QPCRSerialHDDDataToUpload",
+         {"GSM918938", "GSM918939"}),
+        # RNASeqSerialHDDDataProcessorTest.groovy:19-46
+        ("rnaseq", "Test RNASeq Study/RNASegSerialHDDDataToUpload",
+         {"S57023", "S57024"}),
+        # ProteinSerialHDDDataProcessorTest.groovy:21-49
+        ("protein", "Test Protein Study_GSE37425/ProteinSerialHDDDataToUpload",
+         {"P516591", "O002311", "P504401", "P378021", "P026471"}),
+        # MetabolomicsSerialHDDDataProcessorTest.groovy:19-50
+        ("metabolomics", "Test Metabolomics Study/MetabolomicsSerialHDDDataToUpload",
+         {"10CP", "12PP", "18PP"}),
+    ],
+)
+def test_serial_hdd_per_family(spark, omics, fixture_dir, expect_samples):
+    """The four per-family SerialHDD processor tests share one
+    contract: the dimension file's SeriesMeta XML lands on the
+    matching 'Sample Factors Week 1' node, the node hides (LAH), and
+    per-sample observation facts carry each fixture sample's
+    sample_cd."""
+    from tmdataloader_spark.plans.hdd import load_serial_hdd
+
+    res = load_serial_hdd(
+        spark,
+        f"{FIX}/{fixture_dir}",
+        None,
+        TOP,
+        omics,
+    )
+    import xml.etree.ElementTree as ET
+
+    rows = {
+        r.c_name: r
+        for r in res.i2b2.filter("c_metadataxml is not null").collect()
+    }
+    node = rows["Sample Factors Week 1"]
+    meta = ET.fromstring(node.c_metadataxml)
+    assert meta.findtext("Oktousevalues") == "Y"
+    s = meta.find("SeriesMeta")
+    assert (s.findtext("Value"), s.findtext("Unit"), s.findtext("DisplayName")) == (
+        "7", "days", "Week 1",
+    )
+    assert node.c_visualattributes == "LAH"
+    # sample_dimension / per-sample facts: every fixture sample
+    # present with sample_cd routed through (the
+    # i2b2demodata.observation_fact hasRecord sample_cd assertions)
+    samples = {r.sample_cd for r in res.sample_mapping.collect()}
+    assert expect_samples <= samples
+    fact_samples = {
+        r.sample_cd
+        for r in res.observation_fact.select("sample_cd").distinct().collect()
+    }
+    assert expect_samples <= fact_samples

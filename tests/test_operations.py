@@ -284,3 +284,140 @@ def test_delete_keeps_top_node_with_sibling(spark, wh):
     remaining = paths(out.i2b2, "c_fullname")
     assert f"\\{ROOT}\\" in remaining, "top node with a sibling must survive"
     assert f"\\{ROOT}\\Other Study\\" in remaining
+
+
+def has_count_row(wh_, path):
+    return wh_.concept_counts.filter(F.col("concept_path") == path).count() > 0
+
+
+def test_move_subfolder_demographics_counts(wh):
+    r"""MoveStudyOperationTest.groovy:253-270 (testMoveSubfolder): move
+    Language under a NEW 'Demographics new' folder; the recomputed
+    counts match the reference's exact map — the moved subtree's 3
+    patients land under the new folder, the old Demographics keeps its
+    other leaves' counts."""
+    old = ORIGINAL + "Subjects\\Demographics\\Language\\"
+    new = ORIGINAL + "Subjects\\Demographics new\\Language\\"
+    out = move_study_by_path(wh, old, new)
+    base = ORIGINAL + "Subjects\\"
+    for suffix, n in {
+        "Demographics new\\": 3,
+        "Demographics new\\Language\\": 3,
+        "Demographics new\\Language\\English\\": 2,
+        "Demographics new\\Language\\Spain\\": 1,
+        "Demographics\\Sex (SEX)\\Female\\": 5,
+        "Demographics\\Sex (SEX)\\": 7,
+        "Demographics\\Assessment Date\\": 9,
+    }.items():
+        assert count_at(out, base + suffix) == n, suffix
+
+
+@pytest.mark.parametrize(
+    "new_mid",
+    [
+        "Subjects new\\Demographics\\",  # testMoveSubfolder2 (:282)
+        "Subjects new\\Demographics new\\",  # testMoveSubfolder3 (:299)
+    ],
+)
+def test_move_subfolder_new_parent_levels_counts(wh, new_mid):
+    r"""MoveStudyOperationTest.groovy:282-315: moving Language under
+    one or two NEW intermediate folders fills the levels in and rolls
+    the 3 Language patients up through each new folder, while the old
+    Demographics subtree keeps its remaining counts."""
+    old = ORIGINAL + "Subjects\\Demographics\\Language\\"
+    new = ORIGINAL + new_mid + "Language\\"
+    out = move_study_by_path(wh, old, new)
+    for suffix, n in {
+        new_mid: 3,
+        new_mid + "Language\\": 3,
+        new_mid + "Language\\English\\": 2,
+        new_mid + "Language\\Spain\\": 1,
+        "Subjects\\Demographics\\Sex (SEX)\\Female\\": 5,
+        "Subjects\\Demographics\\Sex (SEX)\\Male\\": 2,
+    }.items():
+        assert count_at(out, ORIGINAL + suffix) == n, suffix
+    # the new intermediate level is a real node
+    assert ORIGINAL + new_mid in paths(out.i2b2, "c_fullname")
+
+
+def test_move_subfolder_mutation_leaf_counts(wh):
+    r"""MoveStudyOperationTest.groovy:271-281 (testMoveSubfolder4):
+    moving the 3-patient ELREA746del mutation leaf out from under
+    Biomarker Data drops that node's rollup to 6 distinct patients."""
+    old = (
+        ORIGINAL + "Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\"
+        "AA mutation\\ELREA746del\\"
+    )
+    new = ORIGINAL + "test\\ELREA746del\\"
+    out = move_study_by_path(wh, old, new)
+    assert count_at(out, ORIGINAL + "Biomarker Data\\") == 6
+    assert count_at(out, new) == 3
+
+
+def test_move_study_with_few_levels_chained(wh):
+    r"""MoveStudyOperationTest.groovy:115-135 (testMoveStudyWithFewLevels,
+    single-study adaptation): chained moves through multi-level paths
+    — each move fills the new levels in, prunes the emptied old ones,
+    and keeps the study's 9-patient count intact."""
+    p1 = f"\\{ROOT}\\A\\B\\Test Study"
+    out1 = move_study_by_path(wh, ORIGINAL, p1)
+    assert f"\\{ROOT}\\A\\B\\Test Study\\" in paths(out1.i2b2, "c_fullname")
+    assert ORIGINAL not in paths(out1.i2b2, "c_fullname")
+
+    p2 = f"\\{ROOT}\\A\\C\\Another Test Study\\"
+    out2 = move_study_by_path(out1, f"\\{ROOT}\\A\\B\\Test Study\\", p2)
+    got = paths(out2.i2b2, "c_fullname")
+    assert p2 in got
+    # the emptied B level is pruned; A survives (C lives under it)
+    assert f"\\{ROOT}\\A\\B\\" not in got
+    assert f"\\{ROOT}\\A\\" in got
+    assert count_at(out2, p2) == 9
+
+
+def test_move_double_change_top_counts_scope(wh):
+    r"""MoveStudyOperationTest.groovy:333-366
+    (testItCheckUpdateConceptCountsWIthDoubleChangeTop +
+    ...WithAddHierarchyLevel): after moving the study to a deep path
+    under a NEW root, counts exist for the study subtree but NOT for
+    the intermediate folders above it — the reference re-runs
+    I2B2_CREATE_CONCEPT_COUNTS scoped to the study path (:457), so
+    '\Root Update\C\' (and '\C\D\' in the deeper variant) never get a
+    counts row."""
+    new_root = f"\\{ROOT} Update"
+    for new in (f"{new_root}\\C\\D\\", f"{new_root}\\C\\D\\E\\"):
+        out = move_study_by_path(wh, ORIGINAL, new)
+        assert count_at(out, new + "Subjects\\Demographics\\") == 9
+        assert count_at(out, new) == 9
+        # intermediate folders above the moved study: nodes exist,
+        # counts rows do NOT
+        inter = [p for p in (f"{new_root}\\C\\", f"{new_root}\\C\\D\\") if p != new]
+        node_paths = paths(out.i2b2, "c_fullname")
+        for p in inter:
+            assert p in node_paths, p
+            assert not has_count_row(out, p), p
+        assert not has_count_row(out, new_root + "\\")
+
+
+def test_delete_part_data_by_id_without_path(spark, wh):
+    r"""DeleteOperationTestCase.groovy:411-421
+    (testItDeletePartDataByIdWithoutPath): deleting by id with NO path
+    — even after the study's concept_dimension rows were removed
+    externally — still clears the trial's deapp sample mapping."""
+    import dataclasses
+
+    sm = spark.createDataFrame(
+        [("GSE0", "TST1000000719"), ("OTHER", "S1")],
+        "trial_name string, sample_cd string",
+    )
+    wh2 = dataclasses.replace(
+        wh,
+        concept_dimension=wh.concept_dimension.filter(
+            F.col("sourcesystem_cd") != "GSE0"
+        ),
+        deapp={"de_subject_sample_mapping": sm},
+    )
+    out = delete_all_data(wh2, trial_id="GSE0", path=None)
+    left = out.deapp["de_subject_sample_mapping"]
+    assert left.filter(F.col("trial_name") == "GSE0").count() == 0
+    assert left.filter(F.col("sample_cd") == "TST1000000719").count() == 0
+    assert left.count() == 1  # unrelated trial survives

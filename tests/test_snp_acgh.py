@@ -80,3 +80,65 @@ def test_acgh_data_typed_metrics(acgh):
 def test_acgh_no_zscore(acgh):
     # the reference keeps aCGH values as loaded (no z-score column)
     assert "zscore" not in acgh.data.columns
+
+
+def test_snp_merge_samples(spark, snp):
+    """SNPDataProcessorTest.testItMergeSamples: reloading the
+    additional-studies SNP directory replaces the overlapping sample's
+    values (TST001 0.628913 → 0.528913 for SNP_A-4265338), keeps the
+    untouched sample's (TST002 CN_497981 0.057206), adds the new
+    sample's rows (TST001 SNP_A-2176913 0.018677 comes from the new
+    file set), and the Unknown-tissue node grows from 3 to 4 distinct
+    patients."""
+    from tmdataloader_spark.plans.hdd import merge_hdd_samples
+
+    def cn(df, s, p):
+        vals = {
+            r["copy_number"]
+            for r in df.filter(
+                (F.col("gsm_num") == s) & (F.col("snp_name") == p)
+            ).collect()
+        }
+        # the additional fixture's TST004 calls file carries TST001
+        # sample ids IN-FILE; the reference loads gsm_num verbatim and
+        # its FULL-JOIN insert has no dedup (I2B2_PROCESS_SNP_DATA.sql:
+        # 108-118), so a key can hold several identical rows — the
+        # Groovy hasCopyNumber matcher checks one value exists, as here
+        assert len(vals) == 1, (s, p, vals)
+        return vals.pop()
+
+    # first-load pinned values (:53-55)
+    assert abs(cn(snp.sample_snp_data, "TST001", "SNP_A-4265338") - 0.628913) < 1e-9
+    assert abs(cn(snp.sample_snp_data, "TST002", "CN_497981") - 0.057206) < 1e-9
+    assert snp.sample_mapping.select("sourcesystem_cd").distinct().count() == 3
+
+    second = load_snp(
+        spark,
+        "/root/reference/fixtures/Additional Test Studies/Test Study_GSE0/"
+        "SNPDataToUpload",
+        "GSE0",
+        TOP,
+    )
+    # the kernel-scored frame merges through the shared sample-level
+    # upsert (assay-keyed, I2B2_LOAD_SAMPLES.sql:659-830)...
+    merged = merge_hdd_samples(
+        snp.data, snp.sample_mapping, second.data, second.sample_mapping
+    )
+    # ...and de_sample_snp_data by the incoming MAPPING's sample_cds —
+    # the reference deletes reloaded samples' rows by lt_src_mrna_subj_
+    # samp_map.sample_cd, NOT by the in-file gsms
+    # (I2B2_PROCESS_SNP_DATA.sql:99-103) — then inserts the new rows
+    new_samples = second.sample_mapping.select(
+        F.col("sample_cd").alias("gsm_num")
+    ).distinct()
+    merged_snp_data = snp.sample_snp_data.join(
+        new_samples, on="gsm_num", how="left_anti"
+    ).unionByName(second.sample_snp_data)
+
+    assert abs(cn(merged_snp_data, "TST001", "SNP_A-4265338") - 0.528913) < 1e-9
+    assert abs(cn(merged_snp_data, "TST002", "CN_497981") - 0.057206) < 1e-9
+    assert abs(cn(merged_snp_data, "TST001", "SNP_A-2176913") - 0.018677) < 1e-9
+    # :56 the Unknown node's patient count grows 3 → 4 (TST004's subject)
+    assert merged.mapping.select("sourcesystem_cd").distinct().count() == 4
+    unknown = merged.mapping.filter(F.col("concept_path").contains("\\Unknown\\"))
+    assert unknown.select("sourcesystem_cd").distinct().count() == 4

@@ -419,9 +419,26 @@ def move_study_by_path(
         .cast("int"),
     )
 
-    # counts recomputed from the rewritten facts (:408-428,517-524)
-    counts = compute_concept_counts(
+    # counts recomputed from the rewritten facts (:408-428,517-524).
+    # I2B2_CREATE_CONCEPT_COUNTS runs SCOPED to a study path (:457 for
+    # the moved study, :521 for a sub-node move), so counts rows exist
+    # only at/below a study root — folders created ABOVE a moved study
+    # (the '\Root Update\C\' in testItCheckUpdateConceptCounts*) carry
+    # NO counts row. Scope = per-trial min path; the roots frame is
+    # trial-sized, so the prefix semi-join broadcasts.
+    study_roots = (
+        i2b2.filter(F.col("sourcesystem_cd").isNotNull())
+        .groupBy("sourcesystem_cd")
+        .agg(F.min("c_fullname").alias("_study_root"))
+        .select("_study_root")
+    )
+    counts_all = compute_concept_counts(
         facts.select(F.col("concept_path").alias("path"), "patient_num")
+    )
+    counts = counts_all.join(
+        F.broadcast(study_roots),
+        counts_all["concept_path"].startswith(F.col("_study_root")),
+        "left_semi",
     )
 
     # Truncate lineage of the SMALL ontology frames before handing the
