@@ -142,3 +142,43 @@ def test_snp_merge_samples(spark, snp):
     assert merged.mapping.select("sourcesystem_cd").distinct().count() == 4
     unknown = merged.mapping.filter(F.col("concept_path").contains("\\Unknown\\"))
     assert unknown.select("sourcesystem_cd").distinct().count() == 4
+
+
+def test_acgh_region_gene_backfill(spark):
+    """I2B2_LOAD_CHROM_REGION.sql:173-235: regions with a gene_symbol
+    but NULL gene_id take min(primary_external_id) from the GENE
+    bio_markers (case-insensitive organism match); regions with a
+    gene_id but NULL symbol take min(bio_marker_name); complete rows
+    and unmatched rows are untouched."""
+    from tmdataloader_spark.plans.acgh import backfill_region_genes
+
+    regions = spark.createDataFrame(
+        [
+            ("r1", "TP53", None, "Homo sapiens"),     # id backfilled
+            ("r2", None, 7157, "HOMO SAPIENS"),       # symbol backfilled
+            ("r3", "BRCA1", 672, "Homo sapiens"),     # complete — untouched
+            ("r4", "NOSUCH", None, "Homo sapiens"),   # no match — stays NULL
+            ("r5", "TP53", None, "Mus musculus"),     # organism mismatch
+        ],
+        "region_name string, gene_symbol string, gene_id long, organism string",
+    )
+    bio_marker = spark.createDataFrame(
+        [
+            ("TP53", "7157", "GENE", "Homo Sapiens"),
+            ("TP53", "9999", "GENE", "Homo Sapiens"),  # min() wins → 7157
+            ("TP53", "22059", "GENE", "Mus Musculus"),
+            ("ZZZ_LAST", "7157", "GENE", "Homo Sapiens"),  # min(name) → TP53
+            ("TP53", "1111", "PROTEIN", "Homo Sapiens"),  # wrong type ignored
+        ],
+        "bio_marker_name string, primary_external_id string, "
+        "bio_marker_type string, organism string",
+    )
+    out = {
+        r.region_name: (r.gene_symbol, r.gene_id)
+        for r in backfill_region_genes(regions, bio_marker).collect()
+    }
+    assert out["r1"] == ("TP53", 7157)
+    assert out["r2"] == ("TP53", 7157)
+    assert out["r3"] == ("BRCA1", 672)
+    assert out["r4"] == ("NOSUCH", None)
+    assert out["r5"] == ("TP53", 22059)

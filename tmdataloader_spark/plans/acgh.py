@@ -59,6 +59,7 @@ def read_chromosomal_regions(
     cols = {c.strip().upper(): c for c in df.columns}
     if "REGION_NAME" not in cols:
         raise LoadValidationError(f"no REGION_NAME column in {path}")
+    organism = meta.get("SPECIES", "Homo sapiens")
     ann = df.select(
         F.lit(platform_id).alias("gpl_id"),
         F.col(f"`{cols['REGION_NAME']}`").alias("region_name"),
@@ -70,13 +71,71 @@ def read_chromosomal_regions(
             for name, orig in cols.items()
             if name in ("CHROMOSOME", "START_BP", "END_BP", "NUM_PROBES", "CYTOBAND", "GENE_SYMBOL")
         ],
+        # GENE_ID / ORGANISM are part of the reference's
+        # lt_chromosomal_region contract (I2B2_LOAD_CHROM_REGION.sql:
+        # 135-157); a file without them gets NULL ids and the
+        # platform's species
+        (
+            F.col(f"`{cols['GENE_ID']}`").try_cast("long")
+            if "GENE_ID" in cols
+            else F.lit(None).cast("long")
+        ).alias("gene_id"),
+        (
+            F.col(f"`{cols['ORGANISM']}`")
+            if "ORGANISM" in cols
+            else F.lit(organism)
+        ).alias("organism"),
     )
     return GplPlatform(
         platform=platform_id,
         title=meta.get("PLATFORM_TITLE", platform_id),
-        organism=meta.get("SPECIES", "Homo sapiens"),
+        organism=organism,
         marker_type="aCGH",
         annotation=ann,
+    )
+
+
+def backfill_region_genes(regions: DataFrame, bio_marker: DataFrame) -> DataFrame:
+    """The reference's post-load gene backfill
+    (I2B2_LOAD_CHROM_REGION.sql:173-235; the IDENTICAL update pair
+    also closes I2B2_LOAD_ANNOTATION_DEAPP.sql:236-300 for
+    de_mrna_annotation — rename ``entrez_gene_id``→``gene_id`` to
+    reuse): rows with a gene_symbol but NULL gene_id take
+    ``min(primary_external_id)`` of the matching GENE bio_marker
+    (same symbol, case-insensitive organism); rows with a gene_id but
+    NULL gene_symbol take ``min(bio_marker_name)`` the same way.
+    ``bio_marker`` is dimension-sized → both lookup sides broadcast;
+    everything else is a narrow per-row coalesce."""
+    genes = bio_marker.filter(F.upper(F.col("bio_marker_type")) == "GENE")
+    by_symbol = genes.groupBy(
+        F.col("bio_marker_name").alias("_sym"),
+        F.upper(F.col("organism")).alias("_org"),
+    ).agg(F.min(F.col("primary_external_id").cast("long")).alias("_gene_id"))
+    by_id = genes.groupBy(
+        F.col("primary_external_id").cast("long").alias("_gid"),
+        F.upper(F.col("organism")).alias("_org2"),
+    ).agg(F.min("bio_marker_name").alias("_gene_symbol"))
+    out = (
+        regions.join(
+            F.broadcast(by_symbol),
+            (F.col("gene_symbol") == F.col("_sym"))
+            & (F.upper(F.col("organism")) == F.col("_org")),
+            "left",
+        )
+        .withColumn("gene_id", F.coalesce(F.col("gene_id"), F.col("_gene_id")))
+        .drop("_sym", "_org", "_gene_id")
+    )
+    return (
+        out.join(
+            F.broadcast(by_id),
+            (F.col("gene_id") == F.col("_gid"))
+            & (F.upper(F.col("organism")) == F.col("_org2")),
+            "left",
+        )
+        .withColumn(
+            "gene_symbol", F.coalesce(F.col("gene_symbol"), F.col("_gene_symbol"))
+        )
+        .drop("_gid", "_org2", "_gene_symbol")
     )
 
 
@@ -130,10 +189,13 @@ def load_acgh(
     data_dir: str | os.PathLike,
     trial_id: str | None,
     top_node: str,
+    bio_marker: DataFrame | None = None,
 ) -> AcghLoadResult:
     """Full aCGH load of an ``ACGHDataToUpload`` directory. With
     ``trial_id=None`` the mapping file's own STUDY_ID governs (the
-    reference takes it from there too)."""
+    reference takes it from there too). Pass the warehouse's
+    ``biomart.bio_marker`` frame to run the reference's post-load
+    gene backfill on the regions (I2B2_LOAD_CHROM_REGION.sql:173-235)."""
     data_dir = str(data_dir)
     entries = sorted(os.listdir(data_dir))
     mapping_files = [f for f in entries if _MAPPING_RE.match(f)]
@@ -186,9 +248,12 @@ def load_acgh(
             *ACGH_METRICS,
         )
     )
+    regions = platform.annotation
+    if bio_marker is not None:
+        regions = backfill_region_genes(regions, bio_marker)
     return AcghLoadResult(
         sample_mapping=samples,
-        chromosomal_region=platform.annotation,
+        chromosomal_region=regions,
         data=data,
         i2b2=nodes,
         platform=platform,
