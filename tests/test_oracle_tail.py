@@ -118,6 +118,9 @@ TAIL = [
     "stratified_sample",
     "random_projection",
     "pmi_collocations",
+    # r10-cohort re-entry (ceded its r11 window slack slot to the
+    # acgh_gene_backfill debut)
+    "moving_avg",
 ]
 
 

@@ -56,7 +56,7 @@ DEBUT_OVERFLOW: dict[str, int] = {
 AMNESTY: dict[str, int] = {}
 
 # STEADY-STATE ROTATION MAP (r11 onward; VERDICT r10 item 2).
-# With a 50-row window, two-round hygiene, and 147 gate queries, the
+# With a 50-row window, two-round hygiene, and 148 gate queries, the
 # rotation is period-3 over three cohort blocks that queries() keeps
 # in POSITION ORDER so every rotation is a mechanical head-swap of
 # the next block (+ 1-2 slack picks from the freshest cohort):
@@ -65,8 +65,11 @@ AMNESTY: dict[str, int] = {}
 #   --------------------+--------------------------+--------------
 #          1-50         | r11 window (48 r7 + 2)   | checked now
 #         51-99         | r9-checked  (49 queries) | round 12
-#        100-147        | r10-checked (48 queries) | round 13
+#        100-148        | r10-checked (49 queries) | round 13
 #
+# (Mid-r11 the acgh_gene_backfill debut took moving_avg's slack
+# window slot; moving_avg — r10-green and solo-adjudicated — moved to
+# the END of the r10 block, which is why that block holds 49.)
 # After each rotation the just-checked 50 move to the END of the
 # tail, the next-due block moves to the head, and the map shifts by
 # one round.  NEVER skip a round's swap: one skipped rotation strands
