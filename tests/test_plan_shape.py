@@ -331,3 +331,16 @@ def test_abort_reports_single_keyed_aggregate(spark):
     assert plan.count("Exchange") == 1, plan
     for bad in ("Join", "Window", "EvalPython"):
         assert bad not in plan, f"{bad} in visit_consistency plan"
+
+
+def test_gene_backfill_lookups_are_broadcast(spark):
+    """The bio_marker gene backfill joins two dimension-sized lookups
+    onto the regions — both must broadcast (hash where the key is an
+    equi-column, never a data-sized sort-merge), and the region side
+    must not shuffle (plans/acgh.backfill_region_genes)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_acgh_gene_backfill(spark, SF), "simple")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
