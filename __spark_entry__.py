@@ -2608,81 +2608,22 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
-    # r11 WINDOW (VERDICT r10 item 1 — the pre-ordered head-swap that
-    # completes the two-round repair):
-    #   48 obligated r7-cohort queries (the expired-amnesty set; last
-    #      driver row r7, parked at positions 51-98 through r10),
-    #   2 slack re-picks from the r10-green cohort (moving_avg,
-    #      mixture_upsample — the two worst bench ratios on the r10
-    #      board, so they also get fresh driver timing rows).
-    # Steady-state period-3 cohort map from here on (VERDICT r10
-    # item 2; see tests/test_window_hygiene.py for the same table):
-    #   positions  1-50  r11 window   (48 r7-cohort + 2 slack)
-    #   positions 51-99  r9-checked   -> r12 window obligation (49)
-    #   positions 100-147 r10-checked -> r13 window obligation (48)
+    # r12 WINDOW (VERDICT r11 item 1 — the steady-state head-swap):
+    #   49 obligated r9-cohort queries (last driver row r9, parked at
+    #      positions 51-99 through r11),
+    #   1 slack re-pick from the r10-green cohort (ann_lsh — the
+    #      worst r10-cohort bench ratio on the r11 board, 1.82x raw,
+    #      so it also gets a fresh driver timing row; the r11
+    #      precedent for slack selection).
+    # Steady-state period-3 cohort map (VERDICT r10 item 2; see
+    # tests/test_window_hygiene.py for the same table):
+    #   positions  1-50   r12 window   (49 r9-cohort + 1 slack)
+    #   positions 51-98   r10-checked  -> r13 window obligation (48)
+    #   positions 99-148  r11-checked  -> r14 window obligation (50)
     # Each round's rotation is a mechanical head-swap of the next
     # cohort block plus 1-2 slack picks from the freshest cohort.
     return {
-        # --- r11 WINDOW (first 50; driver-checked this round) ---
-        "attribution": q_attribution,
-        "basket_rules": q_basket_rules,
-        "skyline": q_skyline,
-        "cusum_changepoint": q_cusum_changepoint,
-        "calibration_curve": q_calibration_curve,
-        "quantile_normalize": q_quantile_normalize,
-        "retention": q_retention,
-        "incremental_dedup": q_incremental_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "kmeans": q_kmeans,
-        "length_profile": q_length_profile,
-        "zorder": q_zorder,
-        "hdd_leaf_paths": q_hdd_leaf_paths,
-        "seq_pack": q_seq_pack,
-        "interval_join": q_interval_join,
-        "vocab_topk": q_vocab_topk,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "gpl_info_join": q_gpl_info_join,
-        "timepoint_minutes": q_timepoint_minutes,
-        "ann_block": q_ann_block,
-        "summary_stats": q_summary_stats,
-        "validation_rules": q_validation_rules,
-        "duplicate_detection": q_duplicate_detection,
-        "demographics_pivot": q_demographics_pivot,
-        "winnow": q_winnow,
-        "merge_update": q_merge_update,
-        "tfidf": q_tfidf,
-        "repetition": q_repetition,
-        "ann_cosine": q_ann_cosine,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "pricing_summary": q_pricing_summary,
-        "probe_stats": q_probe_stats,
-        "zscore": q_zscore,
-        "median_exact": q_median_exact,
-        "probeset_collapse": q_probeset_collapse,
-        "dedup_keep_one": q_dedup_keep_one,
-        "type_inference": q_type_inference,
-        "clinical_melt": q_clinical_melt,
-        "fill_in_tree": q_fill_in_tree,
-        "tree_closure": q_tree_closure,
-        "concept_counts": q_concept_counts,
-        "visit_consistency": q_visit_consistency,
-        "study_uniqueness": q_study_uniqueness,
-        "tag_substitution": q_tag_substitution,
-        "ann_ivfpq": q_ann_ivfpq,
-        # slack picks: the r11-debut gate (debuts MUST be windowed)
-        # and one r10-green re-pick (mixture_upsample, worst surviving
-        # bench ratio; moving_avg ceded its slack slot after the r11
-        # solo adjudication and sits at the tail END with its r10
-        # cohort)
-        "acgh_gene_backfill": q_acgh_gene_backfill,
-        "mixture_upsample": q_mixture_upsample,
-        # --- tail (51+): oracle-checked at sf0.01 every pytest run
-        # by tests/test_oracle_tail.py.  First the 49 r9-checked
-        # queries (r12's window obligation, in order), then the 48
-        # r10-checked queries (r13's obligation, in order). ---
+        # --- r12 WINDOW (first 50; driver-checked this round) ---
         "profile_table": q_profile_table,
         "table_checksum": q_table_checksum,
         "user_cardinality": q_user_cardinality,
@@ -2732,7 +2673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "roc_auc": q_roc_auc,
         "lm_perplexity": q_lm_perplexity,
-        # --- r10-green (driver rows in CORRECTNESS_r10.json) ---
+        # slack pick from the r10-green cohort: worst r10-cohort raw
+        # bench ratio on the r11 board (2.498 s vs 1.369 s baseline)
+        # -> fresh driver timing + correctness row this round
+        "ann_lsh": q_ann_lsh,
+        # --- tail (51+): oracle-checked at sf0.01 every pytest run
+        # by tests/test_oracle_tail.py.  First the 48 remaining
+        # r10-checked queries (r13's window obligation, in order),
+        # then the 50 r11-checked queries (r14's obligation). ---
         "skew_report": q_skew_report,
         "salted_join": q_salted_join,
         "bpe_encode": q_bpe_encode,
@@ -2768,7 +2716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_rollup": q_json_rollup,
         "embedding_dedup": q_embedding_dedup,
         "chunk_docs": q_chunk_docs,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "plink_fam": q_plink_fam,
         "vcf_assay_link": q_vcf_assay_link,
@@ -2785,6 +2732,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # acgh_gene_backfill debut (r10 driver row green; due again
         # with this block at r13)
         "moving_avg": q_moving_avg,
+        # --- r11-green (driver rows in CORRECTNESS_r11.json; due at
+        # r14) ---
+        "attribution": q_attribution,
+        "basket_rules": q_basket_rules,
+        "skyline": q_skyline,
+        "cusum_changepoint": q_cusum_changepoint,
+        "calibration_curve": q_calibration_curve,
+        "quantile_normalize": q_quantile_normalize,
+        "retention": q_retention,
+        "incremental_dedup": q_incremental_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans": q_kmeans,
+        "length_profile": q_length_profile,
+        "zorder": q_zorder,
+        "hdd_leaf_paths": q_hdd_leaf_paths,
+        "seq_pack": q_seq_pack,
+        "interval_join": q_interval_join,
+        "vocab_topk": q_vocab_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "gpl_info_join": q_gpl_info_join,
+        "timepoint_minutes": q_timepoint_minutes,
+        "ann_block": q_ann_block,
+        "summary_stats": q_summary_stats,
+        "validation_rules": q_validation_rules,
+        "duplicate_detection": q_duplicate_detection,
+        "demographics_pivot": q_demographics_pivot,
+        "winnow": q_winnow,
+        "merge_update": q_merge_update,
+        "tfidf": q_tfidf,
+        "repetition": q_repetition,
+        "ann_cosine": q_ann_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "pricing_summary": q_pricing_summary,
+        "probe_stats": q_probe_stats,
+        "zscore": q_zscore,
+        "median_exact": q_median_exact,
+        "probeset_collapse": q_probeset_collapse,
+        "dedup_keep_one": q_dedup_keep_one,
+        "type_inference": q_type_inference,
+        "clinical_melt": q_clinical_melt,
+        "fill_in_tree": q_fill_in_tree,
+        "tree_closure": q_tree_closure,
+        "concept_counts": q_concept_counts,
+        "visit_consistency": q_visit_consistency,
+        "study_uniqueness": q_study_uniqueness,
+        "tag_substitution": q_tag_substitution,
+        "ann_ivfpq": q_ann_ivfpq,
+        "acgh_gene_backfill": q_acgh_gene_backfill,
+        "mixture_upsample": q_mixture_upsample,
     }
 
 _PATH_CTE = """

@@ -21,55 +21,6 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "profile_table",
-    "table_checksum",
-    "user_cardinality",
-    "pagerank",
-    "snapshot_diff",
-    "cube_agg",
-    "sliding_rollup",
-    "html_extract",
-    "mad_outliers",
-    "scd2_history",
-    "token_mixture",
-    "trending",
-    "range_window",
-    "mixture_drift",
-    "weighted_sample",
-    "quantile_profile",
-    "intersect_retained",
-    "fuzzy_dedup",
-    "linear_score",
-    "equi_depth",
-    "dict_encode",
-    "incremental_rollup",
-    "negative_samples",
-    "chi_square",
-    "debounce",
-    "throttle",
-    "sliding_distinct",
-    "winsorize",
-    "trend_fit",
-    "resample_fill",
-    "heavy_hitters",
-    "histogram",
-    "bm25",
-    "bm25_batch",
-    "rrf_fuse",
-    "mixture_sample",
-    "dup_ngrams",
-    "curation_report",
-    "substr_dedup",
-    "prototype_scores",
-    "leakage_split",
-    "ccnet_buckets",
-    "pair_counts",
-    "rollup_agg",
-    "sessionize",
-    "ks_drift",
-    "pr_curve",
-    "roc_auc",
-    "lm_perplexity",
     "skew_report",
     "salted_join",
     "bpe_encode",
@@ -105,7 +56,6 @@ TAIL = [
     "json_rollup",
     "embedding_dedup",
     "chunk_docs",
-    "ann_lsh",
     "ann_ivf",
     "plink_fam",
     "vcf_assay_link",
@@ -121,6 +71,58 @@ TAIL = [
     # r10-cohort re-entry (ceded its r11 window slack slot to the
     # acgh_gene_backfill debut)
     "moving_avg",
+    # --- r11-green cohort (driver rows in CORRECTNESS_r11.json;
+    # due back in the window at r14) ---
+    "attribution",
+    "basket_rules",
+    "skyline",
+    "cusum_changepoint",
+    "calibration_curve",
+    "quantile_normalize",
+    "retention",
+    "incremental_dedup",
+    "semantic_dedup",
+    "kmeans",
+    "length_profile",
+    "zorder",
+    "hdd_leaf_paths",
+    "seq_pack",
+    "interval_join",
+    "vocab_topk",
+    "asof_join",
+    "range_join",
+    "gpl_info_join",
+    "timepoint_minutes",
+    "ann_block",
+    "summary_stats",
+    "validation_rules",
+    "duplicate_detection",
+    "demographics_pivot",
+    "winnow",
+    "merge_update",
+    "tfidf",
+    "repetition",
+    "ann_cosine",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_pairs",
+    "pricing_summary",
+    "probe_stats",
+    "zscore",
+    "median_exact",
+    "probeset_collapse",
+    "dedup_keep_one",
+    "type_inference",
+    "clinical_melt",
+    "fill_in_tree",
+    "tree_closure",
+    "concept_counts",
+    "visit_consistency",
+    "study_uniqueness",
+    "tag_substitution",
+    "ann_ivfpq",
+    "acgh_gene_backfill",
+    "mixture_upsample",
 ]
 
 

@@ -26,14 +26,61 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def _last_correctness_files(n: int = 2) -> list[str]:
-    files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+def _last_correctness_files(n: int = 2, repo: str = REPO) -> list[str]:
+    files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
 
     def roundno(p: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
     return sorted(files, key=roundno)[-n:]
+
+
+def _keys(path: str) -> set[str]:
+    with open(path) as f:
+        return set(json.load(f))
+
+
+def _effective_recent_files(window: set[str], files3: list[str]) -> list[str]:
+    """The CORRECTNESS files staleness is measured against.
+
+    ``files3`` is the last (up to) three files, oldest first.  At
+    JUDGE time the newest file IS the current window: the driver just
+    checked these 50 and the next round's head-swap hasn't happened
+    yet (r11 VERDICT item 1 — the structural transient that made the
+    hygiene tests red at every judge instant).  In that pre-swap
+    state the round was closed green against the two files BEFORE the
+    newest, and the newest file adds no coverage the window doesn't
+    already have — so evaluate against those two.  In every other
+    state (the builder's mid-round view, after the swap) the newest
+    file is a genuine second recency source: use the last two.
+    """
+    if files3 and _keys(files3[-1]) == window:
+        return files3[:-1][-2:]
+    return files3[-2:]
+
+
+def _stale_queries(names: list[str], files3: list[str], exempt: set[str]) -> list[str]:
+    window = set(names[:WINDOW])
+    recent: set[str] = set()
+    for path in _effective_recent_files(window, files3):
+        recent |= _keys(path)
+    return [
+        q
+        for q in names
+        if q not in window and q not in recent and q not in exempt
+    ]
+
+
+def _next_obligation(names: list[str], files3: list[str]) -> list[str]:
+    """Queries next round's window MUST take (their only recent
+    driver row is in the file that ages out next round)."""
+    window = set(names[:WINDOW])
+    recents = _effective_recent_files(window, files3)
+    if len(recents) < 2:
+        return []
+    newest = _keys(recents[-1])
+    return [q for q in names if q not in newest and q not in window]
 
 
 # Debut overflow: when one round introduces more never-driver-checked
@@ -63,29 +110,23 @@ AMNESTY: dict[str, int] = {}
 #
 #   queries() positions | cohort (last driver row) | due in window
 #   --------------------+--------------------------+--------------
-#          1-50         | r11 window (48 r7 + 2)   | checked now
-#         51-99         | r9-checked  (49 queries) | round 12
-#        100-148        | r10-checked (49 queries) | round 13
+#          1-50         | r12 window (49 r9 + 1)   | checked now
+#         51-98         | r10-checked (48 queries) | round 13
+#        99-148         | r11-checked (50 queries) | round 14
 #
-# (Mid-r11 the acgh_gene_backfill debut took moving_avg's slack
-# window slot; moving_avg — r10-green and solo-adjudicated — moved to
-# the END of the r10 block, which is why that block holds 49.)
-# After each rotation the just-checked 50 move to the END of the
-# tail, the next-due block moves to the head, and the map shifts by
-# one round.  NEVER skip a round's swap: one skipped rotation strands
-# two cohorts (98 > 50) and forces another amnesty (the r9/r10
-# incident this table exists to prevent).
+# (The r12 slack pick is ann_lsh — worst r10-cohort bench ratio on
+# the r11 board — so the r10 block holds 48; moving_avg stays at its
+# END.)  After each rotation the just-checked 50 move to the END of
+# the tail, the next-due block moves to the head, and the map shifts
+# by one round.  NEVER skip a round's swap: one skipped rotation
+# strands two cohorts (98 > 50) and forces another amnesty (the
+# r9/r10 incident this table exists to prevent).
 
 
 def test_every_query_recently_driver_checked():
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    window = set(names[:WINDOW])
-    recent: set[str] = set()
-    for path in _last_correctness_files(2):
-        with open(path) as f:
-            recent |= set(json.load(f))
 
     recorded_rounds = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -98,11 +139,7 @@ def test_every_query_recently_driver_checked():
         if rnd not in recorded_rounds
     }
 
-    stale = [
-        q
-        for q in names
-        if q not in window and q not in recent and q not in live_exemptions
-    ]
+    stale = _stale_queries(names, _last_correctness_files(3), live_exemptions)
     assert not stale, (
         f"{stale} are outside the driver's {WINDOW}-row window AND have no "
         "driver row in the last two CORRECTNESS files — rotate them into "
@@ -164,18 +201,56 @@ def test_rotation_capacity_not_exceeded():
         "merge queries before adding more"
     )
 
-    files = _last_correctness_files(2)
-    if len(files) < 2:
-        return
-    with open(files[-1]) as f:  # newest file (will be 2nd-newest next round)
-        newest = set(json.load(f))
-    window = set(names[:WINDOW])
-    next_obligation = [q for q in names if q not in newest and q not in window]
+    next_obligation = _next_obligation(names, _last_correctness_files(3))
     assert len(next_obligation) <= WINDOW, (
         f"{len(next_obligation)} queries will need next round's "
         f"{WINDOW}-row window (only rows in the aging-out file): "
         f"{next_obligation[:10]}… — restructure THIS round's window"
     )
+
+
+def test_hygiene_stable_when_a_correctness_file_lands(tmp_path):
+    """r11 VERDICT item 2: the hygiene checks must be green both
+    immediately BEFORE and immediately AFTER the driver drops the
+    current round's CORRECTNESS file (whose key set IS the current
+    window).  Simulate the landing with synthetic files."""
+    # 9 gate queries, 3-row window, period-3 cohorts a/b/c
+    names = ["a1", "a2", "a3", "b1", "b2", "b3", "c1", "c2", "c3"]
+    global WINDOW
+    saved = WINDOW
+    WINDOW = 3
+    try:
+        def drop(rnd: int, keys: list[str]) -> None:
+            with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
+                json.dump({k: {} for k in keys}, f)
+
+        # history: r1 checked the b-cohort, r2 checked the c-cohort;
+        # the current window is the a-cohort (due this round).
+        drop(1, ["b1", "b2", "b3"])
+        drop(2, ["c1", "c2", "c3"])
+        before = _last_correctness_files(3, repo=str(tmp_path))
+        assert _stale_queries(names, before, set()) == []
+        assert _next_obligation(names, before) == ["b1", "b2", "b3"]
+
+        # the driver lands r3 = the current window (pre-swap state)
+        drop(3, ["a1", "a2", "a3"])
+        after = _last_correctness_files(3, repo=str(tmp_path))
+        assert _stale_queries(names, after, set()) == []
+        assert _next_obligation(names, after) == ["b1", "b2", "b3"]
+
+        # after the NEXT head-swap (b-cohort windowed) it is still
+        # green and the obligation advances to the c-cohort
+        swapped = ["b1", "b2", "b3", "c1", "c2", "c3", "a1", "a2", "a3"]
+        assert _stale_queries(swapped, after, set()) == []
+        assert _next_obligation(swapped, after) == ["c1", "c2", "c3"]
+
+        # a genuinely stranded query (never checked, not windowed)
+        # still fails in both states
+        stranded = names + ["z1"]
+        assert _stale_queries(stranded, before, set()) == ["z1"]
+        assert _stale_queries(stranded, after, set()) == ["z1"]
+    finally:
+        WINDOW = saved
 
 
 def test_every_gate_query_has_a_bench_baseline():
