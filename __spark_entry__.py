@@ -2130,17 +2130,35 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(d, "s", "y")
 
 
-def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bin) histogram per event type (statistic/
-    profile.py equi_depth_histogram): all cut points from ONE
-    sort-based percentile agg, 6dp-rounded before comparison; bin =
-    size(filter(cuts, c -> v > c)) — codegen over a 3-element array.
-    The skew-readable companion to the equi-width `histogram`."""
-    from tmdataloader_spark.statistic.profile import equi_depth_histogram
-
-    return equi_depth_histogram(
-        _t(spark, sf_dir, "events"), "value", nbins=4, group_col="event_type"
+def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged histogram gate (r12 capacity plan — the former
+    `histogram` + `equi_depth` gates, one slot): both are one scan of
+    events + a broadcast of per-type stats, so one gate exercises
+    both.  `kind` tags the binning: equi_width = per-group (min, max)
+    broadcast back, pure-codegen bin math (identical double expression
+    shape on both engines so floor() lands on the same IEEE result);
+    equi_depth = all cut points from ONE sort-based percentile agg,
+    6dp-rounded before comparison, bin = size(filter(cuts, c -> v >
+    c)) — the skew-readable companion."""
+    from tmdataloader_spark.statistic.profile import (
+        equi_depth_histogram,
+        histogram,
     )
+
+    ev = _t(spark, sf_dir, "events")
+    ew = histogram(ev, "value", nbins=12, group_col="event_type").select(
+        F.lit("equi_width").alias("kind"), "event_type", "bin", "bin_lo", "n"
+    )
+    ed = equi_depth_histogram(
+        ev, "value", nbins=4, group_col="event_type"
+    ).select(
+        F.lit("equi_depth").alias("kind"),
+        "event_type",
+        "bin",
+        F.lit(None).cast("double").alias("bin_lo"),
+        "n",
+    )
+    return ew.unionByName(ed)
 
 
 def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,34 +2244,31 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(_t(spark, sf_dir, "documents"), "lang", "source")
 
 
-def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bounded event dedup (operators/eventflow.py debounce):
-    drop an event when the same (user, type) fired within the last 10
-    minutes — one lag window per key, integer-microsecond gap math
-    (sessionize regime), single shuffle."""
-    from tmdataloader_spark.operators.eventflow import debounce
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged rate-limiting gate (r12 capacity plan — the former
+    `debounce` + `throttle` gates, one slot): both operators share the
+    one-window-per-key shape over the same event scan, so one gate
+    exercises both.  `rule` tags which operator kept the row:
+    debounce = drop an event when the same (user, type) fired within
+    the last 10 minutes (lag window, integer-microsecond gap math);
+    throttle = deterministic first-3-per-(user, hour) via one
+    row_number window — the hot-entity tamer."""
+    from tmdataloader_spark.operators.eventflow import debounce, throttle
 
     ev = _t(spark, sf_dir, "events")
-    return debounce(
-        ev, ["user_id", "event_type"], gap_seconds=600
-    ).select(
+    proj = [
         "event_id",
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+    ]
+    deb = debounce(ev, ["user_id", "event_type"], gap_seconds=600).select(
+        F.lit("debounce").alias("rule"), *proj
     )
-
-
-def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key hourly rate limit (operators/eventflow.py throttle):
-    deterministic first-3-per-(user,hour) via one row_number window —
-    the hot-entity tamer that bounds downstream per-key work."""
-    from tmdataloader_spark.operators.eventflow import throttle
-
-    ev = _t(spark, sf_dir, "events")
-    return throttle(ev, ["user_id"], per_hour=3).select(
-        "event_id", "user_id", "event_type"
+    thr = throttle(ev, ["user_id"], per_hour=3).select(
+        F.lit("throttle").alias("rule"), *proj
     )
+    return deb.unionByName(thr)
 
 
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,17 +2343,6 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmdataloader_spark.statistic.profile import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", 0.05)
-
-
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width value histogram per event type (statistic/profile.py
-    histogram): per-group (min,max) broadcast back, pure-codegen bin
-    math, one groupBy(bin) count. Identical double expression shape on
-    both engines so floor() lands on the same IEEE result."""
-    from tmdataloader_spark.statistic.profile import histogram
-
-    return histogram(_t(spark, sf_dir, "events"), "value", nbins=12,
-                     group_col="event_type")
 
 
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2608,20 +2612,24 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
-    # r12 WINDOW (VERDICT r11 item 1 — the steady-state head-swap):
-    #   49 obligated r9-cohort queries (last driver row r9, parked at
-    #      positions 51-99 through r11),
-    #   1 slack re-pick from the r10-green cohort (ann_lsh — the
-    #      worst r10-cohort bench ratio on the r11 board, 1.82x raw,
-    #      so it also gets a fresh driver timing row; the r11
-    #      precedent for slack selection).
+    # r12 WINDOW (VERDICT r11 items 1+4 — the steady-state head-swap
+    # plus the capacity-plan gate merges):
+    #   45 obligated r9-cohort queries (last driver row r9; the
+    #      cohort's other 4 — debounce/throttle/histogram/equi_depth —
+    #      merged into 2 gates this round),
+    #   2 merged-gate debuts (rate_limit, value_histograms — debuts
+    #      MUST be windowed),
+    #   3 slack re-picks from the r10-green cohort (ann_lsh,
+    #      visit_suppression, moving_avg — the three worst r10-cohort
+    #      bench ratios on the r11 board; the r11 precedent).
     # Steady-state period-3 cohort map (VERDICT r10 item 2; see
     # tests/test_window_hygiene.py for the same table):
-    #   positions  1-50   r12 window   (49 r9-cohort + 1 slack)
-    #   positions 51-98   r10-checked  -> r13 window obligation (48)
-    #   positions 99-148  r11-checked  -> r14 window obligation (50)
+    #   positions  1-50   r12 window   (45 r9 + 2 debuts + 3 slack)
+    #   positions 51-96   r10-checked  -> r13 window obligation (46)
+    #   positions 97-146  r11-checked  -> r14 window obligation (50)
     # Each round's rotation is a mechanical head-swap of the next
-    # cohort block plus 1-2 slack picks from the freshest cohort.
+    # cohort block plus slack picks from the freshest cohort.
+    # Capacity: 146/150 gate slots in use (headroom 4).
     return {
         # --- r12 WINDOW (first 50; driver-checked this round) ---
         "profile_table": q_profile_table,
@@ -2643,19 +2651,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_retained": q_intersect_retained,
         "fuzzy_dedup": q_fuzzy_dedup,
         "linear_score": q_linear_score,
-        "equi_depth": q_equi_depth,
         "dict_encode": q_dict_encode,
         "incremental_rollup": q_incremental_rollup,
         "negative_samples": q_negative_samples,
         "chi_square": q_chi_square,
-        "debounce": q_debounce,
-        "throttle": q_throttle,
+        # r12-debut merged gate (capacity plan): former debounce +
+        # throttle gates — same operators, one slot
+        "rate_limit": q_rate_limit,
         "sliding_distinct": q_sliding_distinct,
         "winsorize": q_winsorize,
         "trend_fit": q_trend_fit,
         "resample_fill": q_resample_fill,
         "heavy_hitters": q_heavy_hitters,
-        "histogram": q_histogram,
+        # r12-debut merged gate (capacity plan): former histogram +
+        # equi_depth gates — same operators, one slot
+        "value_histograms": q_value_histograms,
         "bm25": q_bm25,
         "bm25_batch": q_bm25_batch,
         "rrf_fuse": q_rrf_fuse,
@@ -2673,10 +2683,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "roc_auc": q_roc_auc,
         "lm_perplexity": q_lm_perplexity,
-        # slack pick from the r10-green cohort: worst r10-cohort raw
-        # bench ratio on the r11 board (2.498 s vs 1.369 s baseline)
-        # -> fresh driver timing + correctness row this round
+        # slack picks from the r10-green cohort: the three worst
+        # r10-cohort raw bench ratios on the r11 board (ann_lsh 1.82x,
+        # visit_suppression 1.72x, moving_avg 1.69x) -> fresh driver
+        # timing + correctness rows this round.  (Three slack slots
+        # opened because the capacity-plan gate merges retired 4 gates
+        # from the r9 cohort and debuted 2.)
         "ann_lsh": q_ann_lsh,
+        "visit_suppression": q_visit_suppression,
+        "moving_avg": q_moving_avg,
         # --- tail (51+): oracle-checked at sf0.01 every pytest run
         # by tests/test_oracle_tail.py.  First the 48 remaining
         # r10-checked queries (r13's window obligation, in order),
@@ -2690,7 +2705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_profile": q_interarrival_profile,
         "diversity_profile": q_diversity_profile,
         "vcf_genotypes": q_vcf_genotypes,
-        "visit_suppression": q_visit_suppression,
         "simhash": q_simhash,
         "cleansing": q_cleansing,
         "dedup_exact": q_dedup_exact,
@@ -2728,10 +2742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "random_projection": q_random_projection,
         "pmi_collocations": q_pmi_collocations,
-        # r10-cohort re-entry: ceded its r11 slack window slot to the
-        # acgh_gene_backfill debut (r10 driver row green; due again
-        # with this block at r13)
-        "moving_avg": q_moving_avg,
         # --- r11-green (driver rows in CORRECTNESS_r11.json; due at
         # r14) ---
         "attribution": q_attribution,
@@ -3907,19 +3917,38 @@ def oracle_sql() -> dict[str, str]:
                    {rec} AS recall
             FROM c, t
         """.format(prec=_r6("tp", "np"), rec=_r6("tp", "ap")),
-        "equi_depth": """
-            WITH cuts AS (
+        "value_histograms": """
+            WITH rng AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events GROUP BY event_type
+            ),
+            b AS (
+              SELECT e.event_type,
+                     CASE WHEN r.hi = r.lo THEN 0
+                          ELSE CAST(least(11, floor((e.value - r.lo)
+                                 / ((r.hi - r.lo) / 12.0))) AS BIGINT)
+                     END AS bin,
+                     r.lo, r.hi
+              FROM events e JOIN rng r USING (event_type)
+            ),
+            cuts AS (
               SELECT event_type,
                      [round(quantile_cont(value, 0.25), 6),
                       round(quantile_cont(value, 0.5), 6),
                       round(quantile_cont(value, 0.75), 6)] AS cs
               FROM events GROUP BY event_type
             )
-            SELECT e.event_type,
+            SELECT 'equi_width' AS kind, event_type, bin,
+                   round(min(lo + bin * ((hi - lo) / 12.0)), 6) AS bin_lo,
+                   count(*) AS n
+            FROM b GROUP BY event_type, bin
+            UNION ALL
+            SELECT 'equi_depth' AS kind, e.event_type,
                    length(list_filter(c.cs, x -> e.value > x)) AS bin,
+                   CAST(NULL AS DOUBLE) AS bin_lo,
                    count(*) AS n
             FROM events e JOIN cuts c USING (event_type)
-            GROUP BY 1, 2
+            GROUP BY 2, 3
         """,
         "dict_encode": """
             WITH ld AS (
@@ -3977,7 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_profile": _interarrival_oracle(),
         "diversity_profile": _diversity_profile_oracle(),
         "chi_square": _chi_square_oracle(),
-        "debounce": """
+        "rate_limit": """
             WITH lagged AS (
               SELECT event_id, user_id, event_type, ts,
                      lag(epoch_us(ts)) OVER (
@@ -3985,14 +4014,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS prev_us
               FROM events
             )
-            SELECT event_id, user_id, event_type,
+            SELECT 'debounce' AS rule, event_id, user_id, event_type,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
             FROM lagged
             WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000
-        """,
-        "throttle": """
-            SELECT event_id, user_id, event_type FROM (
-              SELECT event_id, user_id, event_type,
+            UNION ALL
+            SELECT 'throttle' AS rule, event_id, user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+            FROM (
+              SELECT event_id, user_id, event_type, ts,
                      row_number() OVER (
                        PARTITION BY user_id, date_trunc('hour', ts)
                        ORDER BY ts, event_id) AS rn
@@ -4066,25 +4096,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, n, {r6} AS share
             FROM c, t WHERE n >= total * 0.05
         """.format(r6=_r6("CAST(n AS DECIMAL(38,0))", "total")),
-        "histogram": """
-            WITH rng AS (
-              SELECT event_type, min(value) AS lo, max(value) AS hi
-              FROM events GROUP BY event_type
-            ),
-            b AS (
-              SELECT e.event_type,
-                     CASE WHEN r.hi = r.lo THEN 0
-                          ELSE CAST(least(11, floor((e.value - r.lo)
-                                 / ((r.hi - r.lo) / 12.0))) AS BIGINT)
-                     END AS bin,
-                     r.lo, r.hi
-              FROM events e JOIN rng r USING (event_type)
-            )
-            SELECT event_type, bin,
-                   round(min(lo + bin * ((hi - lo) / 12.0)), 6) AS bin_lo,
-                   count(*) AS n
-            FROM b GROUP BY event_type, bin
-        """,
         "fuzzy_dedup": """
             WITH s AS (
               SELECT doc_id,

@@ -178,3 +178,40 @@ def test_append_mode(spark, base):
     assert patient_count(merged, assessment + "09/15/2015\\") > 0
     assert fact_value(merged, age, "HCC2935") == 21
     assert fact_value(merged, another_age, "HCC2935") == 20
+
+
+def test_concept_dimension_merge_existing_wins(spark):
+    """concept_dimension reload semantics are insert-only NOVELTY —
+    the reference's WHERE NOT EXISTS on concept_path
+    (I2B2_LOAD_CLINICAL_DATA.sql:966-972) never updates a row already
+    in the warehouse, so when existing and incoming share a path with
+    a DIFFERING sourcesystem_cd the existing row must survive
+    deterministically (not whichever partition dropDuplicates saw
+    first — the i2b2 r11 fix's failure class, opposite winner)."""
+    from tmdataloader_spark.plans.merge import merge_concept_dimension
+
+    cols = ["concept_path", "concept_cd", "name_char", "sourcesystem_cd"]
+    existing = spark.createDataFrame(
+        [
+            ("\\T\\Shared\\", "c1", "Shared", "GSE_OLD"),
+            ("\\T\\OldOnly\\", "c2", "OldOnly", "GSE_OLD"),
+        ],
+        cols,
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("\\T\\Shared\\", "c1", "Shared", "GSE_NEW"),
+            ("\\T\\NewOnly\\", "c3", "NewOnly", "GSE_NEW"),
+        ],
+        cols,
+    )
+    for ex, inc in [(existing, incoming), (existing.repartition(7), incoming.repartition(3))]:
+        got = {
+            r["concept_path"]: r["sourcesystem_cd"]
+            for r in merge_concept_dimension(ex, inc).collect()
+        }
+        assert got == {
+            "\\T\\Shared\\": "GSE_OLD",  # existing wins
+            "\\T\\OldOnly\\": "GSE_OLD",
+            "\\T\\NewOnly\\": "GSE_NEW",  # novelty inserted
+        }

@@ -30,7 +30,6 @@ TAIL = [
     "interarrival_profile",
     "diversity_profile",
     "vcf_genotypes",
-    "visit_suppression",
     "simhash",
     "cleansing",
     "dedup_exact",
@@ -68,9 +67,6 @@ TAIL = [
     "stratified_sample",
     "random_projection",
     "pmi_collocations",
-    # r10-cohort re-entry (ceded its r11 window slack slot to the
-    # acgh_gene_backfill debut)
-    "moving_avg",
     # --- r11-green cohort (driver rows in CORRECTNESS_r11.json;
     # due back in the window at r14) ---
     "attribution",

@@ -284,6 +284,23 @@ def update_variables_scope(
     )
 
 
+def merge_concept_dimension(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """EXISTING rows win for shared concept paths — the reference
+    inserts only concept_dimension NOVELTY (``WHERE NOT EXISTS`` on
+    concept_path, I2B2_LOAD_CLINICAL_DATA.sql:966-972) and never
+    updates rows already in the warehouse.  An arbitrary
+    ``dropDuplicates(["concept_path"])`` over the union could keep
+    either side's row nondeterministically (e.g. a differing
+    sourcesystem_cd on a shared upper node) — the same failure class
+    the i2b2 merge fixed with incoming-wins; concept_dimension's
+    reference semantics point the other way."""
+    return existing.unionByName(
+        incoming.join(
+            existing.select("concept_path"), on="concept_path", how="left_anti"
+        ).dropDuplicates(["concept_path"])
+    )
+
+
 def merge_clinical_load(
     existing,
     incoming,
@@ -335,10 +352,8 @@ def merge_clinical_load(
         mode,
         sample_mapping,
     )
-    concept_dim = (
-        existing.concept_dimension.unionByName(incoming.concept_dimension).dropDuplicates(
-            ["concept_path"]
-        )
+    concept_dim = merge_concept_dimension(
+        existing.concept_dimension, incoming.concept_dimension
     )
     def _i2b2_cols(df):
         # older warehouses may predate the c_metadataxml column
