@@ -5120,7 +5120,11 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 0 THEN 0
                      WHEN 1 THEN l_linenumber * 10080
                      WHEN 2 THEN CAST(l_quantity AS INT) * 1440 + l_linenumber * 60
-                     WHEN 3 THEN CAST(l_quantity AS INT) * 43200
+                     -- PG EXTRACT(epoch FROM interval) normalizes the
+                     -- month field: trunc(M/12) 365.25-day years
+                     -- (525960 min) + (M % 12) 30-day months
+                     WHEN 3 THEN (CAST(l_quantity AS INT) // 12) * 525960
+                                 + (CAST(l_quantity AS INT) % 12) * 43200
                      ELSE NULL
                    END AS DOUBLE) AS minutes
             FROM lineitem

@@ -156,6 +156,95 @@ def test_timepoint_minutes(spark):
     assert vals == [0.0, 2 * 1440 + 3 * 60, 4 * 10080, 525960.0, 518400.0, 1.5, None, None, None]
 
 
+def test_timepoint_minutes_month_normalization(spark):
+    """PG EXTRACT(epoch FROM interval) folds year/month pairs into ONE
+    month field and normalizes it as trunc(M/12) 365.25-day years +
+    (M%12) 30-day months — verified values on PG15: '24 months' →
+    63115200 s, '18 months' → 47109600 s, '1 year 14 months' →
+    68299200 s (r11 ADVICE). Truncation is toward zero like C
+    (months=-14 → -1 year -2 months)."""
+    df = spark.createDataFrame(
+        [
+            ("24 months",),
+            ("18 months",),
+            ("1 year 14 months",),
+            ("11 months",),  # below a year: flat 30-day months
+            ("-14 months",),
+            ("2 years 3 days",),  # mixed month-field + day-field units
+        ],
+        ["v"],
+    )
+    vals = [r.m for r in df.select(timepoint_minutes("v").alias("m")).collect()]
+    assert vals == [
+        63115200 / 60,
+        47109600 / 60,
+        68299200 / 60,
+        11 * 43200.0,
+        -(31557600 + 2 * 2592000) / 60,
+        (2 * 31557600 + 3 * 86400) / 60,
+    ]
+
+
+def test_timepoint_minutes_reference_gate_fidelity(spark):
+    """r11 ADVICE low items: (1) a gate-passing name NOT fully
+    consumed by (number, unit) pairs would fail the reference's
+    ::INTERVAL cast and abort — NULL here, never a value summed from
+    the recognized prefix; (2) 'Baseline' matches exactly and
+    case-sensitively on the UNTRIMMED name (I2B2_BUILD_METADATA_XML
+    .sql:15) — 'BASELINE' and ' baseline ' RAISE in the reference,
+    NULL here; (3) the gates run on the untrimmed name (:19,:47), so
+    a leading space matches no path."""
+    from tmdataloader_spark.functions.timepoints import invalid_timepoint_name
+
+    df = spark.createDataFrame(
+        [
+            ("3 days foo",),
+            ("BASELINE",),
+            (" baseline ",),
+            (" 2 days",),
+            ("2 days ",),  # trailing space: gate + interval both fine
+            ("1 day 2 hours 3 minutes 4 seconds",),
+        ],
+        ["v"],
+    )
+    vals = [r.m for r in df.select(timepoint_minutes("v").alias("m")).collect()]
+    assert vals == [
+        None,
+        None,
+        None,
+        None,
+        2 * 1440.0,
+        1440 + 120 + 3 + 4 / 60,
+    ]
+    bad = [
+        r.b for r in df.select(invalid_timepoint_name("v").alias("b")).collect()
+    ]
+    assert bad == [True, True, True, True, False, False]
+
+
+def test_validate_timepoint_names_abort(spark):
+    """VERDICT r11 item 6: the reference RAISEs 'Check date format'
+    for a TIMEPOINT name matching neither series path
+    (I2B2_BUILD_METADATA_XML.sql:52); we abort pre-write with the
+    A7/A9 LoadValidationError pattern, listing offenders."""
+    import pytest
+
+    from tmdataloader_spark.functions.timepoints import validate_timepoint_names
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    ok = spark.createDataFrame(
+        [("Baseline",), ("Week 4",), ("2 days 3 hours",), ("Visit 3",)], ["name"]
+    )
+    validate_timepoint_names(ok, "name")  # no raise
+
+    bad = ok.unionByName(
+        spark.createDataFrame([("30 seconds",), ("3 days foo",)], ["name"])
+    )
+    with pytest.raises(LoadValidationError, match="Check date format") as ei:
+        validate_timepoint_names(bad, "name")
+    assert "30 seconds" in str(ei.value) and "3 days foo" in str(ei.value)
+
+
 def test_build_metadata_xml_series_units(spark):
     """I2B2_BUILD_METADATA_XML.sql:19-21,58-64 — unit-first unknown
     units keep the raw unit/value verbatim ('Visit 3' →

@@ -181,6 +181,18 @@ def test_q_ident_escapes_embedded_quotes():
         assert '"evil""name"' in ddl
 
 
+def _expected_staging(table: str, counter: int) -> str:
+    """Mirror of the sink's staging-name derivation (hash nonce +
+    41-char prefix so the identifier never exceeds NAMEDATALEN)."""
+    import hashlib
+    import socket
+
+    nonce = hashlib.sha256(
+        f"{socket.gethostname()}:{os.getpid()}:{counter}".encode()
+    ).hexdigest()[:12]
+    return f"{table.rpartition('.')[2][:41]}__staging_{nonce}"
+
+
 def test_upsert_staging_per_run_and_self_healing(spark, pg_dsn):
     """r10/r11 ADVICE: the upsert staging name carries a
     host+pid+counter nonce (concurrent upserts — even from two hosts
@@ -188,18 +200,14 @@ def test_upsert_staging_per_run_and_self_healing(spark, pg_dsn):
     the sink pre-drops its staging name before CREATE so a
     hard-crashed prior run (kill -9 before the finally, then
     pid/counter reuse) cannot brick every subsequent upsert."""
-    import re
-    import socket
-
     import tmdataloader_spark.sinks as sinks
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, s string")
     run_psql(pg_dsn, 'DROP TABLE IF EXISTS "ups_heal"')
     # leak a stale staging table under the NAME THE NEXT UPSERT WILL
     # USE, with a conflicting schema — the pre-drop must heal it
-    host = re.sub(r"[^A-Za-z0-9]", "_", socket.gethostname())[:24] or "host"
     nxt = next(sinks._staging_counter) + 1
-    leaked = f"ups_heal__staging_{host}_{os.getpid()}_{nxt}"
+    leaked = _expected_staging("ups_heal", nxt)
     run_psql(pg_dsn, f'CREATE TABLE "{leaked}" ("wrong" text)')
     n = write_postgres_copy(
         df, pg_dsn, "ups_heal", mode="upsert", conflict_cols=["pk"]
@@ -211,6 +219,43 @@ def test_upsert_staging_per_run_and_self_healing(spark, pg_dsn):
     left = run_psql(
         pg_dsn,
         "SELECT count(*) FROM pg_tables WHERE tablename ~ '^ups_heal__staging'",
+    )
+    assert left.strip() == "0"
+
+
+def test_upsert_staging_respects_namedatalen(spark, pg_dsn):
+    """r11 ADVICE: a long target table name must NOT push the staging
+    identifier past Postgres's 63-byte NAMEDATALEN — the server
+    silently truncates the tail, cutting off the distinguishing nonce
+    first, so two concurrent upserts could collapse onto one truncated
+    name and the pre-drop would kill the other run's live staging
+    mid-COPY. The sink hashes the nonce and truncates the PREFIX."""
+    import tmdataloader_spark.sinks as sinks
+
+    # 56-char base name: old scheme would have been 56+10+host(<=24)
+    # +pid+ctr > 63; new scheme is 41 + 10 + 12 = 63 exactly
+    long_name = "de_subject_sample_mapping_with_a_very_long_suffix_tail_x"
+    assert len(long_name) == 56
+    nxt = next(sinks._staging_counter) + 1
+    staged = _expected_staging(long_name, nxt)
+    assert len(staged.encode()) == 63
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, s string")
+    run_psql(pg_dsn, f'DROP TABLE IF EXISTS "{long_name}"')
+    n = write_postgres_copy(
+        df, pg_dsn, long_name, mode="upsert", conflict_cols=["pk"]
+    )
+    assert n == 2
+    # upsert the same keys again (fresh counter → fresh staging) to
+    # prove the second run's staging never collides with residue
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "pk long, s string")
+    assert write_postgres_copy(
+        df2, pg_dsn, long_name, mode="upsert", conflict_cols=["pk"]
+    ) == 2
+    rows = _copy_out(pg_dsn, f'SELECT "pk", "s" FROM "{long_name}" ORDER BY "pk"')
+    assert rows == [["1", "a"], ["2", "B"], ["3", "c"]]
+    left = run_psql(
+        pg_dsn,
+        "SELECT count(*) FROM pg_tables WHERE tablename ~ '__staging_'",
     )
     assert left.strip() == "0"
 

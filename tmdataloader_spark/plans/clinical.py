@@ -34,6 +34,7 @@ from tmdataloader_spark.functions.paths import (
 from tmdataloader_spark.functions.timepoints import (
     build_metadata_xml,
     timestamp_to_timepoint,
+    validate_timepoint_names,
 )
 from tmdataloader_spark.operators import cleansing
 from tmdataloader_spark.operators.dedup import (
@@ -308,8 +309,18 @@ def load_clinical(
     leaf_flags = trial_nodes.select(
         F.col("leaf_node").alias("path"), F.col("data_type"), F.col("valuetype_cd")
     ).distinct()
+    flagged_nodes = all_nodes.join(leaf_flags, on="path", how="left")
+    if check_duplicates:
+        # abort parity for i2b2_build_metadata_xml's RAISE 'Check date
+        # format' (I2B2_BUILD_METADATA_XML.sql:52): a TIMEPOINT leaf
+        # whose display name matches none of the reference's series
+        # paths must fail the load pre-write, not silently sink a NULL
+        # c_metadataxml (the A7/A9 validate-and-raise pattern)
+        validate_timepoint_names(
+            flagged_nodes.filter(F.col("valuetype_cd") == "TIMEPOINT"), "name"
+        )
     i2b2 = (
-        all_nodes.join(leaf_flags, on="path", how="left")
+        flagged_nodes
         .withColumn("c_basecode", F.sha2(F.col("path"), 256).substr(1, 16))
         # nodes ABOVE the study root belong to no study: the root is
         # added by I2B2_ADD_ROOT_NODE and any intermediate upper-level

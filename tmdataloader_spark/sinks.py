@@ -14,9 +14,9 @@ lock (S10).
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
-import re
 import socket
 import subprocess
 import warnings
@@ -159,10 +159,12 @@ def write_postgres_copy(
 
     ``mode='append'`` streams straight into ``table``;
     ``mode='upsert'`` (requires ``conflict_cols``) COPYs into a
-    per-run ``{table}__staging_{pid}_{seq}`` table (dropped in a
-    ``finally`` — each chunked COPY is its own psql session, so TEMP
-    won't span them; the pid+counter suffix keeps concurrent upserts
-    from sharing a staging)
+    per-run ``{table[:41]}__staging_{hash12}`` table — the 12-hex
+    nonce hashes (host, pid, counter) and the whole identifier stays
+    ≤ 63 bytes (NAMEDATALEN), so concurrent upserts never share a
+    staging even after server-side truncation — dropped in a
+    ``finally`` (each chunked COPY is its own psql session, so TEMP
+    won't span them)
     then applies
     ``INSERT ... ON CONFLICT (cols) DO UPDATE SET …`` — the dialect
     quirk a Derby round-trip cannot prove. ``chunk_rows`` bounds the
@@ -189,10 +191,22 @@ def write_postgres_copy(
         # same table must not share one staging — a fixed name let one
         # run's finally drop the other's staging mid-COPY and
         # interleaved COPYs mix rows. pid+counter alone still collides
-        # when two HOSTS hit one database, so the host name joins the
-        # nonce (sanitized — identifiers only)
-        host = re.sub(r"[^A-Za-z0-9]", "_", socket.gethostname())[:24] or "host"
-        target = f"{table}__staging_{host}_{os.getpid()}_{next(_staging_counter)}"
+        # when two HOSTS hit one database, so the host joins the nonce.
+        # The nonce is a short HASH of (host, pid, counter) and the
+        # base table name is truncated so the FULL identifier stays
+        # within Postgres's 63-byte NAMEDATALEN (r11 ADVICE): a longer
+        # name is silently truncated server-side, which cuts off the
+        # distinguishing suffix first — two concurrent upserts then
+        # collapse onto one truncated name and the unconditional
+        # pre-drop below kills the other run's live staging mid-COPY.
+        nonce = hashlib.sha256(
+            f"{socket.gethostname()}:{os.getpid()}:{next(_staging_counter)}".encode()
+        ).hexdigest()[:12]
+        schema, _, base = table.rpartition(".")
+        # '__staging_' (10) + 12-hex nonce = 22; 63 - 22 = 41 prefix
+        stem = base[:41]
+        staging_name = f"{stem}__staging_{nonce}"
+        target = f"{schema}.{staging_name}" if schema else staging_name
         # self-healing pre-drop (r10 ADVICE): a prior hard-crashed run
         # (kill -9, OOM) can leak a staging table past its finally —
         # with pid reuse that name can collide, so drop unconditionally
