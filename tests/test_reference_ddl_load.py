@@ -714,3 +714,195 @@ def test_mrna_frames_land_in_deapp_ddl(spark, deapp_omics):
         f" AND d.probeset_id = {probe_seq}",
     ).strip()
     assert abs(float(raw) - 6.624529839) < 1e-9
+
+
+#: The chromosomal-region dimension. Like the cores above, the
+#: reference repo ships no CREATE TABLE for deapp.de_chromosomal_region
+#: or biomart.bio_marker (external tranSMART base schema) — this
+#: bootstrap states the PUBLIC tranSMART data model restricted to the
+#: columns the reference's own statements name
+#: (I2B2_LOAD_CHROM_REGION.sql:135-157 insert contract; :173-189 and
+#: :206-222 read bio_marker_name/organism/primary_external_id/
+#: bio_marker_type), with the public model's sequence-defaulted PK,
+#: NOT NULLs, and varchar widths. The reference's OWN index migration
+#: (20150324000002500_CREATE_INDEXES_FOR_ACGH_DATA.sql) then runs
+#: verbatim on top.
+CHROM_REGION_BOOTSTRAP = """
+CREATE SEQUENCE IF NOT EXISTS deapp.seq_chromosomal_region_id;
+CREATE TABLE deapp.de_chromosomal_region (
+  region_id numeric(18,0) NOT NULL
+    DEFAULT nextval('deapp.seq_chromosomal_region_id'),
+  gpl_id varchar(50) NOT NULL,
+  chromosome varchar(2),
+  start_bp numeric(18,0),
+  end_bp numeric(18,0),
+  num_probes integer,
+  region_name varchar(100),
+  cytoband varchar(100),
+  gene_symbol varchar(100),
+  gene_id numeric(18,0),
+  organism varchar(200),
+  CONSTRAINT de_chromosomal_region_pk PRIMARY KEY (region_id)
+);
+CREATE SCHEMA IF NOT EXISTS biomart;
+CREATE TABLE biomart.bio_marker (
+  bio_marker_id numeric(18,0),
+  bio_marker_name varchar(200),
+  bio_marker_description varchar(1000),
+  organism varchar(200),
+  primary_source_code varchar(100),
+  primary_external_id varchar(200),
+  bio_marker_type varchar(100)
+);
+"""
+
+ACGH_INDEX_MIGRATION = (
+    "/root/reference/sql/postgres/migrations/"
+    "20150324000002500_CREATE_INDEXES_FOR_ACGH_DATA.sql"
+)
+
+ACGH_FIXTURE = (
+    "/root/reference/fixtures/Test Studies/Test Study_GSE0/"
+    "ACGHDataToUpload/TST_ACGH_region_platform.txt"
+)
+
+#: the reference's post-load gene backfill UPDATE pair, VERBATIM from
+#: I2B2_LOAD_CHROM_REGION.sql:173-189 and :206-222 (gplId bound to the
+#: fixture platform; RETURNING 1 appended only to observe the touched
+#: row count through psql)
+REF_BACKFILL_UPDATES = [
+    """with upd as (select b.bio_marker_name as gene_symbol, b.organism, min(b.primary_external_id::numeric) as gene_id
+		from biomart.bio_marker b
+		where upper(b.bio_marker_type) = 'GENE'
+		group by b.bio_marker_name, b.organism)
+	update deapp.de_chromosomal_region a
+	set gene_id=upd.gene_id
+	from upd
+	where a.gpl_id = 'TST_ACGH'
+	  and a.gene_id is null
+	  and a.gene_symbol is not null
+	  and a.gene_symbol = upd.gene_symbol
+	  and upper(a.organism) = upper(upd.organism) RETURNING 1""",
+    """with upd as (select b.primary_external_id::numeric as gene_id, b.organism, min(b.bio_marker_name) as gene_symbol
+		from biomart.bio_marker b
+		where upper(b.bio_marker_type) = 'GENE'
+		group by b.primary_external_id, b.organism)
+	update deapp.de_chromosomal_region a
+	set gene_symbol=upd.gene_symbol
+	from upd
+	where a.gpl_id = 'TST_ACGH'
+	  and a.gene_symbol is null
+	  and a.gene_id is not null
+	  and a.gene_id = upd.gene_id
+	  and upper(a.organism) = upper(upd.organism) RETURNING 1""",
+]
+
+
+@pytest.fixture(scope="module")
+def chrom_region(deapp):
+    """Bootstrap de_chromosomal_region + bio_marker on the deapp
+    schema, then run the reference's aCGH index migration verbatim."""
+    dsn = deapp
+    run_psql(dsn, "DROP TABLE IF EXISTS deapp.de_chromosomal_region CASCADE")
+    run_psql(dsn, "DROP TABLE IF EXISTS biomart.bio_marker CASCADE")
+    run_psql(dsn, CHROM_REGION_BOOTSTRAP)
+    with open(ACGH_INDEX_MIGRATION) as f:
+        run_psql(dsn, f.read())
+    return dsn
+
+
+def test_chrom_region_frames_land_in_reference_ddl(spark, chrom_region):
+    """Fifth drop-in proof (r11 VERDICT item 5): the GSE0 aCGH region
+    platform through OUR reader, the r11 Spark-side gene backfill
+    (plans/acgh.backfill_region_genes), then COPY onto the reference's
+    insert contract (I2B2_LOAD_CHROM_REGION.sql:135-157) with Postgres
+    enforcing the sequence-defaulted region_id PK, gpl_id NOT NULL and
+    the varchar widths — and the reference's OWN backfill UPDATE pair
+    run VERBATIM afterwards touches ZERO rows, proving the Spark
+    backfill already computed exactly what the stored procedure
+    would."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.plans.acgh import (
+        backfill_region_genes,
+        read_chromosomal_regions,
+    )
+
+    dsn = chrom_region
+    regions = read_chromosomal_regions(spark, ACGH_FIXTURE, "TST_ACGH").annotation
+    # the fixture ships no gene columns — give chromosome-1 rows a
+    # symbol-only and chromosome-2 rows an id-only marker so both
+    # backfill directions fire
+    regions = regions.withColumn(
+        "gene_symbol", F.when(F.col("chromosome") == "1", F.lit("TP53"))
+    ).withColumn(
+        "gene_id",
+        F.when(F.col("chromosome") == "2", F.lit(7157)).cast("long"),
+    )
+    bio_marker = spark.createDataFrame(
+        [
+            ("TP53", "7157", "GENE", "Homo Sapiens"),
+            ("TP53", "9999", "GENE", "Homo Sapiens"),  # min() wins -> 7157
+            ("TP53", "22059", "GENE", "Mus Musculus"),
+            ("ZZZ_LAST", "7157", "GENE", "Homo Sapiens"),  # min(name) -> TP53
+            ("TP53", "1111", "PROTEIN", "Homo Sapiens"),  # wrong type
+        ],
+        "bio_marker_name string, primary_external_id string, "
+        "bio_marker_type string, organism string",
+    )
+    backfilled = backfill_region_genes(regions, bio_marker)
+    # the insert contract's columns, in its order (:135-157); region_id
+    # is NOT in the contract — the sequence default fills it
+    landed = backfilled.select(
+        "gpl_id",
+        "region_name",
+        "chromosome",
+        F.col("start_bp").cast("long").alias("start_bp"),
+        F.col("end_bp").cast("long").alias("end_bp"),
+        F.col("num_probes").cast("int").alias("num_probes"),
+        "cytoband",
+        "gene_symbol",
+        "gene_id",
+        "organism",
+    )
+    n = write_postgres_copy(landed, dsn, "deapp.de_chromosomal_region", create=False)
+    assert n == landed.count() > 0
+    write_postgres_copy(
+        bio_marker.select(
+            "bio_marker_name", "organism", "primary_external_id", "bio_marker_type"
+        ),
+        dsn,
+        "biomart.bio_marker",
+        create=False,
+    )
+    # the sequence default minted a distinct region_id per row
+    (ids,) = run_psql(
+        dsn, "SELECT count(DISTINCT region_id) FROM deapp.de_chromosomal_region"
+    ).split()
+    assert int(ids) == n
+    # the reference's own backfill UPDATEs, verbatim: nothing left to do
+    for sql in REF_BACKFILL_UPDATES:
+        touched = run_psql(dsn, sql).strip()
+        assert touched == "", f"reference UPDATE still changed rows: {touched!r}"
+    # parity recomputed INSIDE Postgres: every chromosome-1 row carries
+    # the min() external id, every chromosome-2 row the min() name
+    (c1,) = run_psql(
+        dsn,
+        "SELECT count(*) FROM deapp.de_chromosomal_region "
+        "WHERE chromosome = '1' AND (gene_id <> 7157 OR gene_symbol <> 'TP53')",
+    ).split()
+    assert int(c1) == 0
+    (c2,) = run_psql(
+        dsn,
+        "SELECT count(*) FROM deapp.de_chromosomal_region "
+        "WHERE chromosome = '2' AND (gene_symbol <> 'TP53' OR gene_id <> 7157)",
+    ).split()
+    assert int(c2) == 0
+    # NOT NULL arbitration: a NULL gpl_id row is rejected by the DDL
+    with pytest.raises(RuntimeError, match="gpl_id"):
+        write_postgres_copy(
+            landed.limit(1).withColumn("gpl_id", F.lit(None).cast("string")),
+            dsn,
+            "deapp.de_chromosomal_region",
+            create=False,
+        )

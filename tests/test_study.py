@@ -247,3 +247,56 @@ def test_metadata_folders_idempotent_with_existing(spark):
     assert fm2.filter(F.col("folder_type") == "PROGRAM").count() == 0
     assert fm2.filter(F.col("folder_type") == "STUDY").count() == 0
     assert assoc2.count() == 0 and tag2.count() == 0
+
+
+def test_directory_processor_marks_all_studies(spark, tmp_path):
+    """Name-mirror of DirectoryProcessorTest.groovy ('Directory
+    processor must successfully process study folder', :29-48): an ETL
+    directory holding a folder study AND a zipped study is processed
+    study-by-study and every processed study ends fully marked. The
+    reference marks by RENAMING the study folder and every data
+    subfolder to a _DONE_ prefix and asserts allStudyFolderMarking
+    (:51-76, including entering the zip to check its inner folders);
+    our manifest carries the same per-type terminal states without
+    mutating the input tree. The Mark prefixes' READ side is the same
+    contract (plans/study._SKIP_RE): _DISABLED_/_DONE_/_FAIL_-prefixed
+    studies and type dirs are skipped by discovery and routing — the
+    Groovy suite's fail/skip scenarios live in
+    test_failed_type_goes_to_manifest and here."""
+    import shutil
+
+    etl = tmp_path / "Test Directory Processor" / "Test Studies"
+    meta = "ACCESSION (INTERNAL STUDY_ID)\tTITLE\nTFS1\tTiny\n"
+    # folder study (the Groovy's createTestStudyFolder analog; the
+    # mocked always-succeed processors become one genuinely-succeeding
+    # Meta type + one _FAIL_-marked dir that must be skipped)
+    study = etl / "Test Folder Study_TFS1"
+    (study / "MetaDataToUpload").mkdir(parents=True)
+    (study / "MetaDataToUpload" / "meta.txt").write_text(meta)
+    (study / "_FAIL_ClinicalDataToUpload").mkdir()
+    # zipped study next to it (createZipFile analog)
+    zsrc = tmp_path / "zsrc" / "Test Zip Study_TZS1" / "MetaDataToUpload"
+    zsrc.mkdir(parents=True)
+    (zsrc / "meta.txt").write_text(meta.replace("TFS1", "TZS1"))
+    shutil.make_archive(str(etl / "Test Zip Study_TZS1"), "zip", tmp_path / "zsrc")
+    # a _DISABLED_ study must never be discovered
+    dis = etl / "_DISABLED_Old Study_OLD1" / "MetaDataToUpload"
+    dis.mkdir(parents=True)
+    (dis / "meta.txt").write_text(meta.replace("TFS1", "OLD1"))
+
+    work = tmp_path / "work"
+    work.mkdir()
+    found = discover_studies(str(etl), work_dir=str(work))
+    names = {d.rsplit("/", 1)[-1] for d, _ in found}
+    assert "Test Folder Study_TFS1" in names
+    assert "Test Zip Study_TZS1" in names
+    assert not any("OLD1" in n for n in names)
+
+    results = [load_study(spark, d, root) for d, root in found]
+    # allStudyFolderMarking(Mark.DONE): every study, every routed type
+    assert all(r.succeeded for r in results)
+    for r in results:
+        statuses = {m[0]: m[2] for m in r.manifest}
+        assert statuses and set(statuses.values()) == {"DONE"}
+        # the _FAIL_-prefixed Clinical dir was skipped, not routed
+        assert "Clinical" not in statuses
