@@ -430,3 +430,35 @@ def test_serial_hdd_per_family(spark, omics, fixture_dir, expect_samples):
         for r in res.observation_fact.select("sample_cd").distinct().collect()
     }
     assert expect_samples <= fact_samples
+
+
+def test_annotation_probe_trim_per_family(spark, tmp_path):
+    """Only the proteomics and metabolomics annotation loaders TRIM
+    the probe id at insert (trim(d.peptide),
+    I2B2_LOAD_PROTEOMICS_ANNOT.sql:38; trim(d.biochemical_name),
+    I2B2_LOAD_METABOLOMICS_ANNOT.sql:141) — the RNA loader
+    (I2B2_RNA_ANNOTATION.sql:47) inserts verbatim. The data side
+    joins raw on both engines (d.peptide = m.probeset,
+    I2B2_PROCESS_PROTEOMICS_DATA.sql:1025), so a padded data probe
+    misses its annotation in the reference too."""
+    from tmdataloader_spark.plans.hdd import OMICS_TYPES, read_omics_platform
+
+    p = tmp_path / "PLAT1.txt"
+    p.write_text(
+        "#PLATFORM_TITLE: t\n#SPECIES: Homo Sapiens\n"
+        "peptide\tmajority_protein_id\torganism\n"
+        "  P1234  \tU1\tHuman\n"
+    )
+    assert OMICS_TYPES["protein"].trim_probe
+    assert OMICS_TYPES["metabolomics"].trim_probe
+    assert not OMICS_TYPES["rnaseq"].trim_probe
+    trimmed = read_omics_platform(
+        spark, str(p), "PLAT1", "PROTEOMICS",
+        trim_probe=OMICS_TYPES["protein"].trim_probe,
+    ).annotation
+    assert [r.probeset_id for r in trimmed.collect()] == ["P1234"]
+    verbatim = read_omics_platform(
+        spark, str(p), "PLAT1", "RNASEQ",
+        trim_probe=OMICS_TYPES["rnaseq"].trim_probe,
+    ).annotation
+    assert [r.probeset_id for r in verbatim.collect()] == ["  P1234  "]

@@ -151,7 +151,11 @@ def add_nodes(
     existing facts at those concepts, concept_dimension rows, and i2b2
     rows are deleted first, then each path re-inserted as a folder
     ('FA') with computed hlevel and last-component name. Returns the
-    rewritten (i2b2, concept_dimension, observation_fact)."""
+    rewritten (i2b2, concept_dimension, observation_fact). The
+    reference's I2B2_ADD_TRIAL_NODES.sql utility is this plus
+    fill_in_tree/add_root_node for the missing intermediates and an
+    'FAS' flip on the trial path — compositions of the operators in
+    this module (T1/T5/A6)."""
     spark = i2b2.sparkSession
     doomed_concepts = i2b2.filter(F.col("c_fullname").isin(new_paths)).select(
         F.col("c_basecode").alias("concept_cd")

@@ -127,7 +127,9 @@ def load_gwas_plink(
 ) -> GwasPlinkLoadResult:
     """``codec='lzo'`` (default) stores the bed/bim/fam bytes as raw
     LZO1X streams — the byte format the reference writes into
-    ``gwas_plink.plink_data`` (GWASPlinkDataProcessor.groovy:130-142)
+    ``gwas_plink.plink_data`` (GWASPlinkDataProcessor.groovy:130-142;
+    the DB-side twin I2B2_PROCESS_GWAS_PLINK_DATA.sql stages the same
+    blob row and sample nodes)
     — via the pure-Python codec in ``functions.lzo``;
     ``codec='none'`` stores verbatim bytes (parquet page compression
     still applies)."""

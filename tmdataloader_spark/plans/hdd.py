@@ -328,6 +328,14 @@ class OmicsType:
     #: MIRNA_QPCR and MIRNA_SEQ — the check runs on the file's
     #: dataType, before qPCR re-routes to 'C')
     negative_r_filter: bool = False
+    #: trim the annotation's probe id at load — only the proteomics
+    #: and metabolomics annotation loaders do (trim(d.peptide),
+    #: I2B2_LOAD_PROTEOMICS_ANNOT.sql:38; trim(d.biochemical_name),
+    #: I2B2_LOAD_METABOLOMICS_ANNOT.sql:141); the mRNA/RNA/miRNA/RBM
+    #: loaders (I2B2_LOAD_ANNOTATION_DEAPP / I2B2_RNA_ANNOTATION /
+    #: I2B2_LOAD_MIRNA_ANNOT_DEAPP / I2B2_LOAD_RBM_ANNOTATION) insert
+    #: the id verbatim
+    trim_probe: bool = False
 
 
 #: file patterns per etl/<Type>DataProcessor.groovy eachFileMatch
@@ -355,6 +363,7 @@ OMICS_TYPES = {
         # for a protein with one zero sample), rounded to 4dp
         r_zero="shift_all",
         log_round=4,
+        trim_probe=True,  # trim(d.peptide), I2B2_LOAD_PROTEOMICS_ANNOT.sql:38
     ),
     "metabolomics": OmicsType(
         "metabolomics",
@@ -365,6 +374,8 @@ OMICS_TYPES = {
         required_header=(1, "BIOCHEMICAL"),
         # I2B2_METABOLOMICS_ZSCORE_CALC.sql:154: x<=0 -> log2(x+0.001)
         r_zero="shift_nonpos",
+        # trim(d.biochemical_name), I2B2_LOAD_METABOLOMICS_ANNOT.sql:141
+        trim_probe=True,
     ),
     "mirna_qpcr": OmicsType(
         "mirna_qpcr",
@@ -404,12 +415,21 @@ _MAPPING_RE = re.compile(r".+_Subject_Sample_Mapping_File(_GPL\d+)*\.txt$", re.I
 
 
 def read_omics_platform(
-    spark: SparkSession, path: str, platform_id: str, marker_type: str
+    spark: SparkSession,
+    path: str,
+    platform_id: str,
+    marker_type: str,
+    trim_probe: bool = False,
 ) -> GplPlatform:
     """Non-GEX platform annotation (etl/platforms/*.groovy): the probe
     id column is type-specific (Transcript ID / ID_REF / BIOCHEMICAL /
-    peptide); fall back to column 0. All other columns ride along as
-    the annotation payload."""
+    peptide); fall back to column 0 (the reference's ProteinPlatform
+    .groovy:60 also takes cols[0] as the peptide). All other columns
+    ride along as the annotation payload. ``trim_probe`` mirrors the
+    per-family annotation loaders: proteomics and metabolomics TRIM
+    the probe id at insert (I2B2_LOAD_PROTEOMICS_ANNOT.sql:38,
+    I2B2_LOAD_METABOLOMICS_ANNOT.sql:141), the other families insert
+    verbatim."""
     from tmdataloader_spark.sources.tsv import read_head_meta
 
     meta = read_head_meta(path)
@@ -421,9 +441,12 @@ def read_omics_platform(
     probe_col = next(
         (c for c in df.columns if probe_candidates.match(c.strip())), df.columns[0]
     )
+    probe = F.col(f"`{probe_col}`").cast("string")
+    if trim_probe:
+        probe = F.trim(probe)
     ann = df.select(
         F.lit(platform_id).alias("gpl_id"),
-        F.col(f"`{probe_col}`").cast("string").alias("probeset_id"),
+        probe.alias("probeset_id"),
         *[F.col(f"`{c}`") for c in df.columns if c != probe_col],
     )
     return GplPlatform(
@@ -457,7 +480,9 @@ def load_hdd(
 ) -> HDDLoadResult:
     """The parameterized HDD pipeline: one kernel instantiated per
     omics type (the reference's six ~1100-LoC stored-procedure twins —
-    I2B2_PROCESS_MRNA/RNA/PROTEOMICS/METABOLOMICS/MIRNA/RBM)."""
+    I2B2_PROCESS_MRNA_DATA, I2B2_PROCESS_RNA_DATA,
+    I2B2_PROCESS_PROTEOMICS_DATA, I2B2_PROCESS_METABOLOMIC_DATA,
+    I2B2_PROCESS_QPCR_MIRNA_DATA, I2B2_LOAD_RBM_DATA)."""
     ot = OMICS_TYPES[omics]
     data_dir = str(data_dir)
     entries = sorted(os.listdir(data_dir))
@@ -478,7 +503,10 @@ def load_hdd(
             use_first_gene_id=use_first_gene_id,
         )
     else:
-        platform = read_omics_platform(spark, platform_path, platforms[0], ot.marker_type)
+        platform = read_omics_platform(
+            spark, platform_path, platforms[0], ot.marker_type,
+            trim_probe=ot.trim_probe,
+        )
 
     matrix_files = [
         os.path.join(data_dir, f) for f in entries if ot.data_file_re.match(f)
@@ -621,7 +649,10 @@ def load_serial_hdd(
     """X11 (§2.10, 5 of the 18 processor types): the regular HDD load
     plus timepoint sort keys — ``<SeriesMeta>`` c_metadataxml applied
     to the ontology nodes whose name matches the dimension category
-    (I2B2_PROCESS_SERIAL_HDD_DATA.sql:62-74)."""
+    (I2B2_PROCESS_SERIAL_HDD_DATA.sql:62-74; the per-family variant
+    I2B2_PROCESS_GENERIC_SERIAL_HDDDATA.sql routes the same XML attach
+    through each omics' staging table — here one parameterized plan
+    serves all five serial families)."""
     result = load_hdd(spark, data_dir, trial_id, top_node, omics, log_base)
     if trial_id is None:
         trial_id = result.sample_mapping.select("trial_name").first()[0]

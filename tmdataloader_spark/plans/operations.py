@@ -89,7 +89,12 @@ def delete_all_data(
     """T9 (I2B2_DELETE_ALL_DATA.sql:108-310): remove a study
     everywhere — ontology/counts/tags by path prefix, facts + patients
     by trial, every registered deapp frame by trial_name, variant
-    frames by ``trial:`` dataset prefix.
+    frames by ``trial:`` dataset prefix. Dropping the study's rows
+    from the deapp frames is also this repo's analog of
+    I2B2_DELETE_PARTITION.sql (the reference physically drops the
+    study's inherits-partition table there; our per-study parquet
+    partitions disappear with their rows — see
+    plans/hdd.write_partitioned).
 
     Reference parity details: the trial id matches case-insensitively
     (DeleteDataProcessor.groovy:21 upper-cases it before the call),
