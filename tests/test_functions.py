@@ -305,3 +305,36 @@ def test_escape_like(spark):
     df = spark.createDataFrame([("a*b%c_d",), ("plain",)], ["v"])
     vals = [r.e for r in df.select(escape_like("v").alias("e")).collect()]
     assert vals == ["a**b*%c*_d", "plain"]
+
+
+def test_pair_gate_full_regex_equivalence():
+    """The merged hot-path regex must accept EXACTLY the conjunction
+    of the reference's two conditions (first-pair gate ∧ interval
+    full-consumption) — checked in pure Python over the adversarial
+    corpus (backtracking 'weeks' tails, 5-digit counts, double
+    spaces, unit-less tails, sub-minute firsts, negatives)."""
+    import re
+
+    from tmdataloader_spark.functions.timepoints import (
+        _PAIR_FULL,
+        _PAIR_GATE,
+        _PAIR_GATE_FULL,
+    )
+
+    cases = [
+        "2 days", "2 days 3 hours", "-1 hour", "-2 days 3 hours",
+        "1 minute 30 seconds", "30 seconds", "2 weeks", "2 weeks 1 day",
+        "12345 days", "2  days", "2 days foo", "3 days ago", "2days",
+        "2 days3 hours", "1 year 14 months", "-14 months", "4 weeks ",
+        "2 weeks3", "1 week 2 weeks 3 weeks", "0 days", "9999 years",
+        "1 second 1 minute", "baseline", "week 4", "", "7 days 03:00:00",
+    ]
+    units = ["day", "days", "weeks", "seconds", "minute", "x"]
+    for i, u1 in enumerate(units):
+        for u2 in units:
+            cases.append(f"{i} {u1} {i + 1} {u2}")
+            cases.append(f"{i} {u1}{i + 1} {u2}")
+    for s in cases:
+        both = bool(re.search(_PAIR_GATE, s)) and bool(re.search(_PAIR_FULL, s))
+        merged = bool(re.search(_PAIR_GATE_FULL, s))
+        assert merged == both, (s, merged, both)

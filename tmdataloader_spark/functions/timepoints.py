@@ -153,6 +153,18 @@ _PAIR_GATE = r"^-?[0-9]{1,4} (week|weeks|minute|minutes|hour|hours|day|days|year
 # subset, never a fabricated value.)
 _PAIR_FULL = r"^(-?\d+\s*(seconds?|minutes?|hours?|days?|weeks?|months?|years?)\s*)+$"
 
+# _PAIR_GATE ∧ _PAIR_FULL as ONE anchored regex (hot path: one scan
+# per row instead of two). Equivalent to the conjunction: the first
+# pair is the gate's exact syntax (1-4 digits, ONE space, non-second
+# unit — backtracking explores the unit alternations, so 'weeks'
+# still matches after 'week' fails on the tail), the rest must be
+# (number, unit) pairs and whitespace to the end of the string.
+_PAIR_GATE_FULL = (
+    r"^-?[0-9]{1,4} "
+    r"(week|weeks|minute|minutes|hour|hours|day|days|year|years|month|months)"
+    r"(\s*-?\d+\s*(seconds?|minutes?|hours?|days?|weeks?|months?|years?))*\s*$"
+)
+
 
 def _unit_first_parts(c: Column) -> tuple[Column, Column]:
     """The reference's first branch (I2B2_BUILD_METADATA_XML.sql:19-21):
@@ -189,16 +201,27 @@ def _pair_epoch_minutes(c: Column) -> Column:
     mon_map = F.create_map(
         *[x for k, v in _MONTHS_PER_UNIT.items() for x in (F.lit(k), F.lit(v))]
     )
-    other_secs = F.aggregate(
-        F.zip_with(pairs_n, pairs_u, lambda n, u: n.cast("long") * sec_map[u]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # one zip + one fold for BOTH running sums (seconds from the
+    # time/day units, months from the month field) — two separate
+    # aggregates doubled the per-row array work for no reason
+    pair_sums = F.aggregate(
+        F.zip_with(
+            pairs_n,
+            pairs_u,
+            lambda n, u: F.struct(
+                (n.cast("long") * sec_map[u]).alias("s"),
+                (n.cast("long") * mon_map[u]).alias("m"),
+            ),
+        ),
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("m")
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] + x["s"]).alias("s"), (acc["m"] + x["m"]).alias("m")
+        ),
     )
-    months = F.aggregate(
-        F.zip_with(pairs_n, pairs_u, lambda n, u: n.cast("long") * mon_map[u]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    other_secs = pair_sums["s"]
+    months = pair_sums["m"]
     # Spark's % on longs truncates toward zero (Java semantics), same
     # as the C % in PG's interval_part — months=-14 → years=-1, rem=-2
     rem = months % F.lit(12).cast("long")
@@ -208,9 +231,7 @@ def _pair_epoch_minutes(c: Column) -> Column:
         + years * F.lit(_SECONDS_PER_EPOCH_YEAR).cast("long")
         + rem * F.lit(_SECONDS_PER_EPOCH_MONTH).cast("long")
     )
-    return F.when(
-        c.rlike(_PAIR_GATE) & c.rlike(_PAIR_FULL), total_secs / F.lit(60.0)
-    )
+    return F.when(c.rlike(_PAIR_GATE_FULL), total_secs / F.lit(60.0))
 
 
 def timepoint_minutes(name: Column | str) -> Column:
@@ -258,7 +279,7 @@ def invalid_timepoint_name(name: Column | str) -> Column:
         ~(
             (nm == "Baseline")
             | c.rlike(r"^[a-z]+ -?\d+")
-            | (c.rlike(_PAIR_GATE) & c.rlike(_PAIR_FULL))
+            | c.rlike(_PAIR_GATE_FULL)
         ),
         F.lit(True),
     )
