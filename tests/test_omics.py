@@ -462,3 +462,29 @@ def test_annotation_probe_trim_per_family(spark, tmp_path):
         trim_probe=OMICS_TYPES["rnaseq"].trim_probe,
     ).annotation
     assert [r.probeset_id for r in verbatim.collect()] == ["  P1234  "]
+
+
+def test_probe_header_bare_and_family_ids(spark, tmp_path):
+    """The reference's platform header matchers are FULL matches that
+    also accept a bare 'ID' and family-prefixed ids
+    (MIRNAPlatform.groovy:50 '(MIRNA[\\s_]*)*ID',
+    RNASeqPlatform.groovy:44 '(TRANSCRIPT[\\s_]*)*ID') — wherever the
+    column sits, it wins over the column-0 fallback; and 'GENE_ID'
+    must NOT match (it is the payload, not the probe)."""
+    from tmdataloader_spark.plans.hdd import read_omics_platform
+
+    p = tmp_path / "M1.txt"
+    p.write_text(
+        "#PLATFORM_TITLE: t\n"
+        "organism\tMIRNA_ID\tGENE_ID\n"
+        "Human\thsa-miR-1\t99\n"
+    )
+    ann = read_omics_platform(spark, str(p), "M1", "MIRNA_QPCR").annotation
+    assert [r.probeset_id for r in ann.collect()] == ["hsa-miR-1"]
+
+    p2 = tmp_path / "R1.txt"
+    p2.write_text(
+        "#PLATFORM_TITLE: t\norganism\tID\nHuman\tTR_7\n"
+    )
+    ann2 = read_omics_platform(spark, str(p2), "R1", "RNASEQ").annotation
+    assert [r.probeset_id for r in ann2.collect()] == ["TR_7"]

@@ -51,9 +51,10 @@ class AcghLoadResult:
 def read_chromosomal_regions(
     spark: SparkSession, path: str, platform_id: str
 ) -> GplPlatform:
-    """de_chromosomal_region rows from the region-platform file;
-    region_id is a deterministic hash of (gpl, region_name) replacing
-    the DB sequence."""
+    """de_chromosomal_region rows from the region-platform file
+    (the reference's aCGHPlatform.groovy stages the same ten columns
+    into lt_chromosomal_region); region_id is a deterministic hash of
+    (gpl, region_name) replacing the DB sequence."""
     meta = read_head_meta(path)
     df = read_tsv(spark, path, header=True, comment="#")
     cols = {c.strip().upper(): c for c in df.columns}

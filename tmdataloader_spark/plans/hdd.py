@@ -4,7 +4,9 @@ One parameterized module replaces the reference's six ~1100-LoC
 stored-procedure twins (mRNA I2B2_PROCESS_MRNA_DATA.sql, RNASeq,
 proteomics, metabolomics, miRNA, RBM — all one pattern):
 
-  subject–sample mapping (I2B2_LOAD_SAMPLES.sql)
+  subject–sample mapping (I2B2_LOAD_SAMPLES.sql; Groovy side
+      SamplesLoader.groovy staging the lt_src_mrna_subj_samp_map rows,
+      MIRNADataProcessor.groovy routing the qPCR/seq variants)
     → platform annotation (lt_src_deapp_annot)
     → matrix melt (ExpressionDataProcessor.groovy:214-239)
     → probeset tag + collapse avg (J2, I2B2_PROCESS_MRNA_DATA.sql:136-161)
@@ -434,8 +436,15 @@ def read_omics_platform(
 
     meta = read_head_meta(path)
     df = read_tsv(spark, path, header=True, comment="#")
+    # Per-family header regexes, full-match like the reference's
+    # ``==~`` (MIRNAPlatform.groovy:50 ``(MIRNA[\s_]*)*ID`` and
+    # RNASeqPlatform.groovy:44 ``(TRANSCRIPT[\s_]*)*ID`` both also
+    # accept a bare ``ID``; RBMPlatform.groovy:46 ANTIGEN NAME;
+    # MetabolomicsPlatform.groovy:46 BIOCHEMICAL)
     probe_candidates = re.compile(
-        r"^(ID_REF|BIOCHEMICAL|PEPTIDE|TRANSCRIPT[\s_]*ID|PROBE[\s_]*ID|ANTIGEN[\s_]*NAME)$",
+        r"^(ID_REF|BIOCHEMICAL|PEPTIDE"
+        r"|(TRANSCRIPT[\s_]*|MIRNA[\s_]*|PROBE[\s_]*)?ID"
+        r"|ANTIGEN[\s_]*NAME)$",
         re.I,
     )
     probe_col = next(

@@ -222,8 +222,9 @@ def move_study_by_path(
     keep_security: bool = False,
 ) -> StudyWarehouse:
     """T8 — the full I2B2_MOVE_STUDY_BY_PATH semantics on the
-    warehouse frames. Raises :class:`LoadValidationError` on the
-    reference's abort conditions."""
+    warehouse frames (the procedure MoveStudyProcessor.groovy invokes
+    with its keepSecurity flag). Raises :class:`LoadValidationError`
+    on the reference's abort conditions."""
     old_path = normalize_path(old_path_in)
     new_path = normalize_path(new_path_in)
     if old_path == "\\\\" or new_path == "\\\\":

@@ -53,7 +53,8 @@ def write_jdbc(
 # ---------------------------------------------------------------------------
 # Postgres COPY sink — the reference's ACTUAL production write path.
 # The reference loads tranSMART through COPY-based bulk loading
-# (build.gradle:48-49 pulls a CSV-to-COPY DataLoader; e.g.
+# (build.gradle:48-49 pulls a CSV-to-COPY DataLoader, wrapped by the
+# reference's CsvFileLoader.groovy; e.g.
 # ExpressionDataProcessor.groovy:187-195 streams matrix rows into it),
 # one COPY stream from the ETL host. This sink mirrors that shape:
 # partitions stream through the driver (toLocalIterator — one

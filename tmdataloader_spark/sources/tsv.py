@@ -56,8 +56,10 @@ _META_RE = re.compile(r"^#\s*([A-Za-z0-9_]+)\s*:\s*(.*?)\s*$")
 
 def read_head_meta(path: str | os.PathLike) -> dict[str, str]:
     """S2: leading ``# KEY: value`` lines → dict
-    (files/MetaInfoHeader.groovy; used e.g. at
-    etl/VCFDataProcessor.groovy:25-31 for STUDY_ID/MERGE_MODE)."""
+    (files/MetaInfoHeader.groovy, read through the
+    HeadCommentsReader.groovy wrapper that skips the comment block;
+    used e.g. at etl/VCFDataProcessor.groovy:25-31 for
+    STUDY_ID/MERGE_MODE)."""
     meta: dict[str, str] = {}
     with io.open(path, "r", encoding="utf-8", errors="replace") as fh:
         for line in fh:

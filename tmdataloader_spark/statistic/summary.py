@@ -1,7 +1,8 @@
 """Summary statistics with golden-file parity (SURVEY.md §2.5 A11).
 
 Reference: etl/statistic/VariableStatistic.groovy (Welford mean :184-197,
-exact median + Tukey hinges :65-98, QC messages :211-233),
+exact median + Tukey hinges :65-98 via the Quartile.groovy value
+objects, QC messages :211-233),
 TableStatistic.groovy (variable registry), StatisticCollector.groovy:46-85
 (the TDF ``SummaryStatistic.txt`` report, golden-file-tested by
 ClinicalDataProcessorTest.groovy:48-61).

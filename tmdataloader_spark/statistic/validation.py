@@ -1,7 +1,11 @@
 """Validation-rule compiler (SURVEY.md §2.5 A12).
 
 Mirrors the reference's rule grammar
-(etl/statistic/ValidationRule.groovy:47-155):
+(etl/statistic/ValidationRule.groovy:47-155, whose condition objects —
+EqualityCondition / PresenceCondition / RangeCondition /
+ValidationRuleCondition, dispatched by ValidationRuleType, with
+RangeValidationRule for the bare range form — become the Column
+predicates below):
 
     required
     >30  <50  >=20  <=20  30-50
