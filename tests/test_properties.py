@@ -228,3 +228,78 @@ def test_prop_sessionize_batch(spark, raw):
         for r in sessionize_batch(df, gap_seconds=600).collect()
     }
     assert got == _sessionize_py(events, 600)
+
+
+_PAIR_UNITS = ["second", "minute", "hour", "day", "week", "month", "year"]
+_PAIR_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _py_pair_minutes(name: str) -> float | None:
+    """Pure-Python twin of the pair path: the reference's first-pair
+    gate + full interval consumption, then PG EXTRACT(epoch)/60 with
+    the month field normalized as trunc(M/12) 365.25-day years plus
+    (M%12) 30-day months, truncation toward zero (timestamp.c
+    interval_part)."""
+    import re as _re
+
+    from tmdataloader_spark.functions.timepoints import (
+        _PAIR_FULL,
+        _PAIR_GATE,
+    )
+
+    low = name.lower()
+    if not (_re.search(_PAIR_GATE, low) and _re.search(_PAIR_FULL, low)):
+        return None
+    months = 0
+    secs = 0
+    for n, u in _re.findall(
+        r"(-?\d+)\s*(seconds?|minutes?|hours?|days?|weeks?|months?|years?)", low
+    ):
+        n = int(n)
+        base = u.rstrip("s") if u != "s" else u
+        if base == "month":
+            months += n
+        elif base == "year":
+            months += 12 * n
+        else:
+            secs += n * _PAIR_SECS[base]
+    rem = months - (months // 12) * 12 if months >= 0 else -((-months) % 12)
+    years = (months - rem) // 12
+    return (secs + years * 31557600 + rem * 2592000) / 60.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=-9999, max_value=9999),
+                  st.sampled_from(_PAIR_UNITS),
+                  st.booleans(),   # pluralize
+                  st.sampled_from([" ", "  ", ""])),  # pre-unit gap
+        min_size=1,
+        max_size=4,
+    ),
+    tail=st.sampled_from(["", " ", " foo", "3", " ago"]),
+    lead=st.sampled_from(["", " "]),
+)
+def test_prop_pair_epoch_matches_python_oracle(spark, pairs, tail, lead):
+    """timepoint_minutes' pair path equals the pure-Python PG-epoch
+    oracle on ARBITRARY pair strings — including gate-failing leads,
+    month/year folding across sign, and junk tails that must yield
+    NULL (never a prefix-summed value)."""
+    name = lead + " ".join(
+        f"{n}{gap}{u}{'s' if plural else ''}" for n, u, plural, gap in pairs
+    ) + tail
+    [row] = _one_row(
+        spark, {"m": timepoint_minutes("v")}, [(name,)], "v string"
+    )
+    expect = None if name == "Baseline" else _py_pair_minutes(name)
+    if name.strip() and name == "Baseline":
+        expect = 0.0
+    # unit-first names ('Week 4') never arise here: every generated
+    # name starts with the lead/sign/digits, so the unit-first regex
+    # cannot match and the pair path is the only live branch
+    got = row.m
+    if expect is None:
+        assert got is None, (name, got)
+    else:
+        assert got == expect, (name, got, expect)
