@@ -81,9 +81,29 @@ def test_tree_is_complete_and_counts_monotone(result):
 
 
 def test_i2b2_visual_attributes(result):
+    """Folder/leaf attrs plus the study-root flag:
+    ClinicalDataProcessorTest.groovy:145-146 asserts exactly ONE node
+    under the study subtree carries 'FAS' — the top node
+    (I2B2_LOAD_CLINICAL_DATA.sql:1460)."""
     rows = {r.c_fullname: r.c_visualattributes for r in result.i2b2.collect()}
     path = TOP + "Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\AA mutation\\"
     assert rows[path] == "FA"  # folder with children
     leaves = [p for p, a in rows.items() if a == "LA"]
     assert leaves, "no leaf nodes"
     assert all(not any(o != p and o.startswith(p) for o in rows) for p in leaves)
+    fas = [p for p, a in rows.items() if a == "FAS" and p.startswith(TOP)]
+    assert fas == [TOP]  # exactly one study node, the top node
+
+
+def test_highlight_clinical_data_sets_faj(spark):
+    """The --highlight-clinical-data flag turns the top node's third
+    visual-attribute character into 'J' (highlight_study='Y' at
+    I2B2_LOAD_CLINICAL_DATA.sql:1460, wired from
+    ClinicalDataProcessor.groovy:290)."""
+    landing = melt_clinical_study(spark, MAPPING)
+    res = load_clinical(
+        spark, landing, "GSE0", TOP, highlight_study=True, check_duplicates=False
+    )
+    rows = {r.c_fullname: r.c_visualattributes for r in res.i2b2.collect()}
+    assert rows[TOP] == "FAJ"
+    assert "FAS" not in set(rows.values())

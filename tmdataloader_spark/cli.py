@@ -225,7 +225,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--schema", metavar="NAME", help="(accepted; parquet warehouse has no DB schema)")
     p.add_argument("--alt-control-schema", metavar="NAME", help="(accepted; no-op)")
     p.add_argument("--alt-clinical-proc", metavar="PROC", help="(accepted; single Spark clinical plan)")
-    p.add_argument("--highlight-clinical-data", action="store_true", help="(accepted; no-op)")
+    p.add_argument(
+        "--highlight-clinical-data", action="store_true",
+        help="study top node gets visual attributes FAJ instead of FAS "
+        "(ClinicalDataProcessor.groovy:290 highlightClinicalData)",
+    )
     return p
 
 
@@ -316,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                 loaded = load_study(
                     spark, study_dir, parent_node=parent,
                     use_first_gene_id=args.use_first_gene_id,
+                    highlight_clinical_data=args.highlight_clinical_data,
                 )
                 for ptype, d, status, err in loaded.manifest:
                     print(f"    {ptype:<14} {status}{': ' + err if err else ''}")

@@ -91,10 +91,23 @@ def concept_counts_salted(
     return pairs.groupBy("concept_path").agg(F.count(patient_col).alias("patient_count"))
 
 
-def visual_attributes(nodes: DataFrame, path_col: str = "path", study_root_hlevel: int | None = None) -> DataFrame:
+def visual_attributes(
+    nodes: DataFrame,
+    path_col: str = "path",
+    study_root_hlevel: int | None = None,
+    study_root_path: str | None = None,
+    highlight: bool = False,
+) -> DataFrame:
     """A6: per-node descendant count → c_visualattributes: exactly
-    itself ⇒ leaf 'LA', else folder 'FA'; study-root nodes get 'FAS'
-    (I2B2_LOAD_CLINICAL_DATA.sql:1432-1481)."""
+    itself ⇒ leaf 'LA', else folder 'FA'; the study TOP NODE gets the
+    third character 'S' — or 'J' when the load runs with the
+    highlight flag (I2B2_LOAD_CLINICAL_DATA.sql:1432-1481, the
+    ``highlight_study`` parameter wired from
+    ClinicalDataProcessor.groovy:290's ``highlightClinicalData``
+    config; ClinicalDataProcessorTest.groovy:145-146 asserts exactly
+    ONE 'FAS' node under the study subtree). Identify the root either
+    by exact path (``study_root_path`` — the reference's
+    ``u.c_fullname = topNode``) or by level (``study_root_hlevel``)."""
     closure = tree_closure(nodes, path_col)
     desc_counts = closure.groupBy("ancestor_path").agg(
         F.count("*").alias("n_descendants")
@@ -103,9 +116,12 @@ def visual_attributes(nodes: DataFrame, path_col: str = "path", study_root_hleve
         desc_counts, nodes[path_col] == desc_counts["ancestor_path"], "left"
     ).drop("ancestor_path")
     attr = F.when(F.col("n_descendants") <= 1, F.lit("LA")).otherwise(F.lit("FA"))
-    if study_root_hlevel is not None:
+    root_attr = F.lit("FAJ" if highlight else "FAS")
+    if study_root_path is not None:
+        attr = F.when(F.col(path_col) == study_root_path, root_attr).otherwise(attr)
+    elif study_root_hlevel is not None:
         attr = F.when(
-            path_hlevel(path_col) == study_root_hlevel, F.lit("FAS")
+            path_hlevel(path_col) == study_root_hlevel, root_attr
         ).otherwise(attr)
     return out.withColumn("c_visualattributes", attr).drop("n_descendants")
 

@@ -269,11 +269,15 @@ def load_clinical(
     top_node: str,
     always_set_visit_name: bool = False,
     check_duplicates: bool = True,
+    highlight_study: bool = False,
 ) -> ClinicalLoadResult:
     r"""Run the full pipeline on a melted landing frame.
 
     ``top_node`` is the study root, e.g.
     ``\Public Studies\Test Study\`` (must start and end with ``\``).
+    ``highlight_study`` is the reference's ``--highlight-clinical-data``
+    flag (ClinicalDataProcessor.groovy:290): the top node's visual
+    attributes become 'FAJ' instead of 'FAS'.
     """
     work = derive_work_columns(landing, trial_id)
     work = cleansing.drop_empty_values(work)
@@ -413,7 +417,10 @@ def load_clinical(
         facts.select(F.col("concept_path").alias("path"), "patient_num")
     )
     i2b2 = visual_attributes(
-        i2b2.withColumnRenamed("c_fullname", "path"), "path"
+        i2b2.withColumnRenamed("c_fullname", "path"),
+        "path",
+        study_root_path=top_node,
+        highlight=highlight_study,
     ).withColumnRenamed("path", "c_fullname")
 
     return ClinicalLoadResult(

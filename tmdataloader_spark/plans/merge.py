@@ -380,7 +380,9 @@ def merge_clinical_load(
         .unionByName(inc_i2b2)
     )
     i2b2 = visual_attributes(
-        i2b2_paths.withColumnRenamed("c_fullname", "path"), "path"
+        i2b2_paths.withColumnRenamed("c_fullname", "path"),
+        "path",
+        study_root_path=top_node,
     ).withColumnRenamed("path", "c_fullname")
     counts = concept_counts(
         merged_facts.select(F.col("concept_path").alias("path"), "patient_num")

@@ -151,6 +151,7 @@ def load_study(
     parent_node: str = "\\Test Studies",
     audit: AuditLog | None = None,
     use_first_gene_id: bool = False,
+    highlight_clinical_data: bool = False,
 ) -> StudyLoadResult:
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
@@ -190,7 +191,10 @@ def load_study(
                         spark, os.path.join(type_dir, mappings[0])
                     )
                     trial = study_id or landing.select("study_id").first()[0]
-                    res = load_clinical(spark, landing, trial, top_node)
+                    res = load_clinical(
+                        spark, landing, trial, top_node,
+                        highlight_study=highlight_clinical_data,
+                    )
                 elif ptype in _HDD_ROUTE:
                     res = load_hdd(
                         spark, type_dir, study_id, top_node, _HDD_ROUTE[ptype],
