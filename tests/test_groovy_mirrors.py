@@ -196,3 +196,32 @@ def test_expression_serial_hdd_data_processor_loads_data(spark):
     assert "<Value>7</Value>" in xml and "<Unit>days</Unit>" in xml
     assert "<DisplayName>Week 1</DisplayName>" in xml
     assert _node_patients(res.observation_fact, wk1) == 2  # see docstring
+
+
+def test_non_unique_column_names_gate(spark):
+    """ClinicalDataProcessorTest.groovy:351-357 ('it should load study
+    with non-unique column names'): the GSE0NQCN study's data files
+    carry duplicate header names — the default load ABORTS with the
+    reference's message (commons-csv throws at
+    CsvLikeFile.groovy:46-49) and the --allow-non-unique-columns flag
+    loads it successfully (both engines position-suffix the
+    duplicates; the melt addresses columns by position)."""
+    import pytest
+
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+    from tmdataloader_spark.plans.clinical import load_clinical
+    from tmdataloader_spark.sources.mapping import melt_clinical_study
+
+    mapping = (
+        "/root/reference/fixtures/Additional Test Studies/"
+        "Test Study With Non Unique Column Names_GSE0NQCN/"
+        "ClinicalDataToUpload/Test Study_GSE0NQCN_Mapping_File.txt"
+    )
+    with pytest.raises(LoadValidationError, match="Duplicate names found"):
+        melt_clinical_study(spark, mapping)
+    landing = melt_clinical_study(spark, mapping, allow_non_unique_columns=True)
+    res = load_clinical(
+        spark, landing, "GSE0NQCN",
+        "\\Test Studies\\Test Study With Non Unique Column Names\\",
+    )
+    assert res.observation_fact.count() > 0

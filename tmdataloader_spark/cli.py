@@ -194,7 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delete-study-by-id", metavar="STUDY_ID")
     p.add_argument("--delete-study-by-path", metavar="PATH")
     p.add_argument("--force-start", action="store_true", help="skip the single-instance lock")
-    p.add_argument("--allow-non-unique-columns", action="store_true")
+    p.add_argument(
+        "--allow-non-unique-columns", action="store_true",
+        help="accept clinical data files with duplicate header names "
+        "(default aborts like the reference, CsvLikeFile.groovy:46-49)",
+    )
     p.add_argument("--use-first-gene-id", action="store_true")
     p.add_argument("--check-duplicates", action="store_true")
     p.add_argument("--replace-study", action="store_true")
@@ -321,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, study_dir, parent_node=parent,
                     use_first_gene_id=args.use_first_gene_id,
                     highlight_clinical_data=args.highlight_clinical_data,
+                    allow_non_unique_columns=args.allow_non_unique_columns,
                 )
                 for ptype, d, status, err in loaded.manifest:
                     print(f"    {ptype:<14} {status}{': ' + err if err else ''}")

@@ -152,6 +152,7 @@ def load_study(
     audit: AuditLog | None = None,
     use_first_gene_id: bool = False,
     highlight_clinical_data: bool = False,
+    allow_non_unique_columns: bool = False,
 ) -> StudyLoadResult:
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
@@ -188,7 +189,9 @@ def load_study(
                     if not mappings:
                         raise FileNotFoundError(f"no mapping file in {type_dir}")
                     landing = melt_clinical_study(
-                        spark, os.path.join(type_dir, mappings[0])
+                        spark,
+                        os.path.join(type_dir, mappings[0]),
+                        allow_non_unique_columns=allow_non_unique_columns,
                     )
                     trial = study_id or landing.select("study_id").first()[0]
                     res = load_clinical(

@@ -268,7 +268,10 @@ def _inject_datalabel(cat_cd: str, source_type: str) -> str:
 
 
 def _validate_clinical_file(
-    data_path: str | os.PathLike, study_id_col: int, expected_study_id: str | None = None
+    data_path: str | os.PathLike,
+    study_id_col: int,
+    expected_study_id: str | None = None,
+    allow_non_unique_columns: bool = False,
 ) -> str | None:
     """The reference's read-time validations, driver-side like its
     line reader (clinical files are small; HDD matrices never pass
@@ -276,6 +279,15 @@ def _validate_clinical_file(
 
     - bytes that decode to U+FFFD (non-UTF8 input) abort with the
       reference's context snippet (SkipLinesReader.groovy:106-115)
+    - a clinical data file with DUPLICATE header names aborts with the
+      reference's message unless the load runs with
+      ``--allow-non-unique-columns`` (commons-csv throws at
+      CsvLikeFile.groovy:46-49; the flag reaches only the clinical
+      data-file read, ClinicalDataProcessor.groovy:56 — with it on,
+      both engines position-suffix the duplicates and proceed:
+      refinedHeader's ``name@pos`` there, Spark's ``nameN`` here; the
+      melt addresses columns by POSITION, so the refined spelling
+      never reaches the output)
     - every data row's STUDY_ID must equal the first one seen — a
       state the caller threads ACROSS a study's files via
       ``expected_study_id`` (ClinicalDataProcessor.groovy:73-81),
@@ -291,6 +303,18 @@ def _validate_clinical_file(
     if bad != -1:
         ctx = text[max(bad - 100, 0) : bad + 100]
         raise LoadValidationError(f"In this:\n {ctx} \nfound non visual symbol.")
+    if not allow_non_unique_columns:
+        for line in text.splitlines():
+            if not line.strip() or line.startswith("# "):
+                continue
+            names = [c.strip() for c in line.split("\t")]
+            if len(set(names)) != len(names):
+                raise LoadValidationError(
+                    "Duplicate names found in the header. You should "
+                    "either check and fix these names or use "
+                    "`--allow-non-unique-columns` option"
+                )
+            break
     if study_id_col <= 0:
         return expected_study_id
     first = expected_study_id
@@ -320,6 +344,7 @@ def melt_clinical_file(
     fm: FileMapping,
     visit_name_first: bool = False,
     expected_study_id: str | None = None,
+    allow_non_unique_columns: bool = False,
 ) -> DataFrame:
     """R1: one data file × its mapping → the long EAV landing frame
     ``lt_src_clinical_data`` (study_id, site_id, subject_id,
@@ -330,7 +355,10 @@ def melt_clinical_file(
     ``inline`` — the Spark-native form of the Groovy per-row loop
     (ClinicalDataProcessor.groovy:51-164), one narrow stage.
     """
-    _validate_clinical_file(data_path, fm.study_id, expected_study_id)
+    _validate_clinical_file(
+        data_path, fm.study_id, expected_study_id,
+        allow_non_unique_columns=allow_non_unique_columns,
+    )
     df = read_tsv(spark, data_path, header=True, comment="# ")
     cols = df.columns
     header = data_file_columns(data_path, comment="#")
@@ -419,9 +447,13 @@ def melt_clinical_study(
     spark: SparkSession,
     mapping_path: str | os.PathLike,
     visit_name_first: bool = False,
+    allow_non_unique_columns: bool = False,
 ) -> DataFrame:
     """All data files of one mapping file, unioned — the full
-    ``lt_src_clinical_data`` landing frame for a study."""
+    ``lt_src_clinical_data`` landing frame for a study.
+    ``allow_non_unique_columns`` is the reference's
+    ``--allow-non-unique-columns`` flag: without it a data file with
+    duplicate header names aborts the load (CsvLikeFile.groovy:46-49)."""
     mapping_path = Path(mapping_path)
     mappings = parse_mapping_file(mapping_path)
     out: DataFrame | None = None
@@ -430,10 +462,17 @@ def melt_clinical_study(
         # one STUDY_ID per study load, shared across all its files
         # (ClinicalDataProcessor.groovy keeps usedStudyId per load)
         study_id = _validate_clinical_file(
-            mapping_path.parent / fname, fm.study_id, study_id
+            mapping_path.parent / fname,
+            fm.study_id,
+            study_id,
+            allow_non_unique_columns=allow_non_unique_columns,
         )
         part = melt_clinical_file(
-            spark, mapping_path.parent / fname, fm, visit_name_first=visit_name_first
+            spark,
+            mapping_path.parent / fname,
+            fm,
+            visit_name_first=visit_name_first,
+            allow_non_unique_columns=allow_non_unique_columns,
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
