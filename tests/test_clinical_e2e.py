@@ -107,3 +107,36 @@ def test_highlight_clinical_data_sets_faj(spark):
     rows = {r.c_fullname: r.c_visualattributes for r in res.i2b2.collect()}
     assert rows[TOP] == "FAJ"
     assert "FAS" not in set(rows.values())
+
+
+def test_security_facts_and_i2b2_secure(result, spark):
+    """The load tail (I2B2_LOAD_CLINICAL_DATA.sql:1526-1527): one
+    SECURITY fact per patient — token EXP:PUBLIC by default,
+    EXP:<trial> with --secure-study — and i2b2_secure = i2b2 +
+    secure_obj_token (I2B2_LOAD_SECURITY_DATA.sql:80-98)."""
+    from pyspark.sql import functions as F
+
+    sec = result.observation_fact.filter(F.col("concept_cd") == "SECURITY")
+    n_patients = result.patient_dimension.count()
+    assert sec.count() == n_patients
+    assert {r.tval_char for r in sec.select("tval_char").collect()} == {"EXP:PUBLIC"}
+    toks = {
+        r.secure_obj_token
+        for r in result.i2b2_secure.select("secure_obj_token").collect()
+    }
+    assert toks == {"EXP:PUBLIC"}
+    assert result.i2b2_secure.count() == result.i2b2.count()
+
+    secured = load_clinical(
+        spark, melt_clinical_study(spark, MAPPING), "GSE0", TOP,
+        secure_study=True, check_duplicates=False,
+    )
+    sec2 = secured.observation_fact.filter(F.col("concept_cd") == "SECURITY")
+    assert {r.tval_char for r in sec2.select("tval_char").collect()} == {"EXP:GSE0"}
+    study_tokens = {
+        r.secure_obj_token
+        for r in secured.i2b2_secure.filter(
+            F.col("c_fullname").startswith(TOP)
+        ).select("secure_obj_token").collect()
+    }
+    assert study_tokens == {"EXP:GSE0"}

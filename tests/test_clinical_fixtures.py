@@ -283,7 +283,10 @@ def test_non_utf8_study_aborts(spark):
 
 def test_non_unique_column_names_load(spark):
     """ClinicalDataProcessorTest.groovy:350-357 — duplicate data-file
-    column names load fine (mapping is positional, 1-based indexes)."""
+    column names load fine WITH the --allow-non-unique-columns flag
+    (the Groovy passes allowNonUniqueColumnNames: true; the mapping is
+    positional, 1-based indexes). The default-abort side lives in
+    test_groovy_mirrors.test_non_unique_column_names_gate."""
     m = (
         "/root/reference/fixtures/Additional Test Studies/"
         "Test Study With Non Unique Column Names_GSE0NQCN/ClinicalDataToUpload/"
@@ -291,7 +294,7 @@ def test_non_unique_column_names_load(spark):
     )
     res = load_clinical(
         spark,
-        melt_clinical_study(spark, m),
+        melt_clinical_study(spark, m, allow_non_unique_columns=True),
         "GSE0NQCN",
         "\\Test Studies\\Test Study With Non Unique Column Names\\",
     )

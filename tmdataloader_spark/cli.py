@@ -326,6 +326,10 @@ def main(argv: list[str] | None = None) -> int:
                     use_first_gene_id=args.use_first_gene_id,
                     highlight_clinical_data=args.highlight_clinical_data,
                     allow_non_unique_columns=args.allow_non_unique_columns,
+                    secure_study=args.secure_study,
+                    visit_name_first=args.visit_name_first,
+                    always_set_visit_name=args.always_set_visit_name,
+                    use_t=args.use_t,
                 )
                 for ptype, d, status, err in loaded.manifest:
                     print(f"    {ptype:<14} {status}{': ' + err if err else ''}")

@@ -45,7 +45,9 @@ from tmdataloader_spark.operators.dedup import (
 from tmdataloader_spark.operators.reshape import pivot_demographics
 from tmdataloader_spark.operators.tree import (
     concept_counts,
+    create_security_for_trial,
     fill_in_tree,
+    load_security_data,
     visual_attributes,
 )
 from tmdataloader_spark.operators.type_inference import infer_group_types
@@ -64,6 +66,8 @@ class ClinicalLoadResult:
     trial_nodes: DataFrame
     work: DataFrame = None
     audit: list = field(default_factory=list)
+    #: i2b2 + secure_obj_token (i2b2_load_security_data's i2b2_secure)
+    i2b2_secure: DataFrame = None
 
 
 def derive_work_columns(df: DataFrame, trial_id: str) -> DataFrame:
@@ -270,6 +274,7 @@ def load_clinical(
     always_set_visit_name: bool = False,
     check_duplicates: bool = True,
     highlight_study: bool = False,
+    secure_study: bool = False,
 ) -> ClinicalLoadResult:
     r"""Run the full pipeline on a melted landing frame.
 
@@ -423,6 +428,16 @@ def load_clinical(
         highlight=highlight_study,
     ).withColumnRenamed("path", "c_fullname")
 
+    # Stage 10: security — the reference's load tail
+    # (I2B2_LOAD_CLINICAL_DATA.sql:1526-1527): one SECURITY fact per
+    # patient (token EXP:<trial> when the study is secured via
+    # --secure-study / securitySymbol='Y', else EXP:PUBLIC), then
+    # i2b2_secure = i2b2 + secure_obj_token. Counts were computed
+    # BEFORE the security facts, like the reference (:913 vs :1526);
+    # SECURITY facts carry no concept_path, so they never join a leaf.
+    facts = create_security_for_trial(facts, trial_id, secure=secure_study)
+    i2b2_secure = load_security_data(i2b2, facts)
+
     return ClinicalLoadResult(
         observation_fact=facts,
         patient_dimension=patients,
@@ -431,4 +446,5 @@ def load_clinical(
         concept_counts=counts,
         trial_nodes=trial_nodes,
         work=work,
+        i2b2_secure=i2b2_secure,
     )

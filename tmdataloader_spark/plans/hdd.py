@@ -486,8 +486,12 @@ def load_hdd(
     omics: str = "expression",
     log_base: float = 2.0,
     use_first_gene_id: bool = False,
+    use_t: bool = False,
 ) -> HDDLoadResult:
-    """The parameterized HDD pipeline: one kernel instantiated per
+    """``use_t`` is the reference's ``-t`` flag ("do not force Z
+    datatype for T expression data"); in this engine T and Z take the
+    same already-transformed path through the zscore kernel, so the
+    flag only preserves the declared type. The parameterized HDD pipeline: one kernel instantiated per
     omics type (the reference's six ~1100-LoC stored-procedure twins —
     I2B2_PROCESS_MRNA_DATA, I2B2_PROCESS_RNA_DATA,
     I2B2_PROCESS_PROTEOMICS_DATA, I2B2_PROCESS_METABOLOMIC_DATA,
@@ -526,7 +530,10 @@ def load_hdd(
         ot.data_file_re.match(os.path.basename(matrix_files[0])).group(1).upper()
     )
     data_type = file_data_type
-    if data_type == "T":  # Groovy forces T→Z (ExpressionDataProcessor.groovy:72-75)
+    if data_type == "T" and not use_t:
+        # Groovy forces T→Z unless the -t/--use-t flag is set ("do not
+        # force Z datatype"; ExpressionDataProcessor.groovy:72-75 and
+        # the same guard in MIRNA/RBM/SNP processors)
         data_type = "Z"
     elif ot.data_type_override is not None and data_type in ("R", "L"):
         data_type = ot.data_type_override

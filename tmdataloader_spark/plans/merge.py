@@ -315,7 +315,11 @@ def merge_clinical_load(
     deletion scope, insert the new facts, upsert patients, union the
     ontology, and recompute counts/visual attributes — the stored
     procedure's post-landing tail (:1080-1511) for reloads."""
-    from tmdataloader_spark.operators.tree import concept_counts, visual_attributes
+    from tmdataloader_spark.operators.tree import (
+        concept_counts,
+        load_security_data,
+        visual_attributes,
+    )
     from tmdataloader_spark.plans.clinical import ClinicalLoadResult
 
     biomarkers = biomarker_concepts(sample_mapping, snp_dataset)
@@ -393,6 +397,12 @@ def merge_clinical_load(
         i2b2=i2b2,
         concept_dimension=concept_dim,
         concept_counts=counts,
+        # i2b2_secure rebuilt over the merged facts — both sides'
+        # SECURITY rows survive their scopes (they carry the trial's
+        # sourcesystem_cd), incoming wins token-wise for re-loaded
+        # patients like the reference's re-run of
+        # i2b2_load_security_data
+        i2b2_secure=load_security_data(i2b2, merged_facts),
         trial_nodes=incoming.trial_nodes,
         work=incoming.work,
     )

@@ -153,6 +153,10 @@ def load_study(
     use_first_gene_id: bool = False,
     highlight_clinical_data: bool = False,
     allow_non_unique_columns: bool = False,
+    secure_study: bool = False,
+    visit_name_first: bool = False,
+    always_set_visit_name: bool = False,
+    use_t: bool = False,
 ) -> StudyLoadResult:
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
@@ -191,17 +195,21 @@ def load_study(
                     landing = melt_clinical_study(
                         spark,
                         os.path.join(type_dir, mappings[0]),
+                        visit_name_first=visit_name_first,
                         allow_non_unique_columns=allow_non_unique_columns,
                     )
                     trial = study_id or landing.select("study_id").first()[0]
                     res = load_clinical(
                         spark, landing, trial, top_node,
+                        always_set_visit_name=always_set_visit_name,
                         highlight_study=highlight_clinical_data,
+                        secure_study=secure_study,
                     )
                 elif ptype in _HDD_ROUTE:
                     res = load_hdd(
                         spark, type_dir, study_id, top_node, _HDD_ROUTE[ptype],
                         use_first_gene_id=use_first_gene_id,
+                        use_t=use_t,
                     )
                 elif ptype in _SERIAL_HDD_ROUTE:
                     from tmdataloader_spark.plans.hdd import load_serial_hdd
