@@ -2612,90 +2612,26 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
-    # r12 WINDOW (VERDICT r11 items 1+4 — the steady-state head-swap
-    # plus the capacity-plan gate merges):
-    #   45 obligated r9-cohort queries (last driver row r9; the
-    #      cohort's other 4 — debounce/throttle/histogram/equi_depth —
-    #      merged into 2 gates this round),
-    #   2 merged-gate debuts (rate_limit, value_histograms — debuts
-    #      MUST be windowed),
-    #   3 slack re-picks from the r10-green cohort (ann_lsh,
-    #      visit_suppression, moving_avg — the three worst r10-cohort
-    #      bench ratios on the r11 board; the r11 precedent).
+    # r13 WINDOW (the steady-state head-swap, pre-ordered by the
+    # rotation map):
+    #   46 obligated r10-cohort queries (last driver row r10 —
+    #      positions 51-96 of the r12 ordering),
+    #   4 slack re-picks from the r12-green cohort (dup_ngrams 2.07x,
+    #      sliding_rollup 2.07x, ann_lsh 1.92x, cube_agg 1.91x — the
+    #      four worst r12-cohort raw bench ratios on the r12 board;
+    #      the r11/r12 precedent) -> fresh driver timing +
+    #      correctness rows this round.
     # Steady-state period-3 cohort map (VERDICT r10 item 2; see
     # tests/test_window_hygiene.py for the same table):
-    #   positions  1-50   r12 window   (45 r9 + 2 debuts + 3 slack)
-    #   positions 51-96   r10-checked  -> r13 window obligation (46)
-    #   positions 97-146  r11-checked  -> r14 window obligation (50)
+    #   positions  1-50   r13 window   (46 r10-cohort + 4 slack)
+    #   positions 51-100  r11-checked  -> r14 window obligation (50)
+    #   positions 101-146 r12-checked  -> r15 window obligation (46)
     # Each round's rotation is a mechanical head-swap of the next
     # cohort block plus slack picks from the freshest cohort.
     # Capacity: 146/150 gate slots in use (headroom 4).
     return {
-        # --- r12 WINDOW (first 50; driver-checked this round) ---
-        "profile_table": q_profile_table,
-        "table_checksum": q_table_checksum,
-        "user_cardinality": q_user_cardinality,
-        "pagerank": q_pagerank,
-        "snapshot_diff": q_snapshot_diff,
-        "cube_agg": q_cube_agg,
-        "sliding_rollup": q_sliding_rollup,
-        "html_extract": q_html_extract,
-        "mad_outliers": q_mad_outliers,
-        "scd2_history": q_scd2_history,
-        "token_mixture": q_token_mixture,
-        "trending": q_trending,
-        "range_window": q_range_window,
-        "mixture_drift": q_mixture_drift,
-        "weighted_sample": q_weighted_sample,
-        "quantile_profile": q_quantile_profile,
-        "intersect_retained": q_intersect_retained,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "linear_score": q_linear_score,
-        "dict_encode": q_dict_encode,
-        "incremental_rollup": q_incremental_rollup,
-        "negative_samples": q_negative_samples,
-        "chi_square": q_chi_square,
-        # r12-debut merged gate (capacity plan): former debounce +
-        # throttle gates — same operators, one slot
-        "rate_limit": q_rate_limit,
-        "sliding_distinct": q_sliding_distinct,
-        "winsorize": q_winsorize,
-        "trend_fit": q_trend_fit,
-        "resample_fill": q_resample_fill,
-        "heavy_hitters": q_heavy_hitters,
-        # r12-debut merged gate (capacity plan): former histogram +
-        # equi_depth gates — same operators, one slot
-        "value_histograms": q_value_histograms,
-        "bm25": q_bm25,
-        "bm25_batch": q_bm25_batch,
-        "rrf_fuse": q_rrf_fuse,
-        "mixture_sample": q_mixture_sample,
-        "dup_ngrams": q_dup_ngrams,
-        "curation_report": q_curation_report,
-        "substr_dedup": q_substr_dedup,
-        "prototype_scores": q_prototype_scores,
-        "leakage_split": q_leakage_split,
-        "ccnet_buckets": q_ccnet_buckets,
-        "pair_counts": q_pair_counts,
-        "rollup_agg": q_rollup_agg,
-        "sessionize": q_sessionize,
-        "ks_drift": q_ks_drift,
-        "pr_curve": q_pr_curve,
-        "roc_auc": q_roc_auc,
-        "lm_perplexity": q_lm_perplexity,
-        # slack picks from the r10-green cohort: the three worst
-        # r10-cohort raw bench ratios on the r11 board (ann_lsh 1.82x,
-        # visit_suppression 1.72x, moving_avg 1.69x) -> fresh driver
-        # timing + correctness rows this round.  (Three slack slots
-        # opened because the capacity-plan gate merges retired 4 gates
-        # from the r9 cohort and debuted 2.)
-        "ann_lsh": q_ann_lsh,
-        "visit_suppression": q_visit_suppression,
-        "moving_avg": q_moving_avg,
-        # --- tail (51+): oracle-checked at sf0.01 every pytest run
-        # by tests/test_oracle_tail.py.  First the 48 remaining
-        # r10-checked queries (r13's window obligation, in order),
-        # then the 50 r11-checked queries (r14's obligation). ---
+        # --- r13 WINDOW (first 50; driver-checked this round):
+        # the 46 r10-cohort queries, in cohort order ---
         "skew_report": q_skew_report,
         "salted_join": q_salted_join,
         "bpe_encode": q_bpe_encode,
@@ -2742,8 +2678,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "random_projection": q_random_projection,
         "pmi_collocations": q_pmi_collocations,
-        # --- r11-green (driver rows in CORRECTNESS_r11.json; due at
-        # r14) ---
+        # slack picks from the r12-green cohort: the four worst
+        # r12-cohort raw bench ratios on the r12 board (see above)
+        "dup_ngrams": q_dup_ngrams,
+        "sliding_rollup": q_sliding_rollup,
+        "ann_lsh": q_ann_lsh,
+        "cube_agg": q_cube_agg,
+        # --- tail (51+): oracle-checked at sf0.01 every pytest run
+        # by tests/test_oracle_tail.py.  First the 50 r11-checked
+        # queries (r14's window obligation, in order), then the 46
+        # remaining r12-checked queries (r15's obligation). ---
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
         "skyline": q_skyline,
@@ -2794,6 +2738,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "acgh_gene_backfill": q_acgh_gene_backfill,
         "mixture_upsample": q_mixture_upsample,
+        # --- r12-green cohort (driver rows in CORRECTNESS_r12.json;
+        # due back in the window at r15) ---
+        "profile_table": q_profile_table,
+        "table_checksum": q_table_checksum,
+        "user_cardinality": q_user_cardinality,
+        "pagerank": q_pagerank,
+        "snapshot_diff": q_snapshot_diff,
+        "html_extract": q_html_extract,
+        "mad_outliers": q_mad_outliers,
+        "scd2_history": q_scd2_history,
+        "token_mixture": q_token_mixture,
+        "trending": q_trending,
+        "range_window": q_range_window,
+        "mixture_drift": q_mixture_drift,
+        "weighted_sample": q_weighted_sample,
+        "quantile_profile": q_quantile_profile,
+        "intersect_retained": q_intersect_retained,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "linear_score": q_linear_score,
+        "dict_encode": q_dict_encode,
+        "incremental_rollup": q_incremental_rollup,
+        "negative_samples": q_negative_samples,
+        "chi_square": q_chi_square,
+        "rate_limit": q_rate_limit,
+        "sliding_distinct": q_sliding_distinct,
+        "winsorize": q_winsorize,
+        "trend_fit": q_trend_fit,
+        "resample_fill": q_resample_fill,
+        "heavy_hitters": q_heavy_hitters,
+        "value_histograms": q_value_histograms,
+        "bm25": q_bm25,
+        "bm25_batch": q_bm25_batch,
+        "rrf_fuse": q_rrf_fuse,
+        "mixture_sample": q_mixture_sample,
+        "curation_report": q_curation_report,
+        "substr_dedup": q_substr_dedup,
+        "prototype_scores": q_prototype_scores,
+        "leakage_split": q_leakage_split,
+        "ccnet_buckets": q_ccnet_buckets,
+        "pair_counts": q_pair_counts,
+        "rollup_agg": q_rollup_agg,
+        "sessionize": q_sessionize,
+        "ks_drift": q_ks_drift,
+        "pr_curve": q_pr_curve,
+        "roc_auc": q_roc_auc,
+        "lm_perplexity": q_lm_perplexity,
+        "visit_suppression": q_visit_suppression,
+        "moving_avg": q_moving_avg,
     }
 
 _PATH_CTE = """

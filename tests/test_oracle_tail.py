@@ -21,54 +21,6 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "skew_report",
-    "salted_join",
-    "bpe_encode",
-    "triangle_count",
-    "link_predict",
-    "event_transitions",
-    "interarrival_profile",
-    "diversity_profile",
-    "vcf_genotypes",
-    "simhash",
-    "cleansing",
-    "dedup_exact",
-    "text_quality",
-    "pii_redaction",
-    "decontamination",
-    "anti_join",
-    "semi_join",
-    "except_dropped",
-    "union_exclusion",
-    "first_value",
-    "path_functions",
-    "move_study",
-    "delete_study",
-    "visual_attributes",
-    "timepoints",
-    "funnel",
-    "event_rollup",
-    "curate",
-    "fact_assembly",
-    "quota_sample",
-    "dedup_clusters",
-    "json_rollup",
-    "embedding_dedup",
-    "chunk_docs",
-    "ann_ivf",
-    "plink_fam",
-    "vcf_assay_link",
-    "add_nodes",
-    "security_tokens",
-    "text_signals",
-    "snp_gene_novelty",
-    "prune_nodes",
-    "audit_ordering",
-    "stratified_sample",
-    "random_projection",
-    "pmi_collocations",
-    # --- r11-green cohort (driver rows in CORRECTNESS_r11.json;
-    # due back in the window at r14) ---
     "attribution",
     "basket_rules",
     "skyline",
@@ -119,6 +71,54 @@ TAIL = [
     "ann_ivfpq",
     "acgh_gene_backfill",
     "mixture_upsample",
+    # --- r12-green cohort (driver rows in CORRECTNESS_r12.json;
+    # due back in the window at r15) ---
+    "profile_table",
+    "table_checksum",
+    "user_cardinality",
+    "pagerank",
+    "snapshot_diff",
+    "html_extract",
+    "mad_outliers",
+    "scd2_history",
+    "token_mixture",
+    "trending",
+    "range_window",
+    "mixture_drift",
+    "weighted_sample",
+    "quantile_profile",
+    "intersect_retained",
+    "fuzzy_dedup",
+    "linear_score",
+    "dict_encode",
+    "incremental_rollup",
+    "negative_samples",
+    "chi_square",
+    "rate_limit",
+    "sliding_distinct",
+    "winsorize",
+    "trend_fit",
+    "resample_fill",
+    "heavy_hitters",
+    "value_histograms",
+    "bm25",
+    "bm25_batch",
+    "rrf_fuse",
+    "mixture_sample",
+    "curation_report",
+    "substr_dedup",
+    "prototype_scores",
+    "leakage_split",
+    "ccnet_buckets",
+    "pair_counts",
+    "rollup_agg",
+    "sessionize",
+    "ks_drift",
+    "pr_curve",
+    "roc_auc",
+    "lm_perplexity",
+    "visit_suppression",
+    "moving_avg",
 ]
 
 

@@ -103,20 +103,20 @@ DEBUT_OVERFLOW: dict[str, int] = {
 AMNESTY: dict[str, int] = {}
 
 # STEADY-STATE ROTATION MAP (r11 onward; VERDICT r10 item 2).
-# With a 50-row window, two-round hygiene, and 148 gate queries, the
+# With a 50-row window, two-round hygiene, and 146 gate queries, the
 # rotation is period-3 over three cohort blocks that queries() keeps
 # in POSITION ORDER so every rotation is a mechanical head-swap of
-# the next block (+ 1-2 slack picks from the freshest cohort):
+# the next block (+ slack picks from the freshest cohort):
 #
 #   queries() positions | cohort (last driver row) | due in window
 #   --------------------+--------------------------+--------------
-#          1-50         | r12 window (49 r9 + 1)   | checked now
-#         51-98         | r10-checked (48 queries) | round 13
-#        99-148         | r11-checked (50 queries) | round 14
+#          1-50         | r13 window (46 r10 + 4)  | checked now
+#         51-100        | r11-checked (50 queries) | round 14
+#        101-146        | r12-checked (46 queries) | round 15
 #
-# (The r12 slack pick is ann_lsh — worst r10-cohort bench ratio on
-# the r11 board — so the r10 block holds 48; moving_avg stays at its
-# END.)  After each rotation the just-checked 50 move to the END of
+# (The r13 slack picks are dup_ngrams / sliding_rollup / ann_lsh /
+# cube_agg — the four worst r12-cohort raw bench ratios on the r12
+# board.)  After each rotation the just-checked 50 move to the END of
 # the tail, the next-due block moves to the head, and the map shifts
 # by one round.  NEVER skip a round's swap: one skipped rotation
 # strands two cohorts (98 > 50) and forces another amnesty (the
