@@ -827,3 +827,61 @@ def test_serial_ldd_timestamp_update_merge(spark, tmp_path):
     assert _series_meta(merged2, tp + "1 hour\\") == ("60", "minutes", "Y")
     assert _series_meta(merged2, tp + "1 hour 5 minutes\\") == ("65", "minutes", "Y")
     assert _series_meta(merged2, tp + "Baseline\\") == ("0", "minutes", "Y")
+
+
+def test_empty_header_cells_are_not_duplicate_names(spark, tmp_path):
+    """commons-csv runs withAllowMissingColumnNames(true)
+    (CsvLikeFile.groovy:32): EMPTY header cells — e.g. trailing tabs —
+    are allowed any number of times; only duplicate NON-empty names
+    abort.  A data file whose header ends in two empty cells must load
+    WITHOUT --allow-non-unique-columns."""
+    mapping = tmp_path / "EH_Mapping_File.txt"
+    data = tmp_path / "TEST.txt"
+    mapping.write_text(
+        "filename\tcategory_cd\tcol_nbr\tdata_label\n"
+        "TEST.txt\t\t1\tSTUDY_ID\n"
+        "TEST.txt\t\t2\tSUBJ_ID\n"
+        "TEST.txt\tVars\t3\tSex\n"
+    )
+    data.write_text(
+        "STUDY_ID\tSUBJ_ID\tSex\t\t\n"
+        "GSE0EH\tSUBJ1\tMale\t\t\n"
+        "GSE0EH\tSUBJ2\tFemale\t\t\n"
+    )
+    landing = melt_clinical_study(spark, str(mapping))
+    assert landing.filter(F.col("data_value") == "Male").count() == 1
+
+
+def test_timepoint_abort_fires_without_duplicate_checking(spark, tmp_path):
+    """The reference's RAISE 'Check date format'
+    (I2B2_BUILD_METADATA_XML.sql:52) is UNCONDITIONAL — it fires from
+    metadata-XML construction regardless of duplicate-fact checking.
+    A caller disabling check_duplicates must still abort on a
+    TIMEPOINT display name that matches neither series path (here a
+    pure sub-minute '30 seconds' interval), not silently sink a NULL
+    c_metadataxml."""
+    from tmdataloader_spark.operators.dedup import LoadValidationError
+
+    mapping = tmp_path / "TS_Mapping_File.txt"
+    data = tmp_path / "TEST.txt"
+    mapping.write_text(
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tbaseline\tvariable_type\n"
+        "TEST.txt\t\t1\tSTUDY_ID\t\t\n"
+        "TEST.txt\t\t2\tSUBJ_ID\t\t\n"
+        "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\tBaseline\tTimestamp\n"
+        "TEST.txt\t\t4\tTimestamp\t\tTimestamp\n"
+        "TEST.txt\t\t5\tBaseline\t\t\n"
+    )
+    data.write_text(
+        "STUDY_ID\tSUBJ_ID\tDays\tTimestamp\tBaseline\n"
+        "GSE0TSB\tSUBJ1\t0\t2000-12-31 12:00:00\t2000-12-31 12:00:00\n"
+        "GSE0TSB\tSUBJ1\t10\t2000-12-31 12:00:30\t2000-12-31 12:00:00\n"
+    )
+    with pytest.raises(LoadValidationError, match="Check date format"):
+        load_clinical(
+            spark,
+            melt_clinical_study(spark, str(mapping)),
+            "GSE0TSB",
+            "\\Test Studies\\TS Abort Study\\",
+            check_duplicates=False,
+        ).observation_fact.count()

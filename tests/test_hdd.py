@@ -340,3 +340,36 @@ def test_platform_symbol_blanking_without_flag(spark, tmp_path):
         assert rows["1"] == ("", "11"), (flag, rows)
         assert rows["2"] == ("GOOD", "22"), (flag, rows)
         assert rows["3"] == ("", "33"), (flag, rows)
+
+
+def test_load_serial_hdd_threads_use_t_and_gene_id_flags():
+    """--use-t / --use-first-gene-id must reach the serial route's
+    inner load_hdd call (the T->Z force guard lives there,
+    ExpressionDataProcessor.groovy:72-75, and the serial processors
+    inherit it) — a serial load must not silently force T->Z when the
+    CLI ran with --use-t."""
+    import tmdataloader_spark.plans.hdd as hdd
+
+    captured = {}
+
+    class _Probe(Exception):
+        pass
+
+    real = hdd.load_hdd
+
+    def fake(spark, data_dir, trial_id, top_node, omics="expression",
+             log_base=2.0, use_first_gene_id=False, use_t=False):
+        captured["use_t"] = use_t
+        captured["use_first_gene_id"] = use_first_gene_id
+        raise _Probe()
+
+    hdd.load_hdd = fake
+    try:
+        with pytest.raises(_Probe):
+            hdd.load_serial_hdd(
+                None, "/nonexistent", "T", "\\X\\", "expression",
+                use_first_gene_id=True, use_t=True,
+            )
+    finally:
+        hdd.load_hdd = real
+    assert captured == {"use_t": True, "use_first_gene_id": True}

@@ -215,3 +215,75 @@ def test_concept_dimension_merge_existing_wins(spark):
             "\\T\\OldOnly\\": "GSE_OLD",
             "\\T\\NewOnly\\": "GSE_NEW",  # novelty inserted
         }
+
+
+def test_merge_security_facts_delete_then_insert(spark, base):
+    """i2b2_create_security_for_trial.sql:62-98 delete-then-insert
+    parity: a merge reload DELETEs every SECURITY fact of the trial
+    (CASE WHEN modifier_cd='@' THEN sourcesystem_cd ELSE modifier_cd
+    END = TrialId) and re-inserts one per POST-merge patient_dimension
+    patient with the incoming run's token.  A --secure-study flip
+    between loads must therefore leave exactly ONE (modifier_cd,
+    tval_char) token row — two would make load_security_data's
+    sourcesystem_cd join fan out every i2b2 row of the study in
+    i2b2_secure — and an APPEND reload must not leave duplicate
+    SECURITY facts for re-loaded patients."""
+    mapping = (
+        f"{MERGE_DIR}/Append/Test Study_GSE0/ClinicalDataToUpload/"
+        "Test Study_GSE0_Mapping_File.txt"
+    )
+    mode = MergeMode.parse(read_head_meta(mapping).get("MERGE_MODE"))
+    assert mode is MergeMode.APPEND
+    incoming = load_clinical(
+        spark, melt_clinical_study(spark, mapping), "GSE0", TOP,
+        secure_study=True,  # the flip: `base` loaded public
+    )
+    merged = merge_clinical_load(base, incoming, mode, "GSE0", TOP)
+
+    sec = merged.observation_fact.filter(F.col("concept_cd") == "SECURITY")
+    tokens = sec.select("modifier_cd", "tval_char").distinct().collect()
+    assert [(t.modifier_cd, t.tval_char) for t in tokens] == [("GSE0", "EXP:GSE0")]
+
+    # exactly one SECURITY fact per post-merge patient of the trial
+    per_patient = sec.groupBy("patient_num").count().collect()
+    assert per_patient and all(r["count"] == 1 for r in per_patient)
+    trial_patients = {
+        r["patient_num"]
+        for r in merged.patient_dimension.filter(
+            F.col("sourcesystem_cd").startswith("GSE0:")
+        )
+        .select("patient_num")
+        .collect()
+    }
+    assert {r["patient_num"] for r in per_patient} == trial_patients
+
+    # i2b2_secure stays one row per i2b2 row, all on the new token
+    assert merged.i2b2_secure.count() == merged.i2b2.count()
+    study_tokens = {
+        r["secure_obj_token"]
+        for r in merged.i2b2_secure.filter(
+            F.col("sourcesystem_cd") == "GSE0"
+        ).collect()
+    }
+    assert study_tokens == {"EXP:GSE0"}
+
+
+def test_merge_preserves_highlight_flag(spark, base):
+    """A merge-mode reload of a --highlight-clinical-data study keeps
+    the top node FAJ (highlight_study='Y' routes through
+    i2b2_load_clinical_data on reloads too; ClinicalDataProcessor.
+    groovy:290) instead of silently reverting it to FAS."""
+    mapping = (
+        f"{MERGE_DIR}/Update/Test Study_GSE0/ClinicalDataToUpload/"
+        "Test Study_GSE0_Mapping_File.txt"
+    )
+    mode = MergeMode.parse(read_head_meta(mapping).get("MERGE_MODE"))
+    incoming = load(spark, mapping)
+    merged = merge_clinical_load(
+        base, incoming, mode, "GSE0", TOP, highlight_study=True
+    )
+    row = merged.i2b2.filter(F.col("c_fullname") == TOP).collect()
+    assert len(row) == 1 and row[0]["c_visualattributes"] == "FAJ"
+    plain = merge_clinical_load(base, incoming, mode, "GSE0", TOP)
+    row = plain.i2b2.filter(F.col("c_fullname") == TOP).collect()
+    assert len(row) == 1 and row[0]["c_visualattributes"] == "FAS"

@@ -319,15 +319,17 @@ def load_clinical(
         F.col("leaf_node").alias("path"), F.col("data_type"), F.col("valuetype_cd")
     ).distinct()
     flagged_nodes = all_nodes.join(leaf_flags, on="path", how="left")
-    if check_duplicates:
-        # abort parity for i2b2_build_metadata_xml's RAISE 'Check date
-        # format' (I2B2_BUILD_METADATA_XML.sql:52): a TIMEPOINT leaf
-        # whose display name matches none of the reference's series
-        # paths must fail the load pre-write, not silently sink a NULL
-        # c_metadataxml (the A7/A9 validate-and-raise pattern)
-        validate_timepoint_names(
-            flagged_nodes.filter(F.col("valuetype_cd") == "TIMEPOINT"), "name"
-        )
+    # abort parity for i2b2_build_metadata_xml's RAISE 'Check date
+    # format' (I2B2_BUILD_METADATA_XML.sql:52): a TIMEPOINT leaf
+    # whose display name matches none of the reference's series
+    # paths must fail the load pre-write, not silently sink a NULL
+    # c_metadataxml (the A7/A9 validate-and-raise pattern).
+    # Unconditional — the reference's RAISE fires regardless of
+    # duplicate-fact checking, so it does NOT sit behind
+    # check_duplicates.
+    validate_timepoint_names(
+        flagged_nodes.filter(F.col("valuetype_cd") == "TIMEPOINT"), "name"
+    )
     i2b2 = (
         flagged_nodes
         .withColumn("c_basecode", F.sha2(F.col("path"), 256).substr(1, 16))

@@ -661,6 +661,8 @@ def load_serial_hdd(
     top_node: str,
     omics: str = "expression",
     log_base: float = 2.0,
+    use_first_gene_id: bool = False,
+    use_t: bool = False,
 ) -> HDDLoadResult:
     """X11 (§2.10, 5 of the 18 processor types): the regular HDD load
     plus timepoint sort keys — ``<SeriesMeta>`` c_metadataxml applied
@@ -669,7 +671,10 @@ def load_serial_hdd(
     I2B2_PROCESS_GENERIC_SERIAL_HDDDATA.sql routes the same XML attach
     through each omics' staging table — here one parameterized plan
     serves all five serial families)."""
-    result = load_hdd(spark, data_dir, trial_id, top_node, omics, log_base)
+    result = load_hdd(
+        spark, data_dir, trial_id, top_node, omics, log_base,
+        use_first_gene_id=use_first_gene_id, use_t=use_t,
+    )
     if trial_id is None:
         trial_id = result.sample_mapping.select("trial_name").first()[0]
     dim_files = [

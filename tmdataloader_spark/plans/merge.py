@@ -309,6 +309,7 @@ def merge_clinical_load(
     top_node: str,
     sample_mapping: DataFrame | None = None,
     snp_dataset: DataFrame | None = None,
+    highlight_study: bool = False,
 ):
     """Merge a fresh clinical load (a ``ClinicalLoadResult``) into an
     existing warehouse of the same shape: apply the mode's fact
@@ -348,13 +349,48 @@ def merge_clinical_load(
             biomarkers,
         )
 
-    merged_facts = surviving.unionByName(incoming.observation_fact).cache()
+    # Delete-then-insert parity for SECURITY facts: the reference's
+    # i2b2_create_security_for_trial DELETEs every SECURITY fact of
+    # the trial (matching CASE WHEN modifier_cd='@' THEN
+    # sourcesystem_cd ELSE modifier_cd END = TrialId,
+    # i2b2_create_security_for_trial.sql:62-66) and re-inserts one
+    # per patient of the POST-merge patient_dimension
+    # (``where sourcesystem_cd like TrialID || ':%'``, :70-98) with
+    # the current run's token.  The mode scopes alone don't guarantee
+    # that (APPEND deletes only numeric facts; UPDATE keeps
+    # non-updated patients' rows), so a --secure-study flip between
+    # loads would leave two distinct (modifier_cd, tval_char) token
+    # rows and load_security_data's sourcesystem_cd join would then
+    # duplicate every i2b2 row of the study in i2b2_secure; APPEND
+    # would also leave duplicate SECURITY facts per reloaded patient.
+    sec_pred = (F.col("concept_cd") == "SECURITY") & (
+        F.when(F.col("modifier_cd") == "@", F.col("sourcesystem_cd")).otherwise(
+            F.col("modifier_cd")
+        )
+        == trial_id
+    )
+    surviving = surviving.filter(~sec_pred)
+    incoming_nonsec = incoming.observation_fact.filter(~sec_pred)
+    # the incoming load's token row (one row by construction:
+    # create_security_for_trial stamps every column but patient_num
+    # with per-trial constants)
+    token = incoming.observation_fact.filter(sec_pred).drop("patient_num").distinct()
     patients = merge_patient_dimension(
         existing.patient_dimension,
         incoming.patient_dimension,
         trial_id,
         mode,
         sample_mapping,
+    )
+    sec_facts = (
+        patients.filter(F.col("sourcesystem_cd").startswith(f"{trial_id}:"))
+        .select("patient_num")
+        .distinct()
+        .crossJoin(F.broadcast(token))  # bounded: token is one row
+        .select(incoming.observation_fact.columns)
+    )
+    merged_facts = (
+        surviving.unionByName(incoming_nonsec).unionByName(sec_facts).cache()
     )
     concept_dim = merge_concept_dimension(
         existing.concept_dimension, incoming.concept_dimension
@@ -383,10 +419,14 @@ def merge_clinical_load(
         .join(inc_i2b2.select("c_fullname"), on="c_fullname", how="left_anti")
         .unionByName(inc_i2b2)
     )
+    # highlight threads through like load_clinical's — a merge-mode
+    # reload of a --highlight-clinical-data study must keep the top
+    # node FAJ instead of silently reverting it to FAS
     i2b2 = visual_attributes(
         i2b2_paths.withColumnRenamed("c_fullname", "path"),
         "path",
         study_root_path=top_node,
+        highlight=highlight_study,
     ).withColumnRenamed("path", "c_fullname")
     counts = concept_counts(
         merged_facts.select(F.col("concept_path").alias("path"), "patient_num")
@@ -397,10 +437,10 @@ def merge_clinical_load(
         i2b2=i2b2,
         concept_dimension=concept_dim,
         concept_counts=counts,
-        # i2b2_secure rebuilt over the merged facts — both sides'
-        # SECURITY rows survive their scopes (they carry the trial's
-        # sourcesystem_cd), incoming wins token-wise for re-loaded
-        # patients like the reference's re-run of
+        # i2b2_secure rebuilt over the merged facts — the trial's old
+        # SECURITY rows were dropped above (delete-then-insert), so
+        # exactly one token (the incoming load's) survives, like the
+        # reference's re-run of i2b2_create_security_for_trial +
         # i2b2_load_security_data
         i2b2_secure=load_security_data(i2b2, merged_facts),
         trial_nodes=incoming.trial_nodes,

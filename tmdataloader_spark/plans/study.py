@@ -215,7 +215,9 @@ def load_study(
                     from tmdataloader_spark.plans.hdd import load_serial_hdd
 
                     res = load_serial_hdd(
-                        spark, type_dir, study_id, top_node, _SERIAL_HDD_ROUTE[ptype]
+                        spark, type_dir, study_id, top_node, _SERIAL_HDD_ROUTE[ptype],
+                        use_first_gene_id=use_first_gene_id,
+                        use_t=use_t,
                     )
                 elif ptype == "VCF":
                     res = load_vcf_study(spark, type_dir, top_node)

@@ -307,7 +307,12 @@ def _validate_clinical_file(
         for line in text.splitlines():
             if not line.strip() or line.startswith("# "):
                 continue
+            # commons-csv runs withAllowMissingColumnNames(true)
+            # (CsvLikeFile.groovy:32): EMPTY header cells
+            # (e.g. trailing tabs) are allowed any number of times —
+            # only duplicate NON-empty names abort
             names = [c.strip() for c in line.split("\t")]
+            names = [n for n in names if n]
             if len(set(names)) != len(names):
                 raise LoadValidationError(
                     "Duplicate names found in the header. You should "
