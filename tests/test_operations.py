@@ -421,3 +421,99 @@ def test_delete_part_data_by_id_without_path(spark, wh):
     assert left.filter(F.col("trial_name") == "GSE0").count() == 0
     assert left.filter(F.col("sample_cd") == "TST1000000719").count() == 0
     assert left.count() == 1  # unrelated trial survives
+
+
+def _mini_wh(spark, i2b2_rows, deapp=None):
+    empty = lambda s: spark.createDataFrame([], s)  # noqa: E731
+    return StudyWarehouse(
+        i2b2=spark.createDataFrame(
+            i2b2_rows,
+            "c_fullname string, c_hlevel int, c_name string, c_basecode string, "
+            "valtype_cd string, sourcesystem_cd string, c_visualattributes string",
+        ),
+        concept_dimension=empty(
+            "concept_path string, concept_cd string, name_char string, "
+            "sourcesystem_cd string"
+        ),
+        observation_fact=empty(
+            "patient_num long, concept_cd string, modifier_cd string, "
+            "valtype_cd string, tval_char string, nval_num double, "
+            "sourcesystem_cd string, sample_cd string, concept_path string"
+        ),
+        patient_dimension=empty("patient_num long, sourcesystem_cd string"),
+        concept_counts=empty("concept_path string, patient_count long"),
+        deapp=deapp or {},
+    )
+
+
+def test_delete_all_data_skips_frames_without_trial_name(spark):
+    """Regression (r13): delete-by-id must pass platform registries
+    through untouched — de_gpl_info has no trial_name column and
+    I2B2_DELETE_ALL_DATA never deletes from it; before the fix the
+    filter raised UNRESOLVED_COLUMN the moment a warehouse with a
+    registered platform deleted (or re-uploaded) any study."""
+    from tmdataloader_spark.sources.gpl import add_platform
+
+    gpl = add_platform(spark, None, "GPL96", "t", "Homo Sapiens", "Gene Expression")
+    data = spark.createDataFrame(
+        [("GSE1", "p1", 1.0)], "trial_name string, probeset_id string, zscore double"
+    )
+    wh0 = _mini_wh(
+        spark,
+        [("\\S\\A\\", 1, "A", "b", "T", "GSE1", "FAS")],
+        deapp={"de_gpl_info": gpl, "de_subject_expression_data": data},
+    )
+    out = delete_all_data(wh0, trial_id="GSE1")
+    assert out.deapp["de_gpl_info"].count() == 1
+    assert out.deapp["de_subject_expression_data"].count() == 0
+
+
+def test_check_study_conflicts_guards(spark):
+    """AbstractDataProcessor.groovy:80-116 parity: multi-id path abort,
+    different-id path abort vs --replace-study removal, and the
+    same-id-different-path abort (reference message formats)."""
+    import pytest as _pytest
+
+    from tmdataloader_spark.plans.operations import check_study_conflicts
+    top = "\\R\\Study\\"
+    one = _mini_wh(spark, [
+        ("\\R\\", 0, "R", None, None, None, "CA "),
+        ("\\R\\Study\\", 1, "Study", None, None, "OLD1", "FAS"),
+        ("\\R\\Study\\x\\", 2, "x", None, None, "OLD1", "LA "),
+    ])
+    # same id at the same path: clean pass-through
+    same = check_study_conflicts(one, "OLD1", top)
+    assert same.i2b2.count() == 3
+
+    # one OTHER id: abort without --replace-study...
+    with _pytest.raises(LoadValidationError, match=r"Other study by the same path .* old = 'OLD1', new = 'NEW1'"):
+        check_study_conflicts(one, "NEW1", top)
+    # ...delete-then-proceed with it (T9's childless-ancestor
+    # recursion may also prune the now-empty root — only the
+    # old study must be GONE)
+    pruned = check_study_conflicts(one, "NEW1", top, replace_study=True)
+    left = {r.c_fullname for r in pruned.i2b2.collect()}
+    assert not any(p.startswith(top) for p in left)
+    assert pruned.i2b2.filter(F.col("sourcesystem_cd") == "OLD1").count() == 0
+
+    # two different ids under the path: always aborts
+    two = _mini_wh(spark, [
+        ("\\R\\Study\\a\\", 2, "a", None, None, "OLD1", "LA "),
+        ("\\R\\Study\\b\\", 2, "b", None, None, "OLD2", "LA "),
+    ])
+    with _pytest.raises(LoadValidationError, match="path contains several different studyIds"):
+        check_study_conflicts(two, "NEW1", top)
+
+    # the incoming id already rooted elsewhere: abort with its path
+    elsewhere = _mini_wh(spark, [
+        ("\\R\\Other\\", 1, "Other", None, None, "NEW1", "FAS"),
+    ])
+    with _pytest.raises(LoadValidationError, match=r"Other study with same id found by different path: \\R\\Other\\"):
+        check_study_conflicts(elsewhere, "NEW1", top)
+
+    # sibling path prefixes must NOT collide (the trailing-backslash
+    # normalization the Groovy does at :55)
+    sibling = _mini_wh(spark, [
+        ("\\R\\Study 2\\", 1, "Study 2", None, None, "OTHER", "FAS"),
+    ])
+    assert check_study_conflicts(sibling, "NEW1", top).i2b2.count() == 1

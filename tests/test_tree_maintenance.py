@@ -130,3 +130,45 @@ def test_copy_security_from_study(spark):
     # ids continue past the existing maximum, no collisions
     ids = [r[0] for r in out.collect()]
     assert len(ids) == len(set(ids)) and max(ids) == 5
+
+
+def test_register_secure_study_lifecycle(spark):
+    """i2b2_create_security_for_trial.sql:130-190: a secure load with
+    no EXP:<trial> row creates the bio_experiment stub ('Metadata not
+    available' / METADATA:<trial>) and the search_secure_object row
+    (display_name = study folder + ' - ' + top-node name, data_type
+    BIO_CLINICAL_TRIAL); a later PUBLIC re-load of the same study
+    deletes the row; idempotent when already registered."""
+    from tmdataloader_spark.operators.tree import register_secure_study
+
+    i2b2 = spark.createDataFrame(
+        [
+            ("\\Test Studies\\Demo\\", 1, "Demo", "GSE9"),
+            ("\\Test Studies\\Demo\\x\\", 2, "x", "GSE9"),
+        ],
+        "c_fullname string, c_hlevel int, c_name string, sourcesystem_cd string",
+    )
+    so, be = register_secure_study(None, None, i2b2, "GSE9", secure=True)
+    objs = so.collect()
+    assert len(objs) == 1
+    row = objs[0]
+    assert row.bio_data_unique_id == "EXP:GSE9"
+    assert row.data_type == "BIO_CLINICAL_TRIAL"
+    assert row.display_name == "Test Studies - Demo"
+    stub = be.filter(be.accession == "GSE9").collect()
+    assert len(stub) == 1
+    assert stub[0].title == "Metadata not available"
+    assert stub[0].etl_id == "METADATA:GSE9"
+    assert row.bio_data_id == stub[0].bio_experiment_id
+
+    # already registered + still secure: no duplicate
+    so2, be2 = register_secure_study(so, be, i2b2, "GSE9", secure=True)
+    assert so2.count() == 1 and be2.filter(be2.accession == "GSE9").count() == 1
+
+    # re-load as PUBLIC: the secure object row is deleted (:181-186)
+    so3, _ = register_secure_study(so2, be2, i2b2, "GSE9", secure=False)
+    assert so3.count() == 0
+
+    # public load of an unregistered study: nothing created
+    so4, be4 = register_secure_study(None, None, i2b2, "GSE9", secure=False)
+    assert so4.count() == 0 and be4.count() == 0

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tmdataloader_spark.operators.dedup import LoadValidationError
 from tmdataloader_spark.plans.operations import (
     StudyWarehouse,
+    check_study_conflicts,
     delete_all_data,
     move_study_by_path,
     normalize_path,
@@ -64,39 +65,55 @@ def read_warehouse(spark: SparkSession, wh_dir: str) -> StudyWarehouse:
             return spark.read.parquet(p)
         return spark.createDataFrame([], CORE_SCHEMAS[name])
 
-    deapp: dict[str, DataFrame] = {}
-    deapp_dir = os.path.join(wh_dir, "deapp")
-    if os.path.isdir(deapp_dir):
-        for f in sorted(os.listdir(deapp_dir)):
-            if f.endswith(".parquet"):
-                deapp[f[:-8]] = spark.read.parquet(os.path.join(deapp_dir, f))
+    def table_dir(sub: str) -> dict[str, DataFrame]:
+        d = os.path.join(wh_dir, sub)
+        out: dict[str, DataFrame] = {}
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    out[f[:-8]] = spark.read.parquet(os.path.join(d, f))
+        return out
+
     return StudyWarehouse(
         i2b2=table("i2b2"),
         concept_dimension=table("concept_dimension"),
         observation_fact=table("observation_fact"),
         patient_dimension=table("patient_dimension"),
         concept_counts=table("concept_counts"),
-        deapp=deapp,
+        deapp=table_dir("deapp"),
+        biomart=table_dir("biomart"),
+        searchapp=table_dir("searchapp"),
     )
 
 
 def write_warehouse(wh: StudyWarehouse, wh_dir: str) -> None:
     """Persist warehouse frames. Writes go to a staging name first,
     then swap — a reader never sees a half-written table."""
-    os.makedirs(os.path.join(wh_dir, "deapp"), exist_ok=True)
+    import shutil
+
+    for sub in ("deapp", "biomart", "searchapp"):
+        os.makedirs(os.path.join(wh_dir, sub), exist_ok=True)
     items = [(n, getattr(wh, n)) for n in CORE_SCHEMAS] + [
-        (os.path.join("deapp", n), df) for n, df in wh.deapp.items()
+        (os.path.join(sub, n), df)
+        for sub in ("deapp", "biomart", "searchapp")
+        for n, df in getattr(wh, sub).items()
     ]
+    # Two-phase: stage EVERY table first, then swap.  A frame written
+    # later in the loop may lazily read a table written earlier (a
+    # re-upload's security registration scans the warehouse's own
+    # i2b2.parquet) — swapping as we go would delete the part files
+    # out from under that still-unexecuted plan.
+    staged = []
     for name, df in items:
         if df is None:
             continue
         final = os.path.join(wh_dir, f"{name}.parquet")
         tmp = final + ".staging"
         df.write.mode("overwrite").parquet(tmp)
+        staged.append((tmp, final))
+    for tmp, final in staged:
         # swap (atomic enough for a local/posix warehouse; an object
         # store deployment would write to a versioned prefix instead)
-        import shutil
-
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -123,6 +140,26 @@ def _union(base: DataFrame | None, add: DataFrame | None) -> DataFrame | None:
     return base.unionByName(add, allowMissingColumns=True)
 
 
+def _study_trials(loaded) -> list[str]:
+    """Distinct trial ids a StudyLoadResult landed (first fact row's
+    sourcesystem_cd per data type, order-preserving)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for res in loaded.results.values():
+        if getattr(res, "observation_fact", None) is None:
+            continue
+        row = (
+            res.observation_fact.filter(F.col("sourcesystem_cd").isNotNull())
+            .select("sourcesystem_cd")
+            .first()
+        )
+        trial = row[0] if row else None
+        if trial and trial not in seen:
+            seen.add(trial)
+            out.append(trial)
+    return out
+
+
 def merge_study_into_warehouse(
     wh: StudyWarehouse, loaded, spark: SparkSession
 ) -> StudyWarehouse:
@@ -135,15 +172,8 @@ def merge_study_into_warehouse(
     # rows tagged with the trial — dropping inside the per-ptype loop
     # would wipe the frames the previous ptype just merged, leaving
     # only the last data type loaded.
-    dropped: set[str] = set()
-    for res in loaded.results.values():
-        trial = None
-        if hasattr(res, "observation_fact") and res.observation_fact is not None:
-            row = res.observation_fact.select("sourcesystem_cd").first()
-            trial = row[0] if row else None
-        if trial and trial not in dropped:
-            wh = _drop_study(wh, trial)
-            dropped.add(trial)
+    for trial in _study_trials(loaded):
+        wh = _drop_study(wh, trial)
     for ptype, res in loaded.results.items():
         for attr, target in [
             ("observation_fact", "observation_fact"),
@@ -163,6 +193,36 @@ def merge_study_into_warehouse(
             wh.deapp["de_subject_sample_mapping"] = _union(
                 wh.deapp.get("de_subject_sample_mapping"), res.sample_mapping
             )
+        if ptype == "Meta":
+            # I2B2_LOAD_STUDY_METADATA's biomart upserts — without
+            # this a MetaData dir loads, audits SUCCESS, and persists
+            # nothing.  Incoming wins per natural key (the
+            # procedure's update-else-insert loops): experiments by
+            # accession, dimension tables by their name column,
+            # per-study link tables by accession (reload replaces the
+            # study's links).
+            for attr, tbl, keys in [
+                ("bio_experiment", "bio_experiment", ["accession"]),
+                ("bio_data_uid", "bio_data_uid", ["accession"]),
+                ("compounds", "bio_compound", ["generic_name"]),
+                ("data_compounds", "bio_data_compound", ["accession"]),
+                ("diseases", "bio_disease", ["disease"]),
+                ("data_diseases", "bio_data_disease", ["accession"]),
+                ("taxonomies", "bio_taxonomy", ["taxon_name"]),
+                ("data_taxonomies", "bio_data_taxonomy", ["accession"]),
+                ("contents", "bio_content", ["etl_id"]),
+                ("content_references", "bio_content_reference", ["accession"]),
+            ]:
+                add = getattr(res, attr, None)
+                if add is None:
+                    continue
+                base = wh.biomart.get(tbl)
+                if base is not None:
+                    kept = base.join(
+                        add.select(*keys).distinct(), on=keys, how="left_anti"
+                    )
+                    add = kept.unionByName(add, allowMissingColumns=True)
+                wh.biomart[tbl] = add
     return wh
 
 
@@ -237,6 +297,54 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+#: Config-file keys (the reference's Groovy ConfigSlurper names,
+#: CommandLineTool.groovy:100-240) -> CLI flag attributes.  Flags and
+#: config COMBINE like the reference: the file supplies defaults, a
+#: CLI switch can only turn a behavior ON (``--data-value-first`` is
+#: the one explicit off-switch, :169-172).
+_CONFIG_FLAGS = {
+    "secureStudy": "secure_study",
+    "visitNameFirst": "visit_name_first",
+    "alwaysSetVisitName": "always_set_visit_name",
+    "checkDuplicates": "check_duplicates",
+    "replaceStudy": "replace_study",
+    "highlightClinicalData": "highlight_clinical_data",
+    "useT": "use_t",
+    "stopOnFail": "stop_on_fail",
+    "useFirstGeneId": "use_first_gene_id",
+    "allowNonUniqueColumnNames": "allow_non_unique_columns",
+}
+
+
+def _apply_config_file(args) -> None:
+    """Overlay a ``-c`` config file (python dict literal — this
+    engine's stand-in for the reference's Config.groovy) onto the
+    parsed flags, with the reference's precedence
+    (CommandLineTool.groovy:96-240): ``secure-study OR
+    config.secureStudy``-style ORs for the booleans,
+    ``--data-value-first`` forcing VISIT_NAME last (:169-172),
+    ``config.dataDir`` as the positional-dir fallback (:241-242), and
+    ``--copy-security-settings-from`` implying a securable study
+    (:233-237)."""
+    cfg = {}
+    if args.config:
+        import ast
+
+        with open(args.config) as fh:
+            cfg = ast.literal_eval(fh.read())
+        if not isinstance(cfg, dict):
+            raise ValueError(f"{args.config} is not a dict literal")
+    for key, attr in _CONFIG_FLAGS.items():
+        if cfg.get(key):
+            setattr(args, attr, True)
+    if args.data_value_first:
+        args.visit_name_first = False
+    if args.copy_security_settings_from:
+        args.secure_study = True
+    if not args.data_dir and cfg.get("dataDir"):
+        args.data_dir = cfg["dataDir"]
+
+
 def main(argv: list[str] | None = None) -> int:
     from tmdataloader_spark.session import get_spark
     from tmdataloader_spark.sinks import ProcessLockError, process_lock
@@ -245,6 +353,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.version:
         print(f"tm_etl (tmdataloader_spark) {__version__}")
         return 0
+    try:
+        _apply_config_file(args)
+    except (OSError, ValueError, SyntaxError) as e:
+        print(f"Error processing config: {e}", file=sys.stderr)
+        return 2
 
     if args.run_sql_scripts:
         # live-DB bootstrap path: driver-side psql, no Spark session
@@ -330,6 +443,7 @@ def main(argv: list[str] | None = None) -> int:
                     visit_name_first=args.visit_name_first,
                     always_set_visit_name=args.always_set_visit_name,
                     use_t=args.use_t,
+                    check_duplicates=args.check_duplicates,
                 )
                 for ptype, d, status, err in loaded.manifest:
                     print(f"    {ptype:<14} {status}{': ' + err if err else ''}")
@@ -339,7 +453,56 @@ def main(argv: list[str] | None = None) -> int:
                         print(">>> STOP ON FAIL", file=sys.stderr)
                         return 1
                     continue
+                trials = _study_trials(loaded)
+                try:
+                    # pre-merge guards: path/id conflicts +
+                    # --replace-study removal
+                    # (AbstractDataProcessor.groovy:80-116)
+                    for trial in trials:
+                        wh = check_study_conflicts(
+                            wh, trial, loaded.node + "\\",
+                            replace_study=args.replace_study,
+                        )
+                except LoadValidationError as e:
+                    print(f"    CONFLICT       FAIL: {e}", file=sys.stderr)
+                    failed += 1
+                    if args.stop_on_fail:
+                        print(">>> STOP ON FAIL", file=sys.stderr)
+                        return 1
+                    continue
                 wh = merge_study_into_warehouse(wh, loaded, spark)
+                # post-study security tail
+                # (i2b2_create_security_for_trial.sql:130-190 +
+                # PostStudyProcessor.groovy:30-42)
+                from tmdataloader_spark.operators.tree import (
+                    copy_security_from_study,
+                    register_secure_study,
+                )
+
+                for trial in trials:
+                    so, be = register_secure_study(
+                        wh.searchapp.get("search_secure_object"),
+                        wh.biomart.get("bio_experiment"),
+                        wh.i2b2,
+                        trial,
+                        secure=args.secure_study,
+                    )
+                    wh.searchapp["search_secure_object"] = so
+                    wh.biomart["bio_experiment"] = be
+                    if args.copy_security_settings_from:
+                        access = wh.searchapp.get(
+                            "search_auth_sec_object_access"
+                        ) or spark.createDataFrame(
+                            [],
+                            "auth_sec_obj_access_id long, auth_principal_id long, "
+                            "secure_object_id long, secure_access_level_id long",
+                        )
+                        wh.searchapp["search_auth_sec_object_access"] = (
+                            copy_security_from_study(
+                                access, so, trial,
+                                args.copy_security_settings_from,
+                            )
+                        )
             write_warehouse(wh, wh_dir)
             return 1 if failed else 0
 

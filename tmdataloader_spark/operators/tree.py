@@ -365,3 +365,94 @@ def copy_security_from_study(
         )
     )
     return access.unionByName(copied.select(access.columns))
+
+
+def register_secure_study(
+    secure_objects: DataFrame | None,
+    bio_experiment: DataFrame | None,
+    i2b2: DataFrame,
+    trial_id: str,
+    secure: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """T10 tail (i2b2_create_security_for_trial.sql:130-190): keep the
+    ``search_secure_object`` registry in step with the study's
+    security flag after a (re)load.
+
+    - No EXP:<trial> row yet and ``secure``: ensure a bio_experiment
+      stub ('Metadata not available' / METADATA:<trial>, :142-148) and
+      insert the secure object — display_name is the study folder
+      (``parse_nth_value(c_fullname, 2)``) + ' - ' + c_name of the
+      study's min-hlevel ontology row (:157-173).
+    - EXP:<trial> row present and NOT ``secure``: delete it (:181-186)
+      — the re-load-as-public path.
+
+    All frames are dimension-sized (one row per study / ACL), so the
+    existence probes are bounded collects like the reference's
+    ``select count(*) into pExists``."""
+    from tmdataloader_spark.functions.paths import parse_nth_value
+
+    spark = i2b2.sparkSession
+    token = f"EXP:{trial_id}"
+    if secure_objects is None:
+        secure_objects = spark.createDataFrame(
+            [],
+            "search_secure_object_id long, bio_data_id long, "
+            "display_name string, data_type string, bio_data_unique_id string",
+        )
+    if bio_experiment is None:
+        bio_experiment = spark.createDataFrame(
+            [], "bio_experiment_id long, title string, accession string, etl_id string"
+        )
+    exists = (
+        secure_objects.filter(F.col("bio_data_unique_id") == token).limit(1).count()
+        > 0
+    )
+    if exists and not secure:
+        return (
+            secure_objects.filter(F.col("bio_data_unique_id") != token),
+            bio_experiment,
+        )
+    if exists or not secure:
+        return secure_objects, bio_experiment
+
+    # ensure the bio_experiment stub (novelty upsert on accession).
+    # bio_experiment_id is xxhash64(accession) — the house surrogate
+    # for the reference's sequence (same idiom as patient_num,
+    # plans/clinical.py) — derived for Meta-loaded frames that carry
+    # no id column
+    if "bio_experiment_id" not in bio_experiment.columns:
+        bio_experiment = bio_experiment.withColumn(
+            "bio_experiment_id", F.xxhash64("accession")
+        )
+    if bio_experiment.filter(F.col("accession") == trial_id).limit(1).count() == 0:
+        stub = spark.createDataFrame(
+            [("Metadata not available", trial_id, f"METADATA:{trial_id}")],
+            "title string, accession string, etl_id string",
+        ).withColumn("bio_experiment_id", F.xxhash64("accession"))
+        bio_experiment = bio_experiment.unionByName(
+            stub, allowMissingColumns=True
+        )
+    exp_id = (
+        bio_experiment.filter(F.col("accession") == trial_id)
+        .select("bio_experiment_id")
+        .first()[0]
+    )
+    study_rows = i2b2.filter(F.col("sourcesystem_cd") == trial_id)
+    min_hlevel = study_rows.agg(F.min("c_hlevel")).first()[0]
+    base_so = (
+        secure_objects.agg(F.coalesce(F.max("search_secure_object_id"), F.lit(0)))
+        .first()[0]
+    )
+    new_obj = study_rows.filter(F.col("c_hlevel") == min_hlevel).select(
+        (F.lit(int(base_so) + 1)).alias("search_secure_object_id"),
+        F.lit(exp_id).cast("long").alias("bio_data_id"),
+        F.concat(
+            parse_nth_value("c_fullname", 2), F.lit(" - "), F.col("c_name")
+        ).alias("display_name"),
+        F.lit("BIO_CLINICAL_TRIAL").alias("data_type"),
+        F.lit(token).alias("bio_data_unique_id"),
+    ).limit(1)
+    return (
+        secure_objects.unionByName(new_obj.select(secure_objects.columns)),
+        bio_experiment,
+    )

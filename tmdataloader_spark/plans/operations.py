@@ -47,6 +47,10 @@ class StudyWarehouse:
     i2b2_tags: DataFrame | None = None  # (path, tag, tag_type)
     deapp: dict = field(default_factory=dict)
     variants: dict = field(default_factory=dict)
+    #: biomart metadata tables (bio_experiment, bio_data_uid, links)
+    biomart: dict = field(default_factory=dict)
+    #: searchapp ACL tables (search_secure_object, access rows)
+    searchapp: dict = field(default_factory=dict)
 
 
 def normalize_path(p: str) -> str:
@@ -149,8 +153,15 @@ def delete_all_data(
         patients = wh.patient_dimension.filter(
             ~F.upper(F.col("sourcesystem_cd")).startswith(f"{trial_id}:")
         )
+        # only trial-scoped frames are study data; dimension tables
+        # without a trial_name column (de_gpl_info — the platform
+        # registry I2B2_DELETE_ALL_DATA never touches) pass through
         deapp = {
-            name: frame.filter(F.upper(F.col("trial_name")) != trial_id)
+            name: (
+                frame.filter(F.upper(F.col("trial_name")) != trial_id)
+                if "trial_name" in frame.columns
+                else frame
+            )
             for name, frame in wh.deapp.items()
         }
         variants = {
@@ -213,6 +224,71 @@ def delete_all_data(
         )
         top = _parent_path(top)
     return out
+
+
+def check_study_conflicts(
+    wh: StudyWarehouse,
+    trial_id: str,
+    top_node: str,
+    replace_study: bool = False,
+) -> StudyWarehouse:
+    r"""Pre-load study path/id conflict guards + ``--replace-study``
+    (AbstractDataProcessor.groovy:55,80-116 — ``checkStudiesBySamePath``
+    then ``checkStudyExist``, run by every data processor before it
+    stages data):
+
+    - more than one distinct study id under ``top_node`` aborts
+      ("path contains several different studyIds");
+    - exactly one OTHER study id there aborts ("Other study by the
+      same path found with different studyId") unless
+      ``replace_study``, which instead deletes the old study first
+      (DeleteDataProcessor by id, :97-101);
+    - the incoming id already rooted at a DIFFERENT path aborts
+      ("Other study with same id found by different path") — the
+      reference's ``min(c_fullname)`` per sourcesystem_cd probe.
+
+    ``top_node`` is the study root WITH the trailing backslash (the
+    Groovy normalizes to that at :55, so its ``LIKE node || '%'``
+    cannot match sibling prefixes like ``Test Study 2``).  All three
+    probes are control-plane lookups against the (dimension-sized)
+    ontology frame.  Returns the (possibly replace-pruned) warehouse.
+    """
+    top_node = normalize_path(top_node)
+    ids = [
+        r["sourcesystem_cd"]
+        for r in wh.i2b2.filter(
+            F.col("sourcesystem_cd").isNotNull()
+            & F.col("c_fullname").startswith(top_node)
+        )
+        .select("sourcesystem_cd")
+        .distinct()
+        .orderBy("sourcesystem_cd")
+        .collect()
+    ]
+    if len(ids) > 1:
+        raise LoadValidationError(
+            f"'{top_node}' path contains several different studyIds: {ids}"
+        )
+    old_id = ids[0] if ids else None
+    if old_id and replace_study:
+        # "Found another study by path ... Removing" (:98-100) —
+        # same-id removal included; the upload then lands cleanly
+        wh = delete_all_data(wh, trial_id=old_id)
+    elif old_id and old_id != trial_id:
+        raise LoadValidationError(
+            "Other study by the same path found with different studyId: "
+            f"old = '{old_id}', new = '{trial_id}'"
+        )
+    rooted = (
+        wh.i2b2.filter(F.col("sourcesystem_cd") == trial_id.upper())
+        .agg(F.min("c_fullname"))
+        .first()[0]
+    )
+    if rooted is not None and rooted != top_node:
+        raise LoadValidationError(
+            f"Other study with same id found by different path: {rooted}"
+        )
+    return wh
 
 
 def move_study_by_path(

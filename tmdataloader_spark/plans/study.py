@@ -157,10 +157,18 @@ def load_study(
     visit_name_first: bool = False,
     always_set_visit_name: bool = False,
     use_t: bool = False,
+    check_duplicates: bool = False,
 ) -> StudyLoadResult:
     """Run every matching ``<Type>Data(ToUpload)?`` dir of one study
     (StudyProcessor.groovy:21-74) under audit; outcome per type goes
-    into the manifest instead of a directory rename."""
+    into the manifest instead of a directory rename.
+
+    ``check_duplicates`` is the reference's ``--check-duplicates``
+    flag: the duplicate-key ABORT itself is unconditional (the
+    procedure RAISEs either way, I2B2_LOAD_CLINICAL_DATA.sql:687-694);
+    the flag additionally writes the offending key tuples as
+    ``duplicates.csv`` next to the clinical data after the failed
+    load (ClinicalDataProcessor.groovy:302-330)."""
     from tmdataloader_spark.plans.acgh import load_acgh
     from tmdataloader_spark.plans.clinical import load_clinical
     from tmdataloader_spark.plans.hdd import load_hdd
@@ -245,4 +253,30 @@ def load_study(
                 result.manifest.append((ptype, type_dir, "FAIL", str(e)))
                 audit.error(job, str(e))
                 audit.end_job(job, "FAIL")
+                if (
+                    ptype == "Clinical"
+                    and check_duplicates
+                    and getattr(e, "duplicates", None)
+                ):
+                    _write_duplicates_csv(type_dir, e.duplicates)
     return result
+
+
+def _write_duplicates_csv(type_dir: str, rows) -> str:
+    """ClinicalDataProcessor.groovy:302-330: after a failed clinical
+    load under ``--check-duplicates``, dump wt_clinical_data_dups as
+    ``duplicates.csv`` in the data directory — reference header and
+    empty-string nulls included (``it.site_id ?: ''``)."""
+    import csv
+
+    from tmdataloader_spark.operators.dedup import DUPLICATES_REPORT_COLUMNS
+
+    path = os.path.join(str(type_dir), "duplicates.csv")
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        out = csv.writer(fh, lineterminator="\n")
+        out.writerow(DUPLICATES_REPORT_COLUMNS)
+        for r in rows:
+            out.writerow(
+                [r[c] if r[c] is not None else "" for c in DUPLICATES_REPORT_COLUMNS]
+            )
+    return path
