@@ -229,6 +229,8 @@ def test_cli_secure_study_registers_and_copies_security(spark, tmp_path):
     assert rows[0].display_name == "Test Studies - Test Study"
     be = spark.read.parquet(os.path.join(wh, "biomart", "bio_experiment.parquet"))
     assert be.filter(be.accession == "GSE0").count() == 1
+    uid = spark.read.parquet(os.path.join(wh, "biomart", "bio_data_uid.parquet"))
+    assert uid.filter(uid.unique_id == "EXP:GSE0").count() == 1
 
     # seed ACLs for GSE0, then load a second secure study copying them
     import pandas as pd

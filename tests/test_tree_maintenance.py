@@ -148,7 +148,7 @@ def test_register_secure_study_lifecycle(spark):
         ],
         "c_fullname string, c_hlevel int, c_name string, sourcesystem_cd string",
     )
-    so, be = register_secure_study(None, None, i2b2, "GSE9", secure=True)
+    so, be, uid = register_secure_study(None, None, i2b2, "GSE9", secure=True)
     objs = so.collect()
     assert len(objs) == 1
     row = objs[0]
@@ -160,15 +160,24 @@ def test_register_secure_study_lifecycle(spark):
     assert stub[0].title == "Metadata not available"
     assert stub[0].etl_id == "METADATA:GSE9"
     assert row.bio_data_id == stub[0].bio_experiment_id
+    # the Postgres-side function also registers the EXP uid —
+    # PostProcessingTest.groovy:68-79 asserts all three tables
+    uids = uid.collect()
+    assert len(uids) == 1
+    assert (uids[0].unique_id, uids[0].bio_data_type, uids[0].accession) == (
+        "EXP:GSE9", "EXP", "GSE9")
 
     # already registered + still secure: no duplicate
-    so2, be2 = register_secure_study(so, be, i2b2, "GSE9", secure=True)
+    so2, be2, uid2 = register_secure_study(so, be, i2b2, "GSE9", secure=True,
+                                           bio_data_uid=uid)
     assert so2.count() == 1 and be2.filter(be2.accession == "GSE9").count() == 1
+    assert uid2.count() == 1
 
     # re-load as PUBLIC: the secure object row is deleted (:181-186)
-    so3, _ = register_secure_study(so2, be2, i2b2, "GSE9", secure=False)
+    so3, _, _ = register_secure_study(so2, be2, i2b2, "GSE9", secure=False,
+                                      bio_data_uid=uid2)
     assert so3.count() == 0
 
     # public load of an unregistered study: nothing created
-    so4, be4 = register_secure_study(None, None, i2b2, "GSE9", secure=False)
-    assert so4.count() == 0 and be4.count() == 0
+    so4, be4, uid4 = register_secure_study(None, None, i2b2, "GSE9", secure=False)
+    assert so4.count() == 0 and be4.count() == 0 and uid4.count() == 0

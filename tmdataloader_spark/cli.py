@@ -240,7 +240,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--stop-on-fail", action="store_true", help="stop when an upload fails")
     p.add_argument("-m", "--move-study", metavar="OLD;NEW", help="move study: 'old_path;new_path'")
     p.add_argument("--keep-security", action="store_true", help="preserve target security on move-over")
-    p.add_argument("--copy-security-settings-from", metavar="STUDY_ID")
+    p.add_argument(
+        "--copy-security-settings-from", metavar="STUDY_ID",
+        help="after upload, copy STUDY_ID's ACL rows onto the loaded "
+        "study (COPY_SECURITY_FROM_OTHER_STUDY; implies --secure-study)",
+    )
     p.add_argument("--secure-study", action="store_true", help="make uploaded studies securable")
     p.add_argument("--visit-name-first", action="store_true")
     p.add_argument("--data-value-first", action="store_true")
@@ -260,8 +264,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(default aborts like the reference, CsvLikeFile.groovy:46-49)",
     )
     p.add_argument("--use-first-gene-id", action="store_true")
-    p.add_argument("--check-duplicates", action="store_true")
-    p.add_argument("--replace-study", action="store_true")
+    p.add_argument(
+        "--check-duplicates", action="store_true",
+        help="write duplicates.csv next to the clinical data when the "
+        "load fails on duplicate keys (the abort itself is unconditional)",
+    )
+    p.add_argument(
+        "--replace-study", action="store_true",
+        help="when another study occupies the target path, delete it "
+        "and load (default aborts with the reference's message)",
+    )
     p.add_argument("--warehouse", default="warehouse", help="parquet warehouse directory (default ./warehouse)")
     p.add_argument("--parent-node", default="\\Public Studies", help="ontology parent for uploaded studies")
     # accepted for reference CLI parity (CommandLineTool.groovy flag
@@ -480,15 +492,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 for trial in trials:
-                    so, be = register_secure_study(
+                    so, be, uid = register_secure_study(
                         wh.searchapp.get("search_secure_object"),
                         wh.biomart.get("bio_experiment"),
                         wh.i2b2,
                         trial,
                         secure=args.secure_study,
+                        bio_data_uid=wh.biomart.get("bio_data_uid"),
                     )
                     wh.searchapp["search_secure_object"] = so
                     wh.biomart["bio_experiment"] = be
+                    wh.biomart["bio_data_uid"] = uid
                     if args.copy_security_settings_from:
                         access = wh.searchapp.get(
                             "search_auth_sec_object_access"

@@ -373,20 +373,25 @@ def register_secure_study(
     i2b2: DataFrame,
     trial_id: str,
     secure: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    bio_data_uid: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """T10 tail (i2b2_create_security_for_trial.sql:130-190): keep the
     ``search_secure_object`` registry in step with the study's
     security flag after a (re)load.
 
     - No EXP:<trial> row yet and ``secure``: ensure a bio_experiment
-      stub ('Metadata not available' / METADATA:<trial>, :142-148) and
+      stub ('Metadata not available' / METADATA:<trial>, :142-148),
+      its ``bio_data_uid`` EXP row (the Postgres-side function the
+      integration suite runs against also registers the uid —
+      PostProcessingTest.groovy:68-79 asserts all three tables), and
       insert the secure object — display_name is the study folder
       (``parse_nth_value(c_fullname, 2)``) + ' - ' + c_name of the
       study's min-hlevel ontology row (:157-173).
     - EXP:<trial> row present and NOT ``secure``: delete it (:181-186)
       — the re-load-as-public path.
 
-    All frames are dimension-sized (one row per study / ACL), so the
+    Returns ``(secure_objects, bio_experiment, bio_data_uid)``.  All
+    frames are dimension-sized (one row per study / ACL), so the
     existence probes are bounded collects like the reference's
     ``select count(*) into pExists``."""
     from tmdataloader_spark.functions.paths import parse_nth_value
@@ -403,6 +408,10 @@ def register_secure_study(
         bio_experiment = spark.createDataFrame(
             [], "bio_experiment_id long, title string, accession string, etl_id string"
         )
+    if bio_data_uid is None:
+        bio_data_uid = spark.createDataFrame(
+            [], "unique_id string, bio_data_type string, accession string"
+        )
     exists = (
         secure_objects.filter(F.col("bio_data_unique_id") == token).limit(1).count()
         > 0
@@ -411,9 +420,10 @@ def register_secure_study(
         return (
             secure_objects.filter(F.col("bio_data_unique_id") != token),
             bio_experiment,
+            bio_data_uid,
         )
     if exists or not secure:
-        return secure_objects, bio_experiment
+        return secure_objects, bio_experiment, bio_data_uid
 
     # ensure the bio_experiment stub (novelty upsert on accession).
     # bio_experiment_id is xxhash64(accession) — the house surrogate
@@ -437,6 +447,13 @@ def register_secure_study(
         .select("bio_experiment_id")
         .first()[0]
     )
+    # the EXP uid row (novelty upsert on unique_id)
+    if bio_data_uid.filter(F.col("unique_id") == token).limit(1).count() == 0:
+        uid = spark.createDataFrame(
+            [(token, "EXP", trial_id)],
+            "unique_id string, bio_data_type string, accession string",
+        )
+        bio_data_uid = bio_data_uid.unionByName(uid, allowMissingColumns=True)
     study_rows = i2b2.filter(F.col("sourcesystem_cd") == trial_id)
     min_hlevel = study_rows.agg(F.min("c_hlevel")).first()[0]
     base_so = (
@@ -455,4 +472,5 @@ def register_secure_study(
     return (
         secure_objects.unionByName(new_obj.select(secure_objects.columns)),
         bio_experiment,
+        bio_data_uid,
     )
