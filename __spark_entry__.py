@@ -2132,33 +2132,24 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged histogram gate (r12 capacity plan — the former
-    `histogram` + `equi_depth` gates, one slot): both are one scan of
-    events + a broadcast of per-type stats, so one gate exercises
-    both.  `kind` tags the binning: equi_width = per-group (min, max)
+    `histogram` + `equi_depth` gates, one slot; r14: re-expressed as
+    the single-pipeline ``value_histograms`` — one combined stats
+    agg, both bin indices in one codegen projection, one joint-cell
+    count — 2 scans / 2 data-sized shuffles instead of 4 / 4, output
+    bit-identical to the old union, pinned by
+    test_statistic.py::test_value_histograms_matches_two_query_union).
+    `kind` tags the binning: equi_width = per-group (min, max)
     broadcast back, pure-codegen bin math (identical double expression
     shape on both engines so floor() lands on the same IEEE result);
     equi_depth = all cut points from ONE sort-based percentile agg,
     6dp-rounded before comparison, bin = size(filter(cuts, c -> v >
     c)) — the skew-readable companion."""
-    from tmdataloader_spark.statistic.profile import (
-        equi_depth_histogram,
-        histogram,
-    )
+    from tmdataloader_spark.statistic.profile import value_histograms
 
     ev = _t(spark, sf_dir, "events")
-    ew = histogram(ev, "value", nbins=12, group_col="event_type").select(
-        F.lit("equi_width").alias("kind"), "event_type", "bin", "bin_lo", "n"
+    return value_histograms(ev, "value", 12, 4, "event_type").select(
+        "kind", "event_type", "bin", "bin_lo", "n"
     )
-    ed = equi_depth_histogram(
-        ev, "value", nbins=4, group_col="event_type"
-    ).select(
-        F.lit("equi_depth").alias("kind"),
-        "event_type",
-        "bin",
-        F.lit(None).cast("double").alias("bin_lo"),
-        "n",
-    )
-    return ew.unionByName(ed)
 
 
 def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2612,82 +2603,24 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
-    # r13 WINDOW (the steady-state head-swap, pre-ordered by the
-    # rotation map):
-    #   46 obligated r10-cohort queries (last driver row r10 —
-    #      positions 51-96 of the r12 ordering),
-    #   4 slack re-picks from the r12-green cohort (dup_ngrams 2.07x,
-    #      sliding_rollup 2.07x, ann_lsh 1.92x, cube_agg 1.91x — the
-    #      four worst r12-cohort raw bench ratios on the r12 board;
-    #      the r11/r12 precedent) -> fresh driver timing +
-    #      correctness rows this round.
+    # r14 WINDOW (the steady-state head-swap, pre-ordered by the
+    # rotation map): the 50-query r11-checked cohort, windowed whole
+    # (the cohort is exactly window-sized, so no slack picks this
+    # round and the epoch_shuffle_hll debut waits in the tail under
+    # DEBUT_OVERFLOW until the r15 window's 4 slack slots open — see
+    # tests/test_window_hygiene.py).
     # Steady-state period-3 cohort map (VERDICT r10 item 2; see
     # tests/test_window_hygiene.py for the same table):
-    #   positions  1-50   r13 window   (46 r10-cohort + 4 slack)
-    #   positions 51-100  r11-checked  -> r14 window obligation (50)
-    #   positions 101-146 r12-checked  -> r15 window obligation (46)
+    #   positions  1-50   r14 window   (the 50 r11-checked queries)
+    #   positions 51-96   r12-checked  -> r15 window obligation (46)
+    #   position  97      epoch_shuffle_hll debut -> r15 window
+    #   positions 98-147  r13-checked  -> r16 window obligation (50)
     # Each round's rotation is a mechanical head-swap of the next
     # cohort block plus slack picks from the freshest cohort.
-    # Capacity: 146/150 gate slots in use (headroom 4).
+    # Capacity: 147/150 gate slots in use (headroom 3).
     return {
-        # --- r13 WINDOW (first 50; driver-checked this round):
-        # the 46 r10-cohort queries, in cohort order ---
-        "skew_report": q_skew_report,
-        "salted_join": q_salted_join,
-        "bpe_encode": q_bpe_encode,
-        "triangle_count": q_triangle_count,
-        "link_predict": q_link_predict,
-        "event_transitions": q_event_transitions,
-        "interarrival_profile": q_interarrival_profile,
-        "diversity_profile": q_diversity_profile,
-        "vcf_genotypes": q_vcf_genotypes,
-        "simhash": q_simhash,
-        "cleansing": q_cleansing,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_redaction": q_pii_redaction,
-        "decontamination": q_decontamination,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_dropped": q_except_dropped,
-        "union_exclusion": q_union_exclusion,
-        "first_value": q_first_value,
-        "path_functions": q_path_functions,
-        "move_study": q_move_study,
-        "delete_study": q_delete_study,
-        "visual_attributes": q_visual_attributes,
-        "timepoints": q_timepoints,
-        "funnel": q_funnel,
-        "event_rollup": q_event_rollup,
-        "curate": q_curate,
-        "fact_assembly": q_fact_assembly,
-        "quota_sample": q_quota_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "json_rollup": q_json_rollup,
-        "embedding_dedup": q_embedding_dedup,
-        "chunk_docs": q_chunk_docs,
-        "ann_ivf": q_ann_ivf,
-        "plink_fam": q_plink_fam,
-        "vcf_assay_link": q_vcf_assay_link,
-        "add_nodes": q_add_nodes,
-        "security_tokens": q_security_tokens,
-        "text_signals": q_text_signals,
-        "snp_gene_novelty": q_snp_gene_novelty,
-        "prune_nodes": q_prune_nodes,
-        "audit_ordering": q_audit_ordering,
-        "stratified_sample": q_stratified_sample,
-        "random_projection": q_random_projection,
-        "pmi_collocations": q_pmi_collocations,
-        # slack picks from the r12-green cohort: the four worst
-        # r12-cohort raw bench ratios on the r12 board (see above)
-        "dup_ngrams": q_dup_ngrams,
-        "sliding_rollup": q_sliding_rollup,
-        "ann_lsh": q_ann_lsh,
-        "cube_agg": q_cube_agg,
-        # --- tail (51+): oracle-checked at sf0.01 every pytest run
-        # by tests/test_oracle_tail.py.  First the 50 r11-checked
-        # queries (r14's window obligation, in order), then the 46
-        # remaining r12-checked queries (r15's obligation). ---
+        # --- r14 WINDOW (first 50; driver-checked this round):
+        # the 50 r11-checked queries, in cohort order ---
         "attribution": q_attribution,
         "basket_rules": q_basket_rules,
         "skyline": q_skyline,
@@ -2738,8 +2671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "acgh_gene_backfill": q_acgh_gene_backfill,
         "mixture_upsample": q_mixture_upsample,
-        # --- r12-green cohort (driver rows in CORRECTNESS_r12.json;
-        # due back in the window at r15) ---
+        # --- tail (51+): oracle-checked at sf0.01 every pytest run
+        # by tests/test_oracle_tail.py.  First the 46 r12-checked
+        # queries (r15's window obligation, in order), then the
+        # epoch_shuffle_hll debut (r15 slack), then the 50 queries
+        # the driver just checked at r13 (r16's obligation). ---
         "profile_table": q_profile_table,
         "table_checksum": q_table_checksum,
         "user_cardinality": q_user_cardinality,
@@ -2786,7 +2722,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "visit_suppression": q_visit_suppression,
         "moving_avg": q_moving_avg,
+        # --- r13-checked cohort (driver rows in
+        # CORRECTNESS_r13.json; due back in the window at r16) ---
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
+        "bpe_encode": q_bpe_encode,
+        "triangle_count": q_triangle_count,
+        "link_predict": q_link_predict,
+        "event_transitions": q_event_transitions,
+        "interarrival_profile": q_interarrival_profile,
+        "diversity_profile": q_diversity_profile,
+        "vcf_genotypes": q_vcf_genotypes,
+        "simhash": q_simhash,
+        "cleansing": q_cleansing,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_dropped": q_except_dropped,
+        "union_exclusion": q_union_exclusion,
+        "first_value": q_first_value,
+        "path_functions": q_path_functions,
+        "move_study": q_move_study,
+        "delete_study": q_delete_study,
+        "visual_attributes": q_visual_attributes,
+        "timepoints": q_timepoints,
+        "funnel": q_funnel,
+        "event_rollup": q_event_rollup,
+        "curate": q_curate,
+        "fact_assembly": q_fact_assembly,
+        "quota_sample": q_quota_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "json_rollup": q_json_rollup,
+        "embedding_dedup": q_embedding_dedup,
+        "chunk_docs": q_chunk_docs,
+        "ann_ivf": q_ann_ivf,
+        "plink_fam": q_plink_fam,
+        "vcf_assay_link": q_vcf_assay_link,
+        "add_nodes": q_add_nodes,
+        "security_tokens": q_security_tokens,
+        "text_signals": q_text_signals,
+        "snp_gene_novelty": q_snp_gene_novelty,
+        "prune_nodes": q_prune_nodes,
+        "audit_ordering": q_audit_ordering,
+        "stratified_sample": q_stratified_sample,
+        "random_projection": q_random_projection,
+        "pmi_collocations": q_pmi_collocations,
+        "dup_ngrams": q_dup_ngrams,
+        "sliding_rollup": q_sliding_rollup,
+        "ann_lsh": q_ann_lsh,
+        "cube_agg": q_cube_agg,
     }
+
 
 _PATH_CTE = """
 WITH paths AS (

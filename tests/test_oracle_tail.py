@@ -21,57 +21,7 @@ SF = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
 
 #: everything from position 51 on — keep in sync with queries()
 TAIL = [
-    "attribution",
-    "basket_rules",
-    "skyline",
-    "cusum_changepoint",
-    "calibration_curve",
-    "quantile_normalize",
-    "retention",
-    "incremental_dedup",
-    "semantic_dedup",
-    "kmeans",
-    "length_profile",
-    "zorder",
-    "hdd_leaf_paths",
-    "seq_pack",
-    "interval_join",
-    "vocab_topk",
-    "asof_join",
-    "range_join",
-    "gpl_info_join",
-    "timepoint_minutes",
-    "ann_block",
-    "summary_stats",
-    "validation_rules",
-    "duplicate_detection",
-    "demographics_pivot",
-    "winnow",
-    "merge_update",
-    "tfidf",
-    "repetition",
-    "ann_cosine",
-    "ngram_jaccard",
-    "minhash_lsh",
-    "simhash_pairs",
-    "pricing_summary",
-    "probe_stats",
-    "zscore",
-    "median_exact",
-    "probeset_collapse",
-    "dedup_keep_one",
-    "type_inference",
-    "clinical_melt",
-    "fill_in_tree",
-    "tree_closure",
-    "concept_counts",
-    "visit_consistency",
-    "study_uniqueness",
-    "tag_substitution",
-    "ann_ivfpq",
-    "acgh_gene_backfill",
-    "mixture_upsample",
-    # --- r12-green cohort (driver rows in CORRECTNESS_r12.json;
+    # --- r12-checked cohort (driver rows in CORRECTNESS_r12.json;
     # due back in the window at r15) ---
     "profile_table",
     "table_checksum",
@@ -119,7 +69,60 @@ TAIL = [
     "lm_perplexity",
     "visit_suppression",
     "moving_avg",
+    # --- r13-checked cohort (driver rows in CORRECTNESS_r13.json;
+    # due back in the window at r16) ---
+    "skew_report",
+    "salted_join",
+    "bpe_encode",
+    "triangle_count",
+    "link_predict",
+    "event_transitions",
+    "interarrival_profile",
+    "diversity_profile",
+    "vcf_genotypes",
+    "simhash",
+    "cleansing",
+    "dedup_exact",
+    "text_quality",
+    "pii_redaction",
+    "decontamination",
+    "anti_join",
+    "semi_join",
+    "except_dropped",
+    "union_exclusion",
+    "first_value",
+    "path_functions",
+    "move_study",
+    "delete_study",
+    "visual_attributes",
+    "timepoints",
+    "funnel",
+    "event_rollup",
+    "curate",
+    "fact_assembly",
+    "quota_sample",
+    "dedup_clusters",
+    "json_rollup",
+    "embedding_dedup",
+    "chunk_docs",
+    "ann_ivf",
+    "plink_fam",
+    "vcf_assay_link",
+    "add_nodes",
+    "security_tokens",
+    "text_signals",
+    "snp_gene_novelty",
+    "prune_nodes",
+    "audit_ordering",
+    "stratified_sample",
+    "random_projection",
+    "pmi_collocations",
+    "dup_ngrams",
+    "sliding_rollup",
+    "ann_lsh",
+    "cube_agg",
 ]
+
 
 
 @pytest.fixture(scope="module")

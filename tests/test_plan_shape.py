@@ -344,3 +344,37 @@ def test_gene_backfill_lookups_are_broadcast(spark):
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_security_rebuild_is_broadcast_and_codegen(spark):
+    """§2.10a r13 SECURITY delete-then-insert rebuild
+    (plans/merge.py:352-392, i2b2_create_security_for_trial.sql
+    delete :62-66 / insert :70-98): the per-trial token is a ONE-ROW
+    frame cross-joined onto the post-merge patient set — the plan
+    must carry it as a broadcast (BroadcastNestedLoopJoin at most
+    once, for that join alone), never a CartesianProduct, and the
+    SECURITY-fact predicate (CASE modifier_cd='@' → sourcesystem_cd)
+    stays pure codegen with no Python boundary.  Pins the shape the
+    r13 bench row was never calmly measured against."""
+    from tmdataloader_spark.plans.clinical import load_clinical
+    from tmdataloader_spark.plans.merge import MergeMode, merge_clinical_load
+    from tmdataloader_spark.sources.mapping import melt_clinical_study
+
+    mapping = (
+        "/root/reference/fixtures/Test Studies/Test Study_GSE0/"
+        "ClinicalDataToUpload/Test Study_GSE0_Mapping_File.txt"
+    )
+    top = "\\Test Studies\\Test Study\\"
+    base = load_clinical(
+        spark, melt_clinical_study(spark, mapping), "GSE0", top
+    )
+    merged = merge_clinical_load(base, base, MergeMode.UPDATE, "GSE0", top)
+    plan = _plan(spark, merged.observation_fact, "simple")
+    assert "CartesianProduct" not in plan, "token cross join lost its broadcast"
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        "more than the one bounded token broadcast degenerated to a "
+        "nested loop"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "SECURITY predicate left codegen"
+    )

@@ -201,3 +201,53 @@ def test_diversity_profile_uniform_vs_constant(spark):
     got = {r.column: r.simpson for r in diversity_profile(df, ["u", "c"]).collect()}
     assert got["u"] == 0.75  # uniform over 4 -> 1 - 4*(1/16)
     assert got["c"] == 0.0  # constant column -> no diversity
+
+
+def test_value_histograms_matches_two_query_union(spark):
+    """The r14 single-pipeline ``value_histograms`` must stay
+    bit-equal to the two-query union it replaced (same bin/edge
+    expressions, same 6dp rounds — only the plan changed: 2 scans /
+    2 data-sized shuffles instead of 4 / 4).  Uses the driver
+    testdata so degenerate/NULL behavior is exercised at gate
+    cardinality."""
+    from pyspark.sql import functions as F
+
+    from tmdataloader_spark.statistic.profile import (
+        equi_depth_histogram,
+        histogram,
+        value_histograms,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ew = histogram(ev, "value", nbins=12, group_col="event_type").select(
+        F.lit("equi_width").alias("kind"), "event_type", "bin", "bin_lo", "n"
+    )
+    ed = equi_depth_histogram(ev, "value", nbins=4, group_col="event_type").select(
+        F.lit("equi_depth").alias("kind"),
+        "event_type",
+        "bin",
+        F.lit(None).cast("double").alias("bin_lo"),
+        "n",
+    )
+    union = ew.unionByName(ed)
+    merged = value_histograms(ev, "value", 12, 4, "event_type").select(
+        "kind", "event_type", "bin", "bin_lo", "n"
+    )
+    assert merged.exceptAll(union).count() == 0
+    assert union.exceptAll(merged).count() == 0
+
+
+def test_value_histograms_plan_two_scans_no_cartesian(spark):
+    """The plan property the merge exists for: the events relation is
+    scanned exactly twice (stats + cells; the union shape paid four),
+    the stats frames broadcast, and nothing degenerates into a
+    cartesian."""
+    from tmdataloader_spark.statistic.profile import value_histograms
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = value_histograms(ev, "value", 12, 4, "event_type")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

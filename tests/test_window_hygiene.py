@@ -103,21 +103,24 @@ DEBUT_OVERFLOW: dict[str, int] = {
 AMNESTY: dict[str, int] = {}
 
 # STEADY-STATE ROTATION MAP (r11 onward; VERDICT r10 item 2).
-# With a 50-row window, two-round hygiene, and 146 gate queries, the
+# With a 50-row window, two-round hygiene, and 147 gate queries, the
 # rotation is period-3 over three cohort blocks that queries() keeps
 # in POSITION ORDER so every rotation is a mechanical head-swap of
 # the next block (+ slack picks from the freshest cohort):
 #
 #   queries() positions | cohort (last driver row) | due in window
 #   --------------------+--------------------------+--------------
-#          1-50         | r13 window (46 r10 + 4)  | checked now
-#         51-100        | r11-checked (50 queries) | round 14
-#        101-146        | r12-checked (46 queries) | round 15
+#          1-50         | r11-checked (50 queries) | checked now
+#         51-96         | r12-checked (46 queries) | round 15
+#           97          | epoch_shuffle_hll debut  | round 15
+#        98-147         | r13-checked (50 queries) | round 16
 #
-# (The r13 slack picks are dup_ngrams / sliding_rollup / ann_lsh /
-# cube_agg — the four worst r12-cohort raw bench ratios on the r12
-# board.)  After each rotation the just-checked 50 move to the END of
-# the tail, the next-due block moves to the head, and the map shifts
+# (The r11 cohort is exactly window-sized, so the r14 window has no
+# slack and the epoch_shuffle_hll debut waits in the tail under
+# DEBUT_OVERFLOW — oracle-checked every pytest run by
+# test_oracle_tail.py — until the r15 window's slack slots open.)
+# After each rotation the just-checked 50 move to the END of the
+# tail, the next-due block moves to the head, and the map shifts
 # by one round.  NEVER skip a round's swap: one skipped rotation
 # strands two cohorts (98 > 50) and forces another amnesty (the
 # r9/r10 incident this table exists to prevent).

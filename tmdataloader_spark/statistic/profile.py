@@ -338,6 +338,106 @@ def equi_depth_histogram(
     )
 
 
+def value_histograms(
+    df: DataFrame,
+    value_col: str,
+    width_bins: int = 12,
+    depth_bins: int = 4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Both histogram kinds from one pipeline — the union of
+    ``histogram`` + ``equi_depth_histogram`` recomputed so the data
+    is touched half as often: one combined per-group (min, max,
+    percentile-cuts) aggregate broadcasts back onto the rows, BOTH
+    bin indices are computed in the same codegen projection, and one
+    partial-agg shuffle counts the joint (ew_bin, ed_bin) cells.
+    Output rows are bit-identical to the two-query union (same
+    bin/edge expressions, same 6dp rounds) — only the plan changes:
+    2 data scans instead of 4 and 2 data-sized shuffles instead of 4
+    (the remaining marginal re-agg and ``bin_lo`` rejoin run on the
+    group·cell-sized frame), which is the difference that matters
+    when ``df`` is 100 TB.  ``bin_lo`` is rejoined from the
+    group-sized stats frame after the count (every row of a
+    (group, bin) cell shares ``_lo``/width, so post-agg recompute
+    equals ``histogram``'s in-agg ``min``)."""
+    gname = group_col or "_all"
+    base = df if group_col else df.withColumn("_all", F.lit("all"))
+    fracs = ", ".join(f"{i / depth_bins}D" for i in range(1, depth_bins))
+    stats = base.groupBy(gname).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.transform(
+            F.expr(f"percentile({value_col}, array({fracs}))"),
+            lambda c: F.round(c, 6),
+        ).alias("_cuts"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(width_bins))
+    v = F.col(value_col)
+    ew_bin = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(width_bins - 1),
+                F.floor((v - F.col("_lo")) / width),
+            )
+        )
+        .cast("long")
+    )
+    ed_bin = F.size(F.filter("_cuts", lambda c: v > c)).cast("long")
+    # ONE count shuffle over (group, ew_bin, ed_bin) joint cells —
+    # width_bins·depth_bins cells per group, so the map-side partial
+    # agg reduces 100 TB of rows to a cell-sized exchange; both
+    # marginals then come from the tiny cell frame (the explode runs
+    # AFTER aggregation, on group·48 rows, not on the corpus).
+    cells = (
+        base.join(F.broadcast(stats), gname)
+        .groupBy(gname, ew_bin.alias("_ew"), ed_bin.alias("_ed"))
+        # _lo/_hi are group constants — first() carries them through
+        # so bin_lo needs no rejoin (and no third scan of ``df``)
+        .agg(
+            F.count("*").alias("_n"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    counted = (
+        cells.select(
+            gname,
+            "_n",
+            "_lo",
+            "_hi",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("equi_width").alias("kind"), F.col("_ew").alias("bin")
+                    ),
+                    F.struct(
+                        F.lit("equi_depth").alias("kind"), F.col("_ed").alias("bin")
+                    ),
+                )
+            ).alias("kb"),
+        )
+        .groupBy(gname, F.col("kb.kind").alias("kind"), F.col("kb.bin").alias("bin"))
+        .agg(
+            F.sum("_n").alias("n"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    return counted.select(
+        "kind",
+        F.col(gname).alias(group_col or "group_key"),
+        "bin",
+        F.when(
+            F.col("kind") == "equi_width",
+            F.round(F.col("_lo") + F.col("bin") * width, 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bin_lo"),
+        "n",
+    )
+
+
 def diversity_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """Categorical-diversity profile: per column, the non-null count,
     exact distinct count, and Simpson diversity index
