@@ -2601,6 +2601,53 @@ def q_audit_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.job_audit(spark).orderBy("job_id", "seq_id")
 
 
+def q_epoch_shuffle_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r14 debut — closes the last oracle-coverage hole
+    from the r13 VERDICT): the deterministic epoch shuffle
+    (llmdata/layout.epoch_shuffle) and the HLL cardinality family
+    (operators/cardinality.hll_registers/hll_estimate) in one frame,
+    both previously pytest-only.
+
+    `kind`='epoch_shard' rows pin the shuffle: per shard (md5 60-bit
+    hash mod 8 — hash sharding, partitioning-independent), the row
+    count and the min/max shuffle_key — any single row's key or shard
+    flipping moves a count or an extremum, so the md5 derivation and
+    the mod-8 assignment are both oracle-checked end to end.
+    `kind`='hll' rows pin the sketch: per event_type, the b=9
+    register estimate of distinct user_id — the harmonic sum is an
+    exact integer (Z = Σ 2^(w+1−rank)); only the final division/ln
+    are float, 6dp-rounded for the cross-engine compare.  The DuckDB
+    oracle replays the identical md5/shift/bin-length arithmetic."""
+    from tmdataloader_spark.llmdata.layout import epoch_shuffle
+    from tmdataloader_spark.operators.cardinality import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    shuffled = epoch_shuffle(
+        ev.select("event_id"), id_col="event_id", seed=0, n_shards=8
+    )
+    shards = shuffled.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("shuffle_key").alias("lo_key"),
+        F.max("shuffle_key").alias("hi_key"),
+    ).select(
+        F.lit("epoch_shard").alias("kind"),
+        F.col("shard").cast("string").alias("key"),
+        "n",
+        "lo_key",
+        "hi_key",
+        F.lit(None).cast("double").alias("est_distinct"),
+    )
+    hll = hll_cardinality(ev, "event_type", "user_id").select(
+        F.lit("hll").alias("kind"),
+        "key",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("string").alias("lo_key"),
+        F.lit(None).cast("string").alias("hi_key"),
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+    return shards.unionByName(hll)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver checks the FIRST 50 entries.
     # r14 WINDOW (the steady-state head-swap, pre-ordered by the
@@ -2722,6 +2769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "visit_suppression": q_visit_suppression,
         "moving_avg": q_moving_avg,
+        # --- r14 debut (slot source: lifetime headroom, 147/150):
+        # waits here under DEBUT_OVERFLOW (the r14 window is fully
+        # obligated by the window-sized r11 cohort) and enters the
+        # r15 window with that round's slack picks; oracle-checked
+        # every pytest run by test_oracle_tail.py meanwhile ---
+        "epoch_shuffle_hll": q_epoch_shuffle_hll,
         # --- r13-checked cohort (driver rows in
         # CORRECTNESS_r13.json; due back in the window at r16) ---
         "skew_report": q_skew_report,
@@ -4353,6 +4406,65 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                      AS avg_value_4
             FROM events
+        """,
+        # replays epoch_shuffle's md5 key + mod-8 shard and the b=9
+        # HLL register/estimate arithmetic (operators/cardinality.py)
+        # digit for digit: 60-bit hash = first 15 md5 hex chars,
+        # rank = 52 - bit_length(h >> 9), Z = Σ 2^(52-rank) exact
+        # integer, linear-counting branch when E <= 2.5m with empty
+        # buckets; the float numerator literal is the same Python
+        # double Spark inlines (repr round-trips)
+        "epoch_shuffle_hll": """
+            WITH keyed AS (
+              SELECT md5('ep:0:' || CAST(event_id AS VARCHAR)) AS shuffle_key
+              FROM events
+            ),
+            sharded AS (
+              SELECT shuffle_key,
+                     ('0x' || substr(shuffle_key, 1, 15))::BIGINT % 8 AS shard
+              FROM keyed
+            ),
+            shard_rows AS (
+              SELECT 'epoch_shard' AS kind,
+                     CAST(shard AS VARCHAR) AS key,
+                     count(*) AS n,
+                     min(shuffle_key) AS lo_key,
+                     max(shuffle_key) AS hi_key,
+                     CAST(NULL AS DOUBLE) AS est_distinct
+              FROM sharded GROUP BY shard
+            ),
+            hashed AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            regs AS (
+              SELECT event_type AS key, h % 512 AS bucket,
+                     max(CASE WHEN h // 512 = 0 THEN 52
+                         ELSE 52 - length(ltrim(bin(h // 512), '0')) END) AS rank
+              FROM hashed GROUP BY key, bucket
+            ),
+            per_key AS (
+              SELECT key,
+                     SUM(CAST(1 AS BIGINT) << CAST(52 - rank AS INT))::BIGINT
+                       + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS z_int,
+                     512 - count(*) AS zeros
+              FROM regs GROUP BY key
+            ),
+            hll_rows AS (
+              SELECT 'hll' AS kind, key,
+                     CAST(NULL AS BIGINT) AS n,
+                     CAST(NULL AS VARCHAR) AS lo_key,
+                     CAST(NULL AS VARCHAR) AS hi_key,
+                     round(CASE WHEN 8.497699123215257e+20 / CAST(z_int AS DOUBLE)
+                                     <= 1280.0 AND zeros > 0
+                           THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                           ELSE 8.497699123215257e+20 / CAST(z_int AS DOUBLE)
+                           END, 6) AS est_distinct
+              FROM per_key
+            )
+            SELECT * FROM shard_rows UNION ALL SELECT * FROM hll_rows
         """,
         "pair_counts": """
             WITH t AS (

@@ -110,11 +110,15 @@ def test_multimodal_real_decode_vendored_png(spark):
         arr = ((np.arange(h * w * 3) * 13) % 256).astype(np.uint8).reshape(h, w, 3)
         return encode_png(arr)
 
+    from tmdataloader_spark.functions.wav import encode_wav
+
+    wav = encode_wav(np.zeros(4000, dtype=np.int16), 8000)  # 500 ms mono
     rows = [
         (1, "image", png(20, 10), None),
         (2, "image", b"not an image", None),
         (3, "audio", b"\x00\x01", None),
         (4, "image", png(6, 9), None),
+        (5, "audio", wav, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_media(media, fake=False).collect()}
@@ -122,7 +126,13 @@ def test_multimodal_real_decode_vendored_png(spark):
     assert (out[4].width, out[4].height) == (6, 9)
     assert out[2].width is None and out[2].height is None
     assert out[3].width is None  # non-image: decode not attempted
-    assert all(r.duration_ms is None for r in out.values())  # no ffmpeg probe
+    # audio: the vendored RIFF/WAVE header probe (functions/wav.py)
+    # gives real durations; non-WAV audio bytes degrade to NULL
+    assert out[5].duration_ms == 500
+    assert out[3].duration_ms is None
+    assert all(
+        r.duration_ms is None for r in out.values() if r.media_type != "audio"
+    )
     assert out[2].n_bytes == len(b"not an image")
 
     rs = {r.media_id: r for r in resize_media(media, 8, 4, fake=False).collect()}
@@ -949,3 +959,52 @@ def test_ivf_and_ivfpq_and_block_ann_recall(spark, embeddings):
         for r in ivfpq_ann(q, embeddings, k=5).collect()
     }
     assert len(truth & pq) / len(truth) >= 0.3, "IVF-PQ recall collapsed"
+
+
+def test_probe_audio_real_wav_metadata(spark):
+    """probe_audio (llmdata/multimodal.py): real RIFF/WAVE header
+    fields — sample rate, channels, bit depth, frame count, duration
+    — come back for audio rows via the vendored parser; non-audio
+    and non-WAV rows degrade to NULL metadata; deterministic across
+    partitionings."""
+    import numpy as np
+
+    from tmdataloader_spark.functions.wav import encode_wav
+    from tmdataloader_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        probe_audio,
+    )
+
+    stereo = encode_wav(np.zeros((22050, 2), dtype=np.int16), 22050)  # 1 s
+    floaty = encode_wav(np.zeros(4410, dtype=np.float32), 44100)  # 100 ms
+    rows = [
+        (1, "audio", stereo, None),
+        (2, "audio", floaty, None),
+        (3, "audio", b"\x00\x01not a wav", None),
+        (4, "image", stereo, None),  # typed image: probe not attempted
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in probe_audio(media).collect()}
+    assert (
+        out[1].audio_format,
+        out[1].channels,
+        out[1].sample_rate,
+        out[1].bits_per_sample,
+        out[1].n_frames,
+        out[1].duration_ms,
+    ) == (1, 2, 22050, 16, 22050, 1000)
+    assert (out[2].audio_format, out[2].sample_rate, out[2].duration_ms) == (
+        3,
+        44100,
+        100,
+    )
+    assert out[3].sample_rate is None and out[3].duration_ms is None
+    assert out[4].sample_rate is None  # media_type gates the probe
+    assert out[3].n_bytes == len(b"\x00\x01not a wav")
+    again = {
+        r.media_id: (r.sample_rate, r.n_frames, r.duration_ms)
+        for r in probe_audio(media.repartition(3)).collect()
+    }
+    assert again == {
+        k: (v.sample_rate, v.n_frames, v.duration_ms) for k, v in out.items()
+    }

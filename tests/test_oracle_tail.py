@@ -69,6 +69,9 @@ TAIL = [
     "lm_perplexity",
     "visit_suppression",
     "moving_avg",
+    # r14 debut (DEBUT_OVERFLOW until the r15 window): merged
+    # epoch-shuffle + HLL gate
+    "epoch_shuffle_hll",
     # --- r13-checked cohort (driver rows in CORRECTNESS_r13.json;
     # due back in the window at r16) ---
     "skew_report",

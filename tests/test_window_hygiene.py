@@ -94,7 +94,13 @@ def _next_obligation(names: list[str], files3: list[str]) -> list[str]:
 DEBUT_OVERFLOW: dict[str, int] = {
     # (r8 debuts plink_fam/vcf_assay_link/add_nodes/security_tokens
     # expired when CORRECTNESS_r08.json landed and are windowed at
-    # r10 — no live overflow entries.)
+    # r10.)
+    # r14 debut waiting for the r15 window's slack slots — the r14
+    # window is fully obligated by the window-sized r11 cohort, so
+    # the debut sits in the tail (oracle-checked every pytest run by
+    # test_oracle_tail.py) until the r15 head-swap windows it; the
+    # exemption self-expires when CORRECTNESS_r15.json lands.
+    "epoch_shuffle_hll": 15,
 }
 
 # (The one-time r10 amnesty — 48 r7-cohort queries orphaned by r9's

@@ -155,24 +155,30 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
     - ``fake=False``: REAL decode — PIL reads image dimensions when
       importable; without PIL the vendored pure-Python PNG codec
       (functions/png.py) covers the PNG subset, so this path runs in
-      codec-less CI on real bytes. Rows whose bytes neither can parse
-      (or non-image media, which would need ffmpeg) get NULL
-      width/height, duration_ms stays NULL for everything (no ffmpeg
-      probe), n_bytes/sha256 are always computed."""
+      codec-less CI on real bytes.  Audio rows are header-probed by
+      the vendored RIFF/WAVE parser (functions/wav.py) for a real
+      duration_ms the same way.  Rows whose bytes none of those can
+      parse (or video media, which would need ffmpeg) get NULL
+      width/height/duration_ms; n_bytes/sha256 are always computed."""
     if not fake:
 
         def real_batches(it):
             import pandas as pd
 
+            from tmdataloader_spark.functions.wav import wav_duration_ms
+
             for pdf in it:
                 contents = [
                     bytes(c) if c is not None else b"" for c in pdf["content"]
                 ]
-                widths, heights = [], []
+                widths, heights, durations = [], [], []
                 for c, mtype in zip(contents, pdf["media_type"]):
                     size = _image_size(c) if mtype == "image" and c else None
                     widths.append(size[0] if size else None)
                     heights.append(size[1] if size else None)
+                    durations.append(
+                        wav_duration_ms(c) if mtype == "audio" and c else None
+                    )
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"].astype("int64"),
@@ -181,7 +187,7 @@ def decode_media(df: DataFrame, fake: bool = True, use_arrow: bool = False) -> D
                         "sha256": [hashlib.sha256(c).hexdigest() for c in contents],
                         "width": pd.array(widths, dtype="Int32"),
                         "height": pd.array(heights, dtype="Int32"),
-                        "duration_ms": pd.array([None] * len(contents), dtype="Int64"),
+                        "duration_ms": pd.array(durations, dtype="Int64"),
                     }
                 )
 
@@ -324,6 +330,80 @@ def sample_frames(
 
     return df.select("media_id", "media_type", "content").mapInPandas(
         batches, schema="media_id long, frame_idx int, ts_ms long, frame binary"
+    )
+
+
+AUDIO_PROBE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, audio_format int, "
+    "channels int, sample_rate int, bits_per_sample int, n_frames long, "
+    "duration_ms long"
+)
+
+
+def probe_audio(df: DataFrame) -> DataFrame:
+    """REAL audio metadata for audio ``binary`` columns: one row per
+    input row with the RIFF/WAVE header fields (format code, channel
+    count, sample rate, bit depth, frame count, duration) parsed by
+    the vendored functions/wav.py — the audio twin of the PNG real
+    decode, runnable in codec-less CI.  Non-audio rows and bytes the
+    parser rejects (non-WAV containers — ffmpeg territory) degrade to
+    NULL metadata, never an error.  Arrow-batched ``mapInPandas``:
+    the header parse touches only the first few dozen bytes per row,
+    so the batch loop is allocation-bound, not decode-bound."""
+
+    def batches(it):
+        import pandas as pd
+
+        from tmdataloader_spark.functions.wav import wav_info
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "audio_format",
+                    "channels",
+                    "sample_rate",
+                    "bits_per_sample",
+                    "n_frames",
+                    "duration_ms",
+                )
+            }
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf["content"]
+            ]
+            for c, mtype in zip(contents, pdf["media_type"]):
+                info = None
+                if mtype == "audio" and c:
+                    try:
+                        info = wav_info(c)
+                    except ValueError:
+                        info = None
+                rows["audio_format"].append(info.audio_format if info else None)
+                rows["channels"].append(info.channels if info else None)
+                rows["sample_rate"].append(info.sample_rate if info else None)
+                rows["bits_per_sample"].append(
+                    info.bits_per_sample if info else None
+                )
+                rows["n_frames"].append(info.n_frames if info else None)
+                rows["duration_ms"].append(info.duration_ms if info else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in contents],
+                    "audio_format": pd.array(rows["audio_format"], dtype="Int32"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "bits_per_sample": pd.array(
+                        rows["bits_per_sample"], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "duration_ms": pd.array(rows["duration_ms"], dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "media_type", "content").mapInPandas(
+        batches, schema=AUDIO_PROBE_SCHEMA
     )
 
 
