@@ -110,3 +110,48 @@ def test_encode_rejects_bad_shapes_and_dtypes():
         encode_wav(np.zeros((2, 2, 2), dtype=np.int16), 8000)
     with pytest.raises(ValueError):
         encode_wav(np.zeros(4, dtype=np.complex64), 8000)
+
+
+def test_audio_features_known_signal(spark):
+    """audio_features (llmdata/multimodal.py) on synthesized known
+    signals: a full-scale 100 Hz sine at 8 kHz has RMS ~ 1/sqrt(2),
+    peak ~ 1, and ZCR ~ 2f/sr; the same signal rendered at 8-bit and
+    16-bit scores the same after full-scale normalization; non-WAV
+    and non-audio rows come back NULL."""
+    import numpy as np
+
+    from tmdataloader_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sine = np.sin(2 * np.pi * 100 * t)
+    wav16 = encode_wav((sine * 32767).astype(np.int16), 8000)
+    wav8 = encode_wav(
+        np.clip(np.round(sine * 127 + 128), 0, 255).astype(np.uint8), 8000
+    )
+    stereo = encode_wav(
+        np.stack([sine, -sine], axis=1).astype(np.float64), 8000
+    )
+    rows = [
+        (1, "audio", wav16, None),
+        (2, "audio", wav8, None),
+        (3, "audio", b"mp3 junk", None),
+        (4, "image", wav16, None),
+        (5, "audio", stereo, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    assert abs(out[1].rms - 1 / np.sqrt(2)) < 0.01
+    assert abs(out[1].peak - 1.0) < 0.01
+    # 100 Hz over 1 s -> ~200 sign flips (quantized zeros can absorb
+    # a boundary sample, so allow a crossing or two of slack)
+    assert abs(out[1].zero_crossing_rate - 200 / 7999) < 3 / 7999
+    assert out[1].sample_rate == 8000 and out[1].duration_ms == 1000
+    # bit-depth invariance after full-scale normalization
+    assert abs(out[2].rms - out[1].rms) < 0.01
+    assert abs(out[2].zero_crossing_rate - out[1].zero_crossing_rate) < 1e-3
+    # stereo mixdown of (x, -x) averages to silence
+    assert out[5].rms == 0.0 and out[5].peak == 0.0
+    assert out[3].rms is None and out[4].rms is None

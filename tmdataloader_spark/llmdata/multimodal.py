@@ -407,6 +407,101 @@ def probe_audio(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, media_type string, sample_rate int, duration_ms long, "
+    "rms double, peak double, zero_crossing_rate double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Signal-level features from REAL audio bytes — the step after
+    ``probe_audio`` that a training-data pipeline filters on
+    (silence/clipping screens, energy-based quality buckets): per
+    audio row, RMS level, peak level, and zero-crossing rate of the
+    decoded waveform, plus sample_rate/duration_ms from the header.
+
+    Samples decode via the vendored WAV codec (functions/wav.py) and
+    normalize to [−1, 1] by the dtype's full scale before measuring,
+    so an 8-bit and a 16-bit render of the same signal score the
+    same.  Multi-channel audio is averaged to mono first (the usual
+    mixdown).  All three features are NumPy-vectorized per row inside
+    an Arrow-batched ``mapInPandas`` and 6dp-rounded; rows the codec
+    rejects (non-WAV audio, non-audio media) come back with NULL
+    features, never an error.
+
+    100 TB shape: embarrassingly parallel per-row work, no shuffle;
+    the decode touches each payload once and holds one waveform at a
+    time per batch row."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from tmdataloader_spark.functions.wav import decode_wav
+
+        full_scale = {8: 128.0, 16: 32768.0, 24: 8388608.0, 32: 2147483648.0}
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "sample_rate",
+                    "duration_ms",
+                    "rms",
+                    "peak",
+                    "zero_crossing_rate",
+                )
+            }
+            for c, mtype in zip(pdf["content"], pdf["media_type"]):
+                b = bytes(c) if c is not None else b""
+                info = samples = None
+                if mtype == "audio" and b:
+                    try:
+                        info, samples = decode_wav(b)
+                    except ValueError:
+                        info = samples = None
+                if info is None or samples.size == 0:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                if info.audio_format == 1:
+                    offset = 128.0 if info.bits_per_sample == 8 else 0.0
+                    x = (samples.astype(np.float64) - offset) / full_scale[
+                        info.bits_per_sample
+                    ]
+                else:
+                    x = samples.astype(np.float64)
+                mono = x.mean(axis=1)
+                crossings = (
+                    int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0
+                )
+                out["sample_rate"].append(info.sample_rate)
+                out["duration_ms"].append(info.duration_ms)
+                out["rms"].append(round(float(np.sqrt(np.mean(mono**2))), 6))
+                out["peak"].append(round(float(np.max(np.abs(mono))), 6))
+                out["zero_crossing_rate"].append(
+                    round(crossings / max(len(mono) - 1, 1), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "rms": pd.array(out["rms"], dtype="Float64"),
+                    "peak": pd.array(out["peak"], dtype="Float64"),
+                    "zero_crossing_rate": pd.array(
+                        out["zero_crossing_rate"], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "media_type", "content").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter for testing: treat document text bytes as opaque media
     content (utf-8), exercising the binary-column path end-to-end."""
