@@ -137,12 +137,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Ambient-noise context (sidecar only — the stdout contract is
-    # unchanged): this host shows uniform multi-minute slow windows
-    # where EVERY query reads 1.5-2x (memory'd protocol: adjudicate a
-    # >2x row by dividing by stable controls). Record the control
-    # ratios alongside the run so a reader can normalize without
-    # re-running: ambient ≈ median(control_time / control_baseline).
+    # Ambient-noise context: this host shows uniform multi-minute
+    # slow windows where EVERY query reads 1.5-2x (memory'd protocol:
+    # adjudicate a >2x row by dividing by stable controls). Record
+    # the control ratios alongside the run so a reader can normalize
+    # without re-running: ambient ≈ median(control_time /
+    # control_baseline). The full block goes to the sidecar; a
+    # compact ambient_factor/control_ratios pair is appended at the
+    # END of the stdout line (r14) so it survives the round
+    # artifact's 2,000-char stdout-tail truncation and the board can
+    # be normalized without a re-run.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -164,7 +168,11 @@ def main() -> None:
             }
     except Exception:
         pass  # ambient context is best-effort; never fail the bench
-    print(json.dumps({k: v for k, v in result.items() if k != "ambient"}))
+    line = {k: v for k, v in result.items() if k != "ambient"}
+    if "ambient" in result:
+        line["ambient_factor"] = result["ambient"]["ambient_factor"]
+        line["control_ratios"] = result["ambient"]["control_ratios"]
+    print(json.dumps(line))
     # Sidecar with the FULL per-query dict: the round artifact keeps
     # only a 2,000-char stdout tail, which truncated 44 of 131 r5
     # timings out of the audit trail (r5 VERDICT item 6). Written
