@@ -7,6 +7,7 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from tmdataloader_spark.functions.wav import (
     decode_wav,
@@ -155,3 +156,37 @@ def test_audio_features_known_signal(spark):
     # stereo mixdown of (x, -x) averages to silence
     assert out[5].rms == 0.0 and out[5].peak == 0.0
     assert out[3].rms is None and out[4].rms is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(1, 300),
+    channels=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    dtype_name=st.sampled_from(["uint8", "int16", "int32", "float32", "float64"]),
+    data=st.data(),
+)
+def test_prop_wav_roundtrip(frames, channels, rate, dtype_name, data):
+    """Property roundtrip (pure Python — no Spark session needed):
+    any supported (frames, channels, rate, dtype) combination encodes
+    to a parseable canonical WAV whose header fields and samples come
+    back exactly."""
+    dtype = np.dtype(dtype_name)
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(dtype, np.integer):
+        lo, hi = np.iinfo(dtype).min, np.iinfo(dtype).max
+        arr = rng.integers(lo, hi, size=(frames, channels), endpoint=True).astype(dtype)
+    else:
+        arr = rng.standard_normal((frames, channels)).astype(dtype)
+    blob = encode_wav(arr, rate)
+    info, back = decode_wav(blob)
+    assert (info.channels, info.sample_rate, info.n_frames) == (
+        channels,
+        rate,
+        frames,
+    )
+    assert info.duration_ms == round(frames * 1000 / rate)
+    assert back.dtype == arr.dtype and np.array_equal(back, arr)
+    # and the whole blob is word-aligned RIFF the chunk walker accepts
+    assert wav_duration_ms(blob) == info.duration_ms

@@ -10,8 +10,12 @@ for 100 TB first:
 - ``text``       : language-ID heuristic, quality scoring, token
                    counting, fingerprinting — all JVM-side expressions
 - ``multimodal`` : opaque binary columns + typed metadata, Arrow-
-                   batched decode / resize / frame-sample plumbing
-                   (real codecs stubbed)
+                   batched decode / resize / frame-sample plumbing;
+                   REAL decode for PNG images (vendored
+                   functions/png.py) and WAV audio (vendored
+                   functions/wav.py — header probe_audio plus
+                   audio_features RMS/peak/ZCR); only video frame
+                   sampling stays ffmpeg-stubbed
 - ``sampling``   : deterministic hash splits / Bernoulli / stratified
                    samples — pure per-row expressions, engine-portable
                    — plus two-phase per-stratum quota (top-k) sampling
