@@ -34,6 +34,12 @@ def test_bench_runs_and_emits_contract_json(tmp_path):
     assert set(d["queries"]) == {"pricing_summary", "zorder", "vocab_topk"}
     assert all(v == v and v >= 0 for v in d["queries"].values())  # no NaN errors
     assert d["sf"] == 0.001
+    # the ambient context survives on the printed line (r14): the
+    # subset contains one control (pricing_summary), so the factor is
+    # computable and must ride at the END of the line where the round
+    # artifact's stdout-tail truncation cannot eat it
+    assert d["ambient_factor"] > 0 and len(d["control_ratios"]) >= 1
+    assert list(d)[-2:] == ["ambient_factor", "control_ratios"]
     # sidecar honored SPARK_GRAFT_BENCH_OUT (didn't clobber repo-root copy)
     side = json.load(open(env["SPARK_GRAFT_BENCH_OUT"]))
     assert set(side["queries"]) == set(d["queries"])
