@@ -378,3 +378,17 @@ def test_merge_security_rebuild_is_broadcast_and_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "SECURITY predicate left codegen"
     )
+
+
+def test_epoch_hll_gate_pure_codegen_two_scans(spark):
+    """The r14 debut gate: both aggregation families (per-shard epoch
+    stats, per-key HLL estimate) stay pure codegen — md5/conv/shift
+    expressions, no Python boundary, no cartesian — and the events
+    relation is scanned once per family (the two group-bys share no
+    key, so a shared scan would need a corpus-sized explode)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(spark, entry.q_epoch_shuffle_hll(spark, SF), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Scan parquet") == 2, plan
