@@ -69,9 +69,19 @@ def basket_rules(
         baskets = baskets.filter(F.size("_items") <= max_basket_size)
     baskets = baskets.localCheckpoint(eager=False)
     n = baskets.groupBy().agg(F.count("*").alias("_n"))
-    ic = baskets.select(F.explode("_items").alias(item_col)).groupBy(
-        item_col
-    ).agg(F.count("*").alias("_cnt"))
+    # item counts feed TWO joins (the part_x and part_y sides); without
+    # a lineage break the explode+agg subplan is planned — and executed
+    # — twice, one full pass per side (visible as two identical
+    # Generate→HashAggregate→Exchange subtrees in the r14 before-plan).
+    # The frame is |items|-sized, so materializing it once is
+    # control-plane cost at any scale (same lazy-localCheckpoint regime
+    # as the baskets frame above).
+    ic = (
+        baskets.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
     # array_sort once per basket, then pair only with LATER elements
     # (posexplode + slice): emits exactly b·(b-1)/2 rows instead of
     # the b² a naive double explode would, with x < y by construction.

@@ -65,19 +65,35 @@ def profile_table(
         cols = df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     aggs = [F.count(F.lit(1)).alias("_n")]
+    nd_aggs = []
     for c in cols:
         nd = (
             F.approx_count_distinct(c, rsd=0.02)
             if approx
             else F.count_distinct(F.col(c))
         )
+        nd_aggs.append(nd.alias(f"_nd_{c}"))
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
-            nd.alias(f"_nd_{c}"),
             _render(F.min(F.col(c)), dtypes[c]).alias(f"_min_{c}"),
             _render(F.max(F.col(c)), dtypes[c]).alias(f"_max_{c}"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    # Two aggregates, not one: mixing k count_distincts into the
+    # min/max/null aggregate makes Spark plan ONE Expand(k+1) whose
+    # combined aggregate codegen is enormous (measured 1.9-2.3 s to
+    # compile per fresh plan at sf0.1 vs 1.1-1.3 s for the split
+    # pair, r14 — and the distinct-side Expand then carries every
+    # non-distinct buffer through k+1 row copies).  Splitting keeps
+    # both generated units small; identical output, and the
+    # distinct-side Expand now carries only the distinct columns.
+    # approx=True (HLL sketches, no Expand) stays the one-pass
+    # 100 TB path and still merges into the base aggregate.
+    if approx:
+        row = df.agg(*(aggs + nd_aggs)).collect()[0]
+    else:
+        base_row = df.agg(*aggs).collect()[0]
+        nd_row = df.agg(*nd_aggs).collect()[0]
+        row = {**base_row.asDict(), **nd_row.asDict()}
     out = [
         (
             c,
