@@ -985,21 +985,43 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     v = F.when(F.col("l_linenumber") != 7, F.col("l_quantity").cast("double"))
     w = li.select(F.col("l_suppkey").alias("var_key"), v.alias("value_d"))
-    arr = F.sort_array(F.collect_list("value_d"))
+    # Three stages — raw aggregate, ONE sort_array projection, then
+    # the median/IQR algebra over the sorted-array ATTRIBUTE. When
+    # the sort_array(collect_list(...)) expression was inlined into
+    # every median/hinge term, the (non-codegen) ObjectHashAggregate
+    # result projection re-sorted each group's array ~20 times (the
+    # r14 before-plan repeats the sort_array call per element_at);
+    # CollapseProject will not re-inline a non-cheap alias referenced
+    # more than once, so the split pins one sort per group.
+    g = w.groupBy("var_key").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("value_d").isNull(), 1)).alias("n_null"),
+        F.avg("value_d").alias("_mean"),
+        F.collect_list("value_d").alias("_vals"),
+        F.min("value_d").alias("_vmin"),
+        F.max("value_d").alias("_vmax"),
+        F.stddev_samp("value_d").alias("_sd"),
+    )
+    s = g.select(
+        "var_key", "n_rows", "n_null", "_mean",
+        F.sort_array("_vals").alias("_arr"), "_vmin", "_vmax", "_sd",
+    )
+    arr = F.col("_arr")
     n = F.size(arr)
     upper = _median_of_slice(
         arr, (F.floor(n / 2) + 1).cast("int"), (n - F.floor(n / 2)).cast("int")
     )
     lower = _median_of_slice(arr, F.lit(1), F.floor((n + 1) / 2).cast("int"))
-    return w.groupBy("var_key").agg(
-        F.count("*").alias("n_rows"),
-        F.count(F.when(F.col("value_d").isNull(), 1)).alias("n_null"),
-        F.round(F.avg("value_d"), 6).alias("mean"),
+    return s.select(
+        "var_key",
+        "n_rows",
+        "n_null",
+        F.round(F.col("_mean"), 6).alias("mean"),
         F.round(_median_of_slice(arr, F.lit(1), n), 6).alias("median"),
         F.round(upper - lower, 6).alias("iqr"),
-        F.round(F.min("value_d"), 6).alias("vmin"),
-        F.round(F.max("value_d"), 6).alias("vmax"),
-        F.round(F.stddev_samp("value_d"), 6).alias("sd"),
+        F.round(F.col("_vmin"), 6).alias("vmin"),
+        F.round(F.col("_vmax"), 6).alias("vmax"),
+        F.round(F.col("_sd"), 6).alias("sd"),
     )
 
 
@@ -1209,10 +1231,23 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmdataloader_spark.llmdata.layout import quantize, zorder_key
 
     li = _t(spark, sf_dir, "lineitem")
-    qa = quantize(F.col("l_partkey"), 0, 19999, 8)
-    qb = quantize(F.col("l_suppkey"), 0, 999, 8)
-    return li.select(
-        "l_orderkey", "l_linenumber", zorder_key([qa, qb], 8).alias("zkey")
+    # project the quantized values FIRST: zorder_key references each
+    # input once per interleaved bit, so inlining the quantize
+    # expression here replicated its ~12-node tree 16x (per-row
+    # re-evaluation wherever codegen CSE misses, and a 16x bigger
+    # plan to compile). Quantize once into attributes; the key is
+    # then a flat shift/mask chain over two longs. CollapseProject
+    # will not re-inline a non-cheap alias referenced 8 times.
+    qcols = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        quantize(F.col("l_partkey"), 0, 19999, 8).alias("_qa"),
+        quantize(F.col("l_suppkey"), 0, 999, 8).alias("_qb"),
+    )
+    return qcols.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key([F.col("_qa"), F.col("_qb")], 8).alias("zkey"),
     )
 
 

@@ -271,7 +271,16 @@ def semantic_dedup(
 
     num_blocks = 4
     spark = df.sparkSession
-    clusters = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the assignment frame feeds TWO consumers (the member build for
+    # the tile compare AND the final keep-join); without a lineage
+    # break the mapInPandas scoring pass — a full corpus matmul
+    # through the Python boundary — is planned and executed twice.
+    # The frame is (id, cluster) — ~16 bytes/row — so materializing
+    # it once is far cheaper than a second scoring pass at any scale
+    # (lazy-localCheckpoint multi-consumer regime).
+    clusters = kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     member = clusters.join(vecs, id_col).select(
         F.col(id_col).alias("mid"),

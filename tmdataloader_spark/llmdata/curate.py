@@ -74,9 +74,9 @@ def curate(
         minhash_lsh_pairs,
     )
     from tmdataloader_spark.llmdata.text import (
+        _top_word_frac,
         benchmark_contamination,
         language_id,
-        repetition_signals,
         tokens,
     )
 
@@ -85,7 +85,7 @@ def curate(
         language_id(F.col(text_col)).alias("_lang"),
         F.size(tokens(F.col(text_col))).alias("_n_tokens"),
     )
-    rep = repetition_signals(df, text_col, id_col).select(
+    rep = _top_word_frac(df, text_col, id_col).select(
         id_col, F.col("top_word_frac").alias("_topw")
     )
     pairs = minhash_lsh_pairs(

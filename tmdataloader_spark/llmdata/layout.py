@@ -76,8 +76,19 @@ def zorder_layout(
     one shuffle this operator performs, and the one that buys scan
     pruning for every future reader. ``num_files`` defaults to the
     session shuffle parallelism."""
-    q = [quantize(F.col(c), *bounds[c], bits) for c in cols]
-    keyed = df.withColumn(key_name, zorder_key(q, bits))
+    # quantize into attributes first: zorder_key references each input
+    # once per interleaved bit, so inlining the quantize expression
+    # replicates its tree bits× per column (plan bloat + per-row
+    # re-evaluation wherever codegen CSE misses). CollapseProject will
+    # not re-inline a non-cheap alias referenced more than once.
+    qnames = [f"_zq_{c}" for c in cols]
+    qcols = df.select(
+        "*", *[quantize(F.col(c), *bounds[c], bits).alias(n)
+               for c, n in zip(cols, qnames)]
+    )
+    keyed = qcols.withColumn(
+        key_name, zorder_key([F.col(n) for n in qnames], bits)
+    ).drop(*qnames)
     if num_files:
         return keyed.repartitionByRange(num_files, key_name)
     return keyed.repartitionByRange(key_name)

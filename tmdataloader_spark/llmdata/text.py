@@ -182,6 +182,32 @@ def text_signals(
     )
 
 
+def _top_word_frac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Words-only slice of ``repetition_signals`` for callers that
+    discard the bigram/distinct signals (``curate`` keeps only
+    ``top_word_frac``).  Under the old two-subplan repetition shape
+    the optimizer pruned the unused bigram subplan through the left
+    join; the merged one-stream shape below is opaque to that pruning
+    (bigrams ride inside the same explode), so the words-only path is
+    explicit — one explode over tokens alone, half the term volume."""
+    from tmdataloader_spark.functions.ratio import round6_ratio
+
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.groupBy(id_col).agg(
+        F.max("c").alias("_maxw"), F.sum("c").alias("_nw")
+    )
+    return stats.select(
+        id_col, round6_ratio("_maxw", "_nw").alias("top_word_frac")
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -196,45 +222,51 @@ def repetition_signals(
       2-gram over total 2-gram occurrences (0 when < 2 tokens);
     - ``dup_word_frac``  — 1 − distinct/total tokens.
 
-    Shape: token + bigram explode → two (id, term) count aggs →
-    per-doc max/sum — every stage keyed on the doc id or (doc, term),
-    map-side combined, no skew beyond natural doc length."""
+    Shape: ONE explode over the concatenated token + bigram arrays →
+    one (id, term) count agg → one per-doc conditional max/sum agg.
+    Words and bigrams used to be two separate explode→agg→agg
+    subplans joined on the id (4 exchanges + 1 join); since tokens
+    come from a split on spaces and bigrams are space-JOINED, the two
+    vocabularies are disjoint and one term stream carries both — the
+    kind test is ``contains(term, ' ')``, evaluated once per distinct
+    (doc, term) row in the final agg. Two exchanges, no join, same
+    total term volume — every stage still keyed on the doc id or
+    (doc, term), map-side combined, no skew beyond natural doc
+    length."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    words = base.select(
-        id_col, F.explode("_toks").alias("w")
-    ).groupBy(id_col, "w").agg(F.count("*").alias("c"))
-    word_stats = words.groupBy(id_col).agg(
-        F.max("c").alias("_maxw"),
-        F.sum("c").alias("_nw"),
-        F.count("*").alias("_distinct"),
-    )
     # shared zip_with n-gram form (llmdata.dedup) — the per-index
     # slice-in-HOF shape it replaces ran interpreted, ~6x slower
     from tmdataloader_spark.llmdata.dedup import _word_ngrams
 
     grams = _word_ngrams(F.col("_toks"), 2)
-    bigrams = base.select(
-        id_col, F.explode(grams).alias("g")
-    ).groupBy(id_col, "g").agg(F.count("*").alias("c"))
-    bigram_stats = bigrams.groupBy(id_col).agg(
-        F.max("c").alias("_maxg"), F.sum("c").alias("_ng")
+    counts = (
+        base.select(id_col, F.explode(F.concat("_toks", grams)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+    )
+    is_word = ~F.col("t").contains(" ")
+    w = F.when(is_word, F.col("c"))
+    g = F.when(~is_word, F.col("c"))
+    stats = counts.groupBy(id_col).agg(
+        F.max(w).alias("_maxw"),
+        F.sum(w).alias("_nw"),
+        F.count(w).alias("_distinct"),
+        F.max(g).alias("_maxg"),
+        F.sum(g).alias("_ng"),
     )
     # integer-exact HALF_UP ratios (functions/ratio.py);
     # dup_word_frac rewritten as (nw - distinct)/nw so it stays a
     # pure integer ratio instead of 1.0 - double
     from tmdataloader_spark.functions.ratio import round6_ratio
 
-    return (
-        word_stats.join(bigram_stats, id_col, "left")
-        .select(
-            id_col,
-            round6_ratio("_maxw", "_nw").alias("top_word_frac"),
-            F.coalesce(round6_ratio("_maxg", "_ng"), F.lit(0.0)).alias(
-                "top_bigram_frac"
-            ),
-            round6_ratio("_nw - _distinct", "_nw").alias("dup_word_frac"),
-        )
+    return stats.select(
+        id_col,
+        round6_ratio("_maxw", "_nw").alias("top_word_frac"),
+        F.coalesce(round6_ratio("_maxg", "_ng"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        round6_ratio("_nw - _distinct", "_nw").alias("dup_word_frac"),
     )
 
 
@@ -321,10 +353,18 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
+    # tf feeds TWO consumers (the IDF vocabulary agg and the scoring
+    # join); without a lineage break the token explode + (doc, term)
+    # count — a full pass over the corpus token stream — is planned
+    # and executed twice. The frame is |distinct (doc, term)|-sized,
+    # far smaller than the stream it aggregates, so materializing it
+    # once wins at any scale (lazy-localCheckpoint multi-consumer
+    # regime, cf. operators/association.py).
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     # N stays IN-PLAN: a one-row countDistinct aggregate broadcast into
     # the IDF expression — a driver-side df.count() here would cost an

@@ -160,12 +160,31 @@ def pmi_collocations(
     from tmdataloader_spark.llmdata.dedup import _word_ngrams
 
     toks = tokens(F.col(text_col))
+    # The unigram table feeds THREE consumers (the _x join, the _y
+    # join, and the corpus total M) and the pair table two (the scored
+    # join and the total N); without a lineage break each consumer
+    # re-runs its corpus explode+agg — the r14 before-plan carried 10
+    # Generate nodes for what is two logical explodes. Both tables
+    # are vocabulary-sized, so materializing them once is cheap at
+    # any scale (lazy-localCheckpoint multi-consumer regime), and the
+    # corpus totals are exact long sums OVER the checkpointed counts
+    # (sum(cx) ≡ count of exploded unigram rows, sum(n_pair) over the
+    # unfiltered pair table ≡ count of exploded bigram rows) — no
+    # extra corpus pass for either scalar.
     uni = df.select(F.explode(toks).alias("term"))
-    uc = uni.groupBy("term").agg(F.count("*").alias("cx"))
-    m = uni.groupBy().agg(F.count("*").alias("_m"))
+    uc = (
+        uni.groupBy("term")
+        .agg(F.count("*").alias("cx"))
+        .localCheckpoint(eager=False)
+    )
+    m = uc.groupBy().agg(F.sum("cx").alias("_m"))
     pairs = df.select(F.explode(_word_ngrams(toks, 2)).alias("pair"))
-    pc = pairs.groupBy("pair").agg(F.count("*").alias("n_pair"))
-    n = pairs.groupBy().agg(F.count("*").alias("_n"))
+    pc = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    n = pc.groupBy().agg(F.sum("n_pair").alias("_n"))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     joined = (
         pc.filter(F.col("n_pair") >= min_count)

@@ -62,6 +62,14 @@ def supplier_frontier(lineitem: DataFrame) -> DataFrame:
         F.count_distinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+    # skyline() reads its input twice (the per-x aggregate AND the
+    # tie-recovering equi-join); without a lineage break the
+    # data-sized count_distinct aggregate above is planned — and
+    # executed — twice, one full lineitem pass per side. The frame is
+    # |suppliers|-sized, so materializing it once is control-plane
+    # cost at any scale (lazy-localCheckpoint multi-consumer regime,
+    # cf. operators/association.py).
+    agg = agg.localCheckpoint(eager=False)
     return skyline(agg, "n_orders", "total_qty").select(
         "l_suppkey", "n_orders", "total_qty"
     )
