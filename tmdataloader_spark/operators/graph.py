@@ -336,6 +336,14 @@ def common_neighbors(
     anyway."""
     from pyspark.sql import Window
 
+    # the edge list feeds FIVE subplan sites (both symmetrized
+    # projections, each wedge-join side through them, and the closing
+    # anti-join); without a lineage break the whole edge build — for
+    # the co-purchase graph, a lineitem self-join + distinct — is
+    # re-planned and re-executed per site (10 lineitem scans in the
+    # r14 before-plan). |E|-sized, the same materialization regime as
+    # triangle_counts' oriented frame.
+    edges = edges.localCheckpoint(eager=False)
     adj = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -155,14 +155,25 @@ def mad_outliers(
     medians back onto the rows; no window over the corpus."""
     gname = group_col or "_all"
     base = df if group_col else df.withColumn("_all", F.lit("all"))
-    med = base.groupBy(gname).agg(F.median(value_col).alias("med"))
+    # med and stats are each read by TWO downstream consumers (dev is
+    # recomputed for the MAD agg and the outlier count, and each dev
+    # replan re-scans med's subtree too): without lineage breaks the
+    # r14 before-plan scanned the data SIX times. Both frames are
+    # group-cardinality-sized, so materializing them pins the scan
+    # count at the 3-pass floor exact median→MAD→count requires
+    # (lazy-localCheckpoint multi-consumer regime).
+    med = (
+        base.groupBy(gname)
+        .agg(F.median(value_col).alias("med"))
+        .localCheckpoint(eager=False)
+    )
     dev = (
         base.join(F.broadcast(med), gname)
         .withColumn("_adev", F.abs(F.col(value_col) - F.col("med")))
     )
     stats = dev.groupBy(gname, "med").agg(
         F.median("_adev").alias("mad"), F.count("*").alias("n_rows")
-    )
+    ).localCheckpoint(eager=False)
     return (
         dev.join(
             F.broadcast(stats.select(gname, F.col("mad").alias("_mad"))), gname

@@ -67,7 +67,15 @@ def ks_test(
         .agg(F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb"))
     )
     bkt = bucket_expr if bucket_expr is not None else F.floor(F.col("v"))
-    per_v = per_v.withColumn("_bkt", bkt.cast("long"))
+    # per_v feeds THREE consumers (the within-bucket running counts,
+    # the bucket bases, and the sample totals); without a lineage
+    # break each re-runs the two-sample union + per-value agg — six
+    # input scans in the r14 before-plan. |distinct values|-sized, so
+    # materializing it once is cheap at any scale
+    # (lazy-localCheckpoint multi-consumer regime).
+    per_v = per_v.withColumn("_bkt", bkt.cast("long")).localCheckpoint(
+        eager=False
+    )
 
     # phase 1: inclusive running counts within each ordered bucket
     w_local = (
@@ -170,10 +178,19 @@ def chi_square(
     base = df.select(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).filter(F.col("r").isNotNull() & F.col("c").isNotNull())
-    cells = base.groupBy("r", "c").agg(F.count("*").alias("o"))
-    rows = base.groupBy("r").agg(F.count("*").alias("rt"))
-    cols = base.groupBy("c").agg(F.count("*").alias("ct"))
-    tot = base.groupBy().agg(F.count("*").alias("n"))
+    # margins derive from the CELL counts, not from three more corpus
+    # scans: rt = Σ_c o, ct = Σ_r o, n = Σ o — exact long sums over
+    # the |cells|-sized contingency table (the r14 before-plan
+    # scanned the input four times, once per census). The cell table
+    # is lineage-broken because it feeds all four consumers.
+    cells = (
+        base.groupBy("r", "c")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    tot = cells.groupBy().agg(F.sum("o").alias("n"))
     e = (
         F.col("rt").cast("double")
         * F.col("ct").cast("double")
