@@ -739,18 +739,20 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    joined = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
 
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    sim = F.round(
-        dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
-        6,
-    )
+    # per-side norms once per ROW before the cross join (each pair
+    # then evaluates ONE interpreted-HOF dot instead of three);
+    # sqrt(da)*sqrt(db) is the same double product in the same order,
+    # so cosine_sim is bit-identical
+    q = q.withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = c.withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    joined = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     scored = joined.withColumn("cosine_sim", sim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("cand_id")

@@ -515,25 +515,35 @@ def mixture_drift(
     New strata (q=0) and vanished strata (p=0) surface as rows with a
     NULL ``kl_term`` rather than infinities — at 100 TB these are
     exactly the rows a mixture owner pages on. Cost: two tiny keyed
-    aggs + one-row total broadcasts + a stratum-sized full outer
-    join; the corpora never shuffle."""
+    aggs + a stratum-sized full outer join; corpus totals are
+    unbounded-window sums over the merged stratum frame (the
+    zero-filled full-outer rows partition each corpus, so the window
+    sum equals the corpus total exactly) — the corpora never shuffle
+    and are never re-aggregated for the totals."""
+    from pyspark.sql import Window
     cur = current.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("n_current")
     )
     ref = reference.groupBy(F.col(stratum_col).alias("_ref_stratum")).agg(
         F.count("*").alias("n_reference")
     )
-    cur_t = cur.agg(F.sum("n_current").alias("_ct"))
-    ref_t = ref.agg(F.sum("n_reference").alias("_rt"))
-    joined = (
-        cur.join(ref, F.col("stratum").eqNullSafe(F.col("_ref_stratum")), "full_outer")
-        .select(
-            F.coalesce(F.col("stratum"), F.col("_ref_stratum")).alias("stratum"),
-            F.coalesce("n_current", F.lit(0)).alias("n_current"),
-            F.coalesce("n_reference", F.lit(0)).alias("n_reference"),
-        )
-        .crossJoin(F.broadcast(cur_t))
-        .crossJoin(F.broadcast(ref_t))
+    merged = cur.join(
+        ref, F.col("stratum").eqNullSafe(F.col("_ref_stratum")), "full_outer"
+    ).select(
+        F.coalesce(F.col("stratum"), F.col("_ref_stratum")).alias("stratum"),
+        F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        F.coalesce("n_reference", F.lit(0)).alias("n_reference"),
+    )
+    # totals as unbounded windows over the |strata|-sized merged
+    # frame: the zero-filled full-outer rows partition each corpus,
+    # so sum(n_current) == sum over the current corpus exactly (long
+    # arithmetic) — no second aggregation subplan per corpus and no
+    # total-broadcast joins
+    w = Window.partitionBy()
+    joined = merged.select(
+        "*",
+        F.sum("n_current").over(w).alias("_ct"),
+        F.sum("n_reference").over(w).alias("_rt"),
     )
     p = F.col("n_current").cast("double") / F.col("_ct").cast("double")
     q = F.col("n_reference").cast("double") / F.col("_rt").cast("double")
