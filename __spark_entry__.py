@@ -1043,18 +1043,23 @@ def q_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = F.when(F.col("c_custkey") % 97 != 0, F.col("c_acctbal").cast("double").cast("string"))
     row = {"MKTSEGMENT": F.col("c_mktsegment")}
     # ONE scan: all rule predicates evaluated in a single projection,
-    # melted via explode (a per-rule union would rescan the table)
+    # melted via explode (a per-rule union would rescan the table).
+    # The value expression is projected ONCE into an attribute first:
+    # inlined, every rule's coalesce/try_cast repeated it (~12 copies
+    # inside the Generate — a 6x bigger codegen tree for no reuse;
+    # CollapseProject keeps a non-cheap multiply-referenced alias)
+    base = c.select(F.col("c_custkey"), value.alias("_v"), F.col("c_mktsegment"))
     pairs = F.array(
         *[
             F.struct(
                 F.lit(r.description).alias("rule"),
-                violation_expr(r, value, row).alias("violated"),
+                violation_expr(r, F.col("_v"), row).alias("violated"),
             )
             for r in rules
         ]
     )
     return (
-        c.select(F.col("c_custkey"), F.explode(pairs).alias("p"))
+        base.select(F.col("c_custkey"), F.explode(pairs).alias("p"))
         .filter(F.col("p.violated"))
         .select(F.col("p.rule").alias("rule"), "c_custkey")
     )

@@ -403,7 +403,7 @@ def ivfpq_ann(
     import numpy as np
     import pandas as pd
 
-    from tmdataloader_spark.llmdata.clustering import pq_encode, pq_fit
+    from tmdataloader_spark.llmdata.clustering import pq_fit
 
     spark = corpus.sparkSession
     cent_rows = (
@@ -443,21 +443,57 @@ def ivfpq_ann(
         return gen
 
     books = pq_fit(corpus, m=m, ksub=ksub, iters=train_iters, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    Cs = [np.asarray(b, dtype=np.int64) for b in books]
+
+    def fused_index(it):
+        # ONE corpus pass emitting (vid, cell, codes): the coarse cell
+        # (same per-row lexsort argmax as cell_assign) and the PQ codes
+        # (same per-subspace argmin as clustering.pq_encode) share the
+        # quantized matrix — the split form paid a second corpus scan,
+        # a second Arrow boundary, AND a corpus×corpus cand_id equi-join
+        # just to recombine two columns derived from the same row
+        ids_c, cm = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.array(list(pdf[vec_col]), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            ip = X @ cm.T
+            cells = np.empty(len(pdf), dtype=np.int64)
+            for row in range(len(pdf)):
+                cells[row] = ids_c[np.lexsort((ids_c, -ip[row]))[0]]
+            cols = []
+            off = 0
+            for C in Cs:
+                w = C.shape[1]
+                Xs = X[:, off : off + w]
+                off += w
+                d = (
+                    (Xs * Xs).sum(axis=1, keepdims=True)
+                    - 2 * (Xs @ C.T)
+                    + (C * C).sum(axis=1)
+                )
+                cols.append(np.argmin(d, axis=1))
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col],
+                    "cell": cells,
+                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                }
+            )
 
     spread = corpus.select(id_col, vec_col).repartition(
         spark.sparkContext.defaultParallelism, id_col
     )
-    cassign = spread.mapInPandas(cell_assign(1), schema="vid long, cell long").select(
-        F.col("vid").alias("cand_id"), "cell"
-    )
+    cindex = spread.mapInPandas(
+        fused_index, schema="vid long, cell long, codes array<int>"
+    ).select(F.col("vid").alias("cand_id"), "cell", "codes")
     qassign = (
         queries.select(id_col, vec_col)
         .mapInPandas(cell_assign(nprobe), schema="vid long, cell long")
         .select(F.col("vid").alias("query_id"), "cell")
     )
-
-    Cs = [np.asarray(b, dtype=np.int64) for b in books]
 
     def dtab_gen(it):
         for pdf in it:
@@ -484,9 +520,8 @@ def ivfpq_ann(
     )
 
     adc = (
-        qassign.join(cassign, "cell")
+        qassign.join(cindex, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .join(codes.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
         .join(F.broadcast(dtabs), "query_id")
         .select(
             "query_id",
