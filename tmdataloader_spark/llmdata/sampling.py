@@ -402,13 +402,20 @@ def mixture_upsample(
         F.floor(frac).cast("int").alias("_mu_base"),
         F.round((frac - F.floor(frac)) * _BUCKETS).cast("long").alias("_mu_thr"),
     )
-    b = _bucket(F.col(id_col), salt)
-    n_copies = F.col("_mu_base") + F.when(b < F.col("_mu_thr"), 1).otherwise(0)
+    # the md5 bucket is projected ONCE on the corpus side BELOW the
+    # join: the explode's inferred not-empty filter pushes into the
+    # join condition, and with the bucket inlined it re-evaluated the
+    # md5 chain ~6x per row there (attribute references survive the
+    # pushdown; the hash depends only on the row's own id)
+    base = df.withColumn("_mu_b", _bucket(F.col(id_col), salt))
+    n_copies = F.col("_mu_base") + F.when(
+        F.col("_mu_b") < F.col("_mu_thr"), 1
+    ).otherwise(0)
     copies = F.when(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
     return (
-        df.join(
+        base.join(
             F.broadcast(fr),
             F.col(stratum_col).eqNullSafe(F.col("_mu_stratum")),
             "inner",
@@ -416,7 +423,7 @@ def mixture_upsample(
         .withColumn("_mu_copies", copies)
         .withColumn("copy_idx", F.explode(F.col("_mu_copies")))
         .drop("_mu_copies")
-        .drop("_mu_stratum", "_mu_base", "_mu_thr")
+        .drop("_mu_stratum", "_mu_base", "_mu_thr", "_mu_b")
     )
 
 
