@@ -336,20 +336,25 @@ def stream_mixture_upsample(
         F.floor(f).cast("int").alias("_mu_base"),
         F.round((f - F.floor(f)) * _BUCKETS).cast("long").alias("_mu_thr"),
     )
-    b = _bucket(F.col(id_col), salt)
-    n_copies = F.col("_mu_base") + F.when(b < F.col("_mu_thr"), 1).otherwise(0)
+    # hash once below the join (same fix as the batch twin): the
+    # explode's inferred not-empty filter pushes into the join
+    # condition and would re-inline the md5 chain ~6x per row
+    base = docs.withColumn("_mu_b", _bucket(F.col(id_col), salt))
+    n_copies = F.col("_mu_base") + F.when(
+        F.col("_mu_b") < F.col("_mu_thr"), 1
+    ).otherwise(0)
     copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
         F.array().cast("array<int>")
     )
     return (
-        docs.join(
+        base.join(
             F.broadcast(thr),
             F.col(stratum_col).eqNullSafe(F.col("_mu_stratum")),
             "inner",
         )
         .withColumn("_mu_copies", copies)
         .withColumn("copy_idx", F.explode(F.col("_mu_copies")))
-        .drop("_mu_stratum", "_mu_base", "_mu_thr", "_mu_copies")
+        .drop("_mu_stratum", "_mu_base", "_mu_thr", "_mu_copies", "_mu_b")
     )
 
 
