@@ -1563,12 +1563,15 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGIR'09): hybrid-retrieval combiner over two BM25 top-25 lists —
     union of 1/(60+rank) contributions, keyed sum, 6dp pre-rank
     rounding. Input lists are top-k frames, so the fusion stage is
-    k·N-row work regardless of corpus size."""
-    from tmdataloader_spark.llmdata.retrieval import bm25_topk, rrf_fuse
+    k·N-row work regardless of corpus size. The two BM25 runs share
+    ONE stats pass + ONE scoring pass over the union vocabulary
+    (bm25_topk_shared — list-for-list bit-identical to two separate
+    bm25_topk calls, but the corpus is tokenized 2× total, not 4×)."""
+    from tmdataloader_spark.llmdata.retrieval import bm25_topk_shared, rrf_fuse
 
     d = _t(spark, sf_dir, "documents")
     return rrf_fuse(
-        [bm25_topk(d, _BM25_TERMS, k=25), bm25_topk(d, _RRF_TERMS_B, k=25)],
+        bm25_topk_shared(d, [_BM25_TERMS, _RRF_TERMS_B], k=25),
         k0=60,
         k=20,
     )

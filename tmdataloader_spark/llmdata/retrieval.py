@@ -129,6 +129,112 @@ def bm25_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def bm25_topk_shared(
+    df: DataFrame,
+    term_sets: list[list[str]],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[DataFrame]:
+    """Top-``k`` lists for SEVERAL query-term sets from ONE pair of
+    corpus passes — list-for-list bit-identical to calling
+    :func:`bm25_topk` once per set (same normalized term order, same
+    per-term micro-unit quantization, same exact long sums, same
+    (score desc, id) selection), but the corpus is tokenized twice
+    TOTAL instead of twice PER LIST:
+
+    * one stats aggregate covers the UNION vocabulary (N and avgdl
+      are set-independent; each df value is identical to what the
+      per-list aggregate would have computed);
+    * one scoring projection computes every union term's tf and folds
+      each list's quantized score/hit sums into columns of a NARROW
+      (id, sums...) frame;
+    * the narrow frame is lazily ``localCheckpoint``-ed so the per-
+      list top-k selections replay ~24 bytes/row instead of
+      re-tokenizing the corpus once per list (guide-§8 "decide with
+      small rows": the text pass is the heavy proxy-producing pass,
+      the selections are decisions over the proxy).
+
+    The hybrid-retrieval combiner (:func:`rrf_fuse` over two BM25
+    runs) is the intended caller: its cost drops from 2× bm25_topk to
+    ~1× + one narrow materialization."""
+    if not term_sets or any(not ts for ts in term_sets):
+        raise ValueError("term_sets must be non-empty lists of terms")
+    norm_sets = [sorted(set(t.strip().lower() for t in ts)) for ts in term_sets]
+    union_terms = sorted(set().union(*norm_sets))
+    idx = {t: i for i, t in enumerate(union_terms)}
+
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+    stats_aggs = [
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    ] + [
+        F.sum(F.array_contains(toks, t).cast("long"))
+        .cast("double")
+        .alias(f"_df_{i}")
+        for i, t in enumerate(union_terms)
+    ]
+    stats = df.agg(*stats_aggs)
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    scored = df.select(
+        F.col(id_col),
+        dl.alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("double").alias(f"_tf_{i}")
+            for i, t in enumerate(union_terms)
+        ],
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf_{i}")
+        dfreq = F.col(f"_df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / norm
+
+    sum_cols = []
+    for li, terms in enumerate(norm_sets):
+        score_q = None
+        hits = None
+        for t in terms:  # the list's own sorted order — bm25_topk's sum order
+            i = idx[t]
+            s = F.round(term_score(i) * F.lit(1_000_000.0)).cast("long")
+            h = (F.col(f"_tf_{i}") > 0).cast("int")
+            score_q = s if score_q is None else score_q + s
+            hits = h if hits is None else hits + h
+        sum_cols += [score_q.alias(f"_sq_{li}"), hits.alias(f"_h_{li}")]
+    narrow = scored.select(F.col(id_col), *sum_cols).localCheckpoint(eager=False)
+
+    from pyspark.sql import Window
+
+    outs = []
+    for li in range(len(norm_sets)):
+        ranked = (
+            narrow.select(
+                F.col(id_col),
+                F.col(f"_h_{li}").alias("n_terms_hit"),
+                (F.col(f"_sq_{li}") / F.lit(1_000_000.0)).alias("score"),
+            )
+            .filter(F.col("n_terms_hit") > 0)
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+        outs.append(ranked.withColumn("rank", F.row_number().over(w).cast("int")))
+    return outs
+
+
 def bm25_index(
     df: DataFrame,
     text_col: str = "text",

@@ -1,5 +1,5 @@
 """Dump ``explain("formatted")`` for every (or a subset of) gate
-query to ``plans/r14/<query>_<tag>.txt`` — the before/after evidence
+query to ``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (default r15) — the before/after evidence
 files the optimization round commits alongside code changes.
 
 Plan capture is driver-side only (no job execution): each query
@@ -26,9 +26,10 @@ def main() -> None:
     from tmdataloader_spark.session import get_spark
 
     spark = get_spark("explain_dump")
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", round_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
 
