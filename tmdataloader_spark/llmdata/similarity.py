@@ -30,6 +30,17 @@ def _cosine(qv, cv):
     return F.round(_dot(qv, cv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(cv, cv))), 6)
 
 
+def _cosine_pre(qv, cv, qn, cn):
+    """:func:`_cosine` with the two per-row norms precomputed BELOW
+    the candidate join: ``qn``/``cn`` must be ``sqrt(_dot(v, v))`` of
+    the respective side. Same doubles multiplied in the same order
+    (``sqrt(x·x) * sqrt(y·y)``), so the score is bit-identical — but
+    each candidate PAIR evaluates one interpreted higher-order dot
+    instead of three (the two self-dots are per-ROW facts that the
+    inline form recomputed once per partner)."""
+    return F.round(_dot(qv, cv) / (qn * cn), 6)
+
+
 def cosine_topk_expr(
     queries: DataFrame,
     corpus: DataFrame,
@@ -41,14 +52,17 @@ def cosine_topk_expr(
     tie-break. Cross join — use only for small query sets."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     joined = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
-        joined.withColumn("cosine_sim", _cosine(F.col("qv"), F.col("cv")))
+        joined.withColumn(
+            "cosine_sim",
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
@@ -214,14 +228,17 @@ def ivf_ann(
     cand = qassign.join(cassign, on="cell").filter(
         F.col("query_id") != F.col("cand_id")
     ).select("query_id", "cand_id")
+    # per-row norms projected BELOW the rerank join (guide §1.2):
+    # each candidate pair then evaluates ONE interpreted dot, not three
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     cv = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = cand.join(qv, on="query_id").join(cv, on="cand_id").withColumn(
-        "cosine_sim", _cosine(F.col("qv"), F.col("cv"))
+        "cosine_sim",
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
@@ -347,14 +364,17 @@ def lsh_ann(
         .select(F.col("q.vid").alias("query_id"), F.col("c.vid").alias("cand_id"))
         .distinct()
     )
+    # per-row norms projected BELOW the rerank join (guide §1.2):
+    # each candidate pair then evaluates ONE interpreted dot, not three
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     cv = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = cand.join(qv, on="query_id").join(cv, on="cand_id").withColumn(
-        "cosine_sim", _cosine(F.col("qv"), F.col("cv"))
+        "cosine_sim",
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
@@ -543,18 +563,23 @@ def ivfpq_ann(
         .filter(F.col("_rn") <= refine)
         .select("query_id", "cand_id")
     )
+    # per-row norms projected BELOW the rerank join (guide §1.2):
+    # each candidate pair then evaluates ONE interpreted dot, not three
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     cv = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "cand_id")
-        .withColumn("cosine_sim", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
