@@ -83,23 +83,28 @@ def fuzzy_dup_pairs(
     )
     # The levenshtein predicate is written INSIDE the join condition,
     # LAST: Catalyst keeps the written conjunct order for non-equi
-    # join conditions, so the O(len²) distance only runs on pairs that
+    # join conditions, so the edit distance only runs on pairs that
     # already passed the O(1) id/length checks. (A post-join .filter
     # gets pushed into the join REORDERED FIRST — measured: every
     # prefix-equal pair paid the levenshtein before the cheap cuts.)
+    # The distance itself is the THRESHOLD form (Spark 3.5+): with a
+    # bound it runs the banded O(len·max_dist) algorithm and returns
+    # -1 when the bound is exceeded — so the predicate is ">= 0", and
+    # qualifying pairs keep their exact distance (identical results,
+    # O(len²) -> O(len·k) per blocked pair).
     pairs = a.join(
         b,
         (F.col("_pa") == F.col("_pb"))
         & (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
-        & (F.levenshtein("_ta", "_tb") <= max_dist),
+        & (F.levenshtein("_ta", "_tb", max_dist) >= 0),
         "inner",
     )
     # recomputing the distance in the projection costs one extra
     # levenshtein per SURVIVING pair only — far cheaper than a
     # separate filter that would get pushed and reordered.
     return pairs.select(
-        "id_a", "id_b", F.levenshtein("_ta", "_tb").alias("dist")
+        "id_a", "id_b", F.levenshtein("_ta", "_tb", max_dist).alias("dist")
     )
 
 

@@ -76,13 +76,19 @@ def random_projection(
     )
     comps = [
         F.aggregate(
-            F.zip_with(q, F.lit(signs[j]), lambda a, s: a * s),
+            F.zip_with(F.col("_q"), F.lit(signs[j]), lambda a, s: a * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias(f"p{j}")
         for j in range(out_dim)
     ]
-    return df.select(F.col(id_col), *comps)
+    # quantize ONCE into an attribute below the component projection:
+    # inlining ``q`` into all out_dim aggregates re-evaluated the
+    # floor-transform once per component (16x per row at the default
+    # width) — CollapseProject keeps a non-cheap multiply-referenced
+    # alias split, so the two-stage select is stable (guide §1.2, the
+    # same attribute-projection fix as summary_stats/zorder)
+    return df.select(F.col(id_col), q.alias("_q")).select(F.col(id_col), *comps)
 
 
 def random_projection_oracle_sql(
