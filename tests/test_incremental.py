@@ -147,3 +147,37 @@ def test_grouped_and_perrow_signatures_agree(spark, corpus):
     for d in grouped:
         for i in range(8):
             assert grouped[d][f"mh_{i}"] == perrow[d][f"mh_{i}"], (d, i)
+
+
+def test_arrow_and_expression_signatures_agree(spark, corpus):
+    """The Arrow NumPy kernel (signatures_from_sets_arrow — the
+    signature_store path) must be row-for-row identical to the
+    pure-expression form, including the keep_set passthrough of the
+    shingle arrays and the drop of 0-shingle documents."""
+    from tmdataloader_spark.llmdata.dedup import (
+        shingle_sets,
+        signatures_from_sets,
+        signatures_from_sets_arrow,
+    )
+
+    history, batch = corpus
+    docs = history.unionByName(batch).unionByName(
+        # a 1-token doc: 0 shingles at n=2 — must vanish from BOTH forms
+        spark.createDataFrame([(7, "single")], "doc_id long, text string")
+    )
+    sets = shingle_sets(docs, n=2)
+    for keep_set in (False, True):
+        expr = {
+            r["doc_id"]: r.asDict()
+            for r in signatures_from_sets(sets, num_perms=8, keep_set=keep_set).collect()
+        }
+        arrow = {
+            r["doc_id"]: r.asDict()
+            for r in signatures_from_sets_arrow(
+                sets, num_perms=8, keep_set=keep_set
+            ).collect()
+        }
+        assert set(expr) == set(arrow) and 7 not in expr
+        for d, row in expr.items():
+            for k, v in row.items():
+                assert arrow[d][k] == v, (keep_set, d, k)

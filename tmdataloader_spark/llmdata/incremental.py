@@ -30,7 +30,7 @@ from tmdataloader_spark.functions.ratio import round6_ratio as _round6_ratio
 from tmdataloader_spark.llmdata.dedup import (
     lsh_band_keys,
     shingle_sets,
-    signatures_from_sets,
+    signatures_from_sets_arrow,
 )
 
 
@@ -47,8 +47,10 @@ def signature_store(
     the text; everything downstream joins this, not the corpus."""
     sets = shingle_sets(df, text_col, id_col, n=ngram)
     # per-row signatures (no explode/shuffle) computed in the SAME
-    # projection that carries the shingle array — one scan, one pass
-    return signatures_from_sets(sets, id_col, num_perms, keep_set=True).select(
+    # scan that carries the shingle array — one pass. The Arrow NumPy
+    # kernel form: a store is computed once and materialized, which is
+    # exactly the shape it wins (r15 A/B: 1.2 s -> 0.71 s at sf0.1)
+    return signatures_from_sets_arrow(sets, id_col, num_perms, keep_set=True).select(
         id_col,
         "n_shingles",
         "shingle_set",
