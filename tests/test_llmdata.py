@@ -39,6 +39,42 @@ def test_simhash_banding_is_lossless(spark, docs):
     assert banded == brute
 
 
+def test_simhash_kernel_matches_expression_majority(spark, docs):
+    """The Arrow NumPy bit-majority kernel must reproduce the classic
+    explode → groupBy(bit sums) expression form bit-for-bit, drop
+    NULL-text documents, and keep empty-string documents (split('')
+    yields [''] — one token, so the doc gets a signature)."""
+    from tmdataloader_spark.llmdata.dedup import _hash32, simhash
+
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, "")], "doc_id long, text string"
+    )
+    sample = docs.limit(200).select("doc_id", "text").unionByName(extra)
+    kernel = {r["doc_id"]: r["simhash"] for r in simhash(sample).collect()}
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    ex = sample.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "h", _hash32(F.col("tok"), 0)
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
+        for b in range(32)
+    ]
+    agg = ex.groupBy("doc_id").agg(F.count("*").alias("_n"), *bit_sums)
+    sig = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"s_{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    expr = {
+        r["doc_id"]: r["sig"]
+        for r in agg.select("doc_id", sig.alias("sig")).collect()
+    }
+    assert kernel == expr
+    assert 100001 not in kernel and 100002 in kernel
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark, docs):
     """LSH with 4 bands of 4 rows must catch the truly-identical pairs
     (jaccard = 1 collides in every band)."""
